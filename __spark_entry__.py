@@ -1,10 +1,11 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)  — flagship query smoke check at sf0.001.
+queries()     — every implemented operator from SURVEY.md §2 (+ extensions),
+                (spark, sf_dir) -> DataFrame.
+oracle_sql()  — DuckDB-equivalent ANSI SQL per query (column names aligned).
+
+Implementations live in hpmr_spark/; this file only re-exports the registry.
 """
 
 from __future__ import annotations
@@ -15,24 +16,22 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: per-order revenue mapreduce over sf0.001 lineitem (the
+    reference's dist_map_test.cc:71-88 kernel over real parquet)."""
+    from hpmr_spark.catalog import QUERIES
+
+    return QUERIES["mapreduce_revenue_by_order"](spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    import hpmr_spark.all_queries  # noqa: F401 — populates the registry
+    from hpmr_spark.catalog import QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    import hpmr_spark.all_queries  # noqa: F401
+    from hpmr_spark.catalog import ORACLES
+
+    return dict(ORACLES)

@@ -1,0 +1,15 @@
+"""Import every module that registers queries into hpmr_spark.catalog.
+
+Importing this module fully populates QUERIES/ORACLES. Modules are optional
+while under construction — each import is individually guarded so a broken
+extension never takes down the whole registry.
+"""
+
+import importlib
+
+_MODULES = [
+    "hpmr_spark.catalog",
+]
+
+for _m in _MODULES:
+    importlib.import_module(_m)

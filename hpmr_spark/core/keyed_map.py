@@ -1,0 +1,238 @@
+"""KeyedMap — the engine's analog of the reference's DistMap<K,V,H>
+(/root/reference/src/dist_map.h:14-72): distributed keyed state with the
+"≤ 1 live row per key" invariant, where duplicate writes merge via a reducer.
+
+Spark-first design notes
+------------------------
+* State is a DataFrame ``(key, value)``; the invariant is maintained by
+  ``groupBy(key).agg(reducer)`` at every mutation epoch. Catalyst plans this as
+  partial (map-side) + final aggregation — exactly the reference's
+  combine-on-insert + shuffle-merge pipeline (src/bare_map.h:55-57 +
+  src/dist_map.h:147-210) — with zero custom code.
+* ``async_set``/``sync`` (src/dist_map.h:118-130,147-210) collapse into the
+  epoch model: writes accumulate in a pending batch; ``sync()`` unions pending
+  into state and re-aggregates. Spark's lazy execution means the shuffle runs
+  when an action fires; ``sync`` additionally persists to cap lineage.
+* Point ops (``get``/``has``/``unset`` — src/dist_map.h:132-145,
+  src/concurrent_map.h:46-52) are filters / semi / anti joins, so at cluster
+  scale they stay distributed; ``get`` collects a single row to the driver,
+  matching the reference's owner-broadcast semantics.
+* Arbitrary Python reducers fall back to ``RDD.reduceByKey`` (map-side combine
+  included); the five canned reducers stay JVM-side as agg expressions.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Iterable, Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hpmr_spark.reducers import Reducer, _Reducer
+
+KEY = "key"
+VALUE = "value"
+ORDER = "_order"
+
+
+def _normalize(df: DataFrame, key_col: str, value_col: str, order_col: str | None) -> DataFrame:
+    cols = [F.col(key_col).alias(KEY), F.col(value_col).alias(VALUE)]
+    if order_col is not None:
+        cols.append(F.col(order_col).alias(ORDER))
+    return df.select(*cols)
+
+
+class KeyedMap:
+    """Distributed K→V map with reducer-merge write semantics."""
+
+    def __init__(self, df: DataFrame, *, _has_order: bool = False, _unique: bool = True):
+        self._df = df
+        self._has_order = _has_order
+        self._unique = _unique  # True once the ≤1-row-per-key invariant holds
+        self._epoch = 0
+
+    # ------------------------------------------------------------- construction
+    @classmethod
+    def from_df(
+        cls,
+        df: DataFrame,
+        key_col: str,
+        value_col: str,
+        reducer: _Reducer = Reducer.overwrite,
+        order_col: str | None = None,
+    ) -> "KeyedMap":
+        """Bulk ingest: merge duplicate keys with ``reducer`` (src/dist_map.h:31-34)."""
+        norm = _normalize(df, key_col, value_col, order_col)
+        return cls(norm, _has_order=order_col is not None, _unique=False).sync(reducer)
+
+    @classmethod
+    def from_pairs(
+        cls,
+        spark: SparkSession,
+        pairs: Iterable[tuple],
+        reducer: _Reducer = Reducer.overwrite,
+    ) -> "KeyedMap":
+        """Ingest (k, v) pairs with arrival-order determinism: the iteration
+        index becomes the order column, so keep/overwrite are well-defined
+        (unlike the reference, where arrival order is thread/network
+        nondeterministic — SURVEY.md §2.2)."""
+        rows = [(k, v, i) for i, (k, v) in enumerate(pairs)]
+        df = spark.createDataFrame(rows, [KEY, VALUE, ORDER])
+        return cls(df, _has_order=True, _unique=False).sync(reducer)
+
+    # ------------------------------------------------------------------ epochs
+    def sync(self, reducer: _Reducer = Reducer.keep) -> "KeyedMap":
+        """Merge duplicate keys — THE shuffle (src/dist_map.h:147-210).
+
+        Canned reducers run as JVM agg expressions (partial+final agg); custom
+        reducers run via RDD.reduceByKey (still map-side combined)."""
+        if self._unique:
+            return self
+        if reducer.agg_factory is not None:
+            aggs = [reducer.agg(VALUE, ORDER if self._has_order else None).alias(VALUE)]
+            if self._has_order:
+                aggs.append(F.max(ORDER).alias(ORDER))
+            out = self._df.groupBy(KEY).agg(*aggs)
+        else:
+            fn = reducer.fn
+            rdd = self._df.select(KEY, VALUE).rdd.map(tuple).reduceByKey(fn)
+            out = rdd.toDF([KEY, VALUE])
+            self_has_order = False  # order column dropped on the RDD path
+            return KeyedMap(out, _has_order=self_has_order, _unique=True)
+        return KeyedMap(out, _has_order=self._has_order, _unique=True)
+
+    def set_batch(
+        self, batch: DataFrame, key_col: str, value_col: str, reducer: _Reducer = Reducer.overwrite
+    ) -> "KeyedMap":
+        """async_set epoch: union a batch of writes, merge on key
+        (src/dist_map.h:118-130). New rows get a later epoch order so
+        ``overwrite`` means "batch wins over existing state"."""
+        if self._has_order:
+            cur = self._df
+            nxt = _normalize(batch, key_col, value_col, None).withColumn(
+                ORDER, F.lit(self._epoch + 1).cast("long") * F.lit(1 << 40)
+            )
+        else:
+            cur = self._df.withColumn(ORDER, F.lit(0).cast("long"))
+            nxt = _normalize(batch, key_col, value_col, None).withColumn(
+                ORDER, F.lit(1).cast("long")
+            )
+        merged = KeyedMap(cur.unionByName(nxt), _has_order=True, _unique=False).sync(reducer)
+        merged._epoch = self._epoch + 1
+        return merged
+
+    # ------------------------------------------------------------- point ops
+    def get(self, key: Any, default: Any = None) -> Any:
+        """Point lookup with default (src/dist_map.h:132-145)."""
+        row = self._df.where(F.col(KEY) == F.lit(key)).select(VALUE).take(1)
+        return row[0][0] if row else default
+
+    def get_many(self, keys: list) -> dict:
+        """Batched point lookup — one job for K keys instead of K jobs.
+        At scale this is an IN-filter pushed to the scan, not K collects."""
+        rows = (
+            self._df.where(F.col(KEY).isin(keys)).select(KEY, VALUE).collect()
+        )
+        return {r[0]: r[1] for r in rows}
+
+    def has(self, key: Any) -> bool:
+        """Membership (src/bare_hash_container.h:181-196)."""
+        return bool(self._df.where(F.col(KEY) == F.lit(key)).take(1))
+
+    def unset(self, key: Any) -> "KeyedMap":
+        """Delete one key (src/bare_hash_container.h:150-179)."""
+        return KeyedMap(
+            self._df.where(F.col(KEY) != F.lit(key)),
+            _has_order=self._has_order,
+            _unique=self._unique,
+        )
+
+    def unset_many(self, keys_df: DataFrame, key_col: str) -> "KeyedMap":
+        """Bulk delete = left-anti join (distributed, no driver loop)."""
+        other = keys_df.select(F.col(key_col).alias(KEY))
+        return KeyedMap(
+            self._df.join(other, on=KEY, how="left_anti"),
+            _has_order=self._has_order,
+            _unique=self._unique,
+        )
+
+    # ---------------------------------------------------------------- metadata
+    def n_keys(self) -> int:
+        """Global distinct-key count (src/dist_map.h:90-96). The unique-key
+        invariant makes this a plain count."""
+        return self._df.count()
+
+    def n_partitions(self) -> int:
+        """get_n_buckets analog (src/dist_map.h:98-104)."""
+        return self._df.rdd.getNumPartitions()
+
+    def reserve(self, n_partitions: int) -> "KeyedMap":
+        """Pre-size partitioning (src/dist_map.h:82-88): hash-repartition on key."""
+        return KeyedMap(
+            self._df.repartition(n_partitions, KEY),
+            _has_order=self._has_order,
+            _unique=self._unique,
+        )
+
+    def clear(self) -> "KeyedMap":
+        """Drop all entries (src/dist_map.h:243-253)."""
+        return KeyedMap(self._df.limit(0), _has_order=self._has_order, _unique=True)
+
+    # ------------------------------------------------------------ full scans
+    def for_each(self, handler: Callable[[Any, Any], None]) -> None:
+        """Scan all entries (src/concurrent_map.h:58-62). Streams partitions to
+        the driver; for distributed side effects use ``to_df().foreach``."""
+        for row in self._df.select(KEY, VALUE).toLocalIterator():
+            handler(row[0], row[1])
+
+    def items(self) -> Iterator[tuple]:
+        for row in self._df.select(KEY, VALUE).toLocalIterator():
+            yield row[0], row[1]
+
+    def map_reduce(
+        self,
+        mapper: Callable[[Any, Any], Iterable[tuple]],
+        reducer: _Reducer,
+    ) -> "KeyedMap":
+        """flatMap entries → (k2, v2), merge by key (src/dist_map.h:256-279).
+
+        The mapper is arbitrary Python (the reference's lambda-with-emit,
+        src/dist_map.h:48-50), so this runs on the RDD path; reduceByKey gives
+        map-side combine like the reference's combine-on-insert. Prefer
+        :meth:`map_reduce_expr` when the mapper is expressible as columns —
+        that path stays entirely in the JVM."""
+        fn = reducer.fn
+        rdd = (
+            self._df.select(KEY, VALUE)
+            .rdd.flatMap(lambda row: mapper(row[0], row[1]))
+            .reduceByKey(fn)
+        )
+        return KeyedMap(rdd.toDF([KEY, VALUE]), _unique=True)
+
+    def map_reduce_expr(
+        self,
+        key_expr,
+        value_expr,
+        reducer: _Reducer,
+    ) -> "KeyedMap":
+        """Declarative map_reduce: key/value are Column expressions, reducer is
+        canned → whole pipeline is Catalyst-planned (fast path)."""
+        projected = self._df.select(key_expr.alias(KEY), value_expr.alias(VALUE))
+        return KeyedMap(projected, _unique=False).sync(reducer)
+
+    # ------------------------------------------------------------------ export
+    def to_df(self, key_name: str = KEY, value_name: str = VALUE) -> DataFrame:
+        return self._df.select(F.col(KEY).alias(key_name), F.col(VALUE).alias(value_name))
+
+    @property
+    def df(self) -> DataFrame:
+        return self._df
+
+    def persist(self) -> "KeyedMap":
+        self._df = self._df.persist()
+        return self
+
+    def checkpoint(self) -> "KeyedMap":
+        """Cut lineage after many epochs (SURVEY.md §7.3 risk b)."""
+        self._df = self._df.localCheckpoint(eager=True)
+        return self

@@ -1,0 +1,52 @@
+"""SparkSession construction tuned for the engine.
+
+The reference's performance envelope is compile-time constants (trunk size,
+load factors — /root/reference/src/bare_hash_container.h:14-18); ours is Spark
+conf. Every knob here is chosen for scale-out first, then works locally:
+
+- AQE on: runtime coalescing of shuffle partitions + skew-join splitting is the
+  analog of the reference's probe-length skew watchdog
+  (/root/reference/src/bare_hash_container.h:135-148).
+- Arrow on: all Pandas-UDF paths (dedup/similarity/multimodal) batch via Arrow.
+- shuffle.partitions defaults to 2× cores locally; on a real cluster AQE
+  coalesces from a deliberately-high initial number, so oversizing is safe.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def session_builder(
+    app_name: str = "hpmr-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession.Builder:
+    """Builder with engine defaults; caller may override before getOrCreate."""
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    if master is None:
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = max(2 * cpus, 8)
+    b = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+    )
+    return b
+
+
+def get_spark(app_name: str = "hpmr-spark", **kwargs) -> SparkSession:
+    return session_builder(app_name, **kwargs).getOrCreate()

@@ -1,0 +1,43 @@
+"""Table sources. The reference has no file I/O (its only source is Range +
+programmatic inserts — SURVEY.md §2.3); the engine's sources are Spark's
+native columnar readers, which give vectorized scans, predicate pushdown and
+column pruning for free.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Dimension tables small enough to always broadcast in joins at any SF the
+# engine targets (region: 5 rows, nation: 25 — fixed-size in TPC-H-style data).
+BROADCAST_TABLES = frozenset({"region", "nation"})
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_tables(spark: SparkSession, sf_dir: str, names=TABLES) -> dict[str, DataFrame]:
+    return {n: load_table(spark, sf_dir, n) for n in names}
+
+
+def register_views(spark: SparkSession, sf_dir: str, names=TABLES) -> None:
+    """Register each table as a temp view so spark.sql(...) works against the
+    same names the DuckDB oracle uses."""
+    for n in names:
+        load_table(spark, sf_dir, n).createOrReplaceTempView(n)

@@ -1,0 +1,96 @@
+"""Local replica of the driver's t2 correctness gate: run each queries() entry
+on Spark and its oracle_sql() on DuckDB at sf0.01, compare row count, column
+names, and an order-insensitive value hash.
+
+Usage: python tools/selfcheck.py [query_name ...]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import sys
+import time
+
+import duckdb
+import pandas as pd
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR_CHECK", "/root/testdata/sf0.01")
+
+
+def canon(df: pd.DataFrame) -> str:
+    """Order-insensitive canonical hash: sort columns by name, round floats,
+    stringify, sort rows, hash."""
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype.kind == "f":
+            df[c] = df[c].round(6)
+        df[c] = df[c].astype(str)
+    rows = sorted("|".join(t) for t in df.itertuples(index=False, name=None))
+    return hashlib.md5("\n".join(rows).encode()).hexdigest()
+
+
+def main(names=None):
+    from __spark_entry__ import oracle_sql, queries
+
+    from hpmr_spark.engine import get_spark
+    from hpmr_spark.sources.tables import TABLES
+
+    spark = get_spark("selfcheck")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
+        )
+
+    qs, os_ = queries(), oracle_sql()
+    names = names or list(qs)
+    failures = []
+    for name in names:
+        t0 = time.time()
+        try:
+            sdf = qs[name](spark, SF_DIR).toPandas()
+        except Exception as e:
+            failures.append(name)
+            print(f"FAIL {name}: spark error: {e}")
+            continue
+        if name not in os_:
+            print(f"ok?  {name}: rows={len(sdf)} (no oracle, rows-only) [{time.time()-t0:.1f}s]")
+            continue
+        try:
+            odf = con.execute(os_[name]).df()
+        except Exception as e:
+            failures.append(name)
+            print(f"FAIL {name}: duckdb error: {e}")
+            continue
+        problems = []
+        if len(sdf) != len(odf):
+            problems.append(f"rows {len(sdf)} != {len(odf)}")
+        if sorted(sdf.columns) != sorted(odf.columns):
+            problems.append(f"cols {sorted(sdf.columns)} != {sorted(odf.columns)}")
+        if not problems and canon(sdf) != canon(odf):
+            problems.append("value-hash mismatch")
+            merged = sdf[sorted(sdf.columns)].sort_values(sorted(sdf.columns)).reset_index(drop=True)
+            omerged = odf[sorted(odf.columns)].sort_values(sorted(odf.columns)).reset_index(drop=True)
+            for c in merged.columns:
+                a, b = merged[c].astype(str), omerged[c].astype(str)
+                if not a.equals(b):
+                    diff_idx = (a != b).idxmax()
+                    problems.append(
+                        f"first diff col={c} row={diff_idx}: spark={merged[c][diff_idx]!r} oracle={omerged[c][diff_idx]!r}"
+                    )
+                    break
+        if problems:
+            failures.append(name)
+            print(f"FAIL {name}: {'; '.join(problems)} [{time.time()-t0:.1f}s]")
+        else:
+            print(f"PASS {name}: rows={len(sdf)} [{time.time()-t0:.1f}s]")
+    print(f"\n{len(names) - len(failures)}/{len(names)} passed")
+    spark.stop()
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1:] or None))
