@@ -9,6 +9,7 @@ import importlib
 
 _MODULES = [
     "hpmr_spark.catalog",
+    "hpmr_spark.operators.relational",
 ]
 
 for _m in _MODULES:
