@@ -10,6 +10,7 @@ import importlib
 _MODULES = [
     "hpmr_spark.catalog",
     "hpmr_spark.operators.relational",
+    "hpmr_spark.operators.text_queries",
 ]
 
 for _m in _MODULES:
