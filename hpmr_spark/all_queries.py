@@ -11,6 +11,7 @@ _MODULES = [
     "hpmr_spark.catalog",
     "hpmr_spark.operators.relational",
     "hpmr_spark.operators.text_queries",
+    "hpmr_spark.operators.dedup_queries",
 ]
 
 for _m in _MODULES:

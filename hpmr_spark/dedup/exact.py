@@ -1,0 +1,32 @@
+"""Exact deduplication: hash-groupBy on a canonical fingerprint.
+
+Scale: one shuffle on the 16-byte fingerprint (not the document body), then
+min/count per group. At 100 TB the shuffle payload is doc_id + fingerprint
+only — column pruning keeps the text out of the exchange.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from hpmr_spark.functions.text import fingerprint
+
+
+def dedup_exact(docs: DataFrame) -> DataFrame:
+    """One row per distinct normalized text: keeper doc_id (min), dup count."""
+    return (
+        docs.select("doc_id", fingerprint(F.col("text")).alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def drop_exact_dups(docs: DataFrame) -> DataFrame:
+    """Keep the min-doc_id representative of every fingerprint group —
+    the pipeline-facing 'dedup this corpus' operator."""
+    keepers = dedup_exact(docs).select(F.col("keep_doc_id").alias("doc_id"))
+    return docs.join(keepers, on="doc_id", how="left_semi")

@@ -1,0 +1,167 @@
+"""Oracle-checked dedup + similarity queries (the LLM-pipeline centerpiece).
+
+Oracle strategy: the DuckDB side computes ground truth BRUTE-FORCE (all-pairs
+exact Jaccard / cosine / Hamming) — the engine side must reproduce it through
+its scale path (inverted index, MinHash-LSH, SimHash bands, hyperplane LSH).
+Thresholds use exact integer comparisons; where LSH is probabilistic the
+parameters are chosen so the miss probability at the threshold is < 1e-9,
+and the match is verified against the fixed test corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hpmr_spark.catalog import register, _t
+from hpmr_spark.dedup.exact import dedup_exact
+from hpmr_spark.dedup.minhash import minhash_dedup_pairs
+from hpmr_spark.dedup.ngram import ngram_jaccard_pairs
+from hpmr_spark.dedup.shingles import SQL_SHINGLE_CTE
+from hpmr_spark.dedup.simhash import HAM_MAX, simhash_docs, simhash_near_pairs, sql_simhash_cte
+from hpmr_spark.similarity.brute_force import cosine_topk, threshold_pairs
+from hpmr_spark.similarity.lsh import ivf_topk, lsh_signature_pairs
+from hpmr_spark.functions.vectors import sql_cosine
+
+# ---------------------------------------------------------------- exact dedup
+
+@register(
+    "dedup_exact_groups",
+    """
+    SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+           CAST(MIN(doc_id) AS BIGINT) AS keep_doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_copies
+    FROM documents GROUP BY fp
+    """,
+)
+def dedup_exact_groups(spark, sf_dir):
+    """Exact dedup: hash-groupBy on normalized-text fingerprint."""
+    return dedup_exact(_t(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------- n-gram Jaccard (exact)
+
+_JACCARD_ORACLE = f"""
+    WITH {SQL_SHINGLE_CTE}
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS n_common,
+           CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS BIGINT) AS n_union
+    FROM shingled a, shingled b
+    WHERE a.doc_id < b.doc_id
+      AND 100 * len(list_intersect(a.sh, b.sh))
+          >= 90 * (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+"""
+
+
+@register("dedup_ngram_jaccard", _JACCARD_ORACLE)
+def dedup_ngram_jaccard(spark, sf_dir):
+    """Exact 3-gram Jaccard ≥ 90% pairs via inverted-index join (no LSH)."""
+    return ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), threshold_pct=90)
+
+
+@register("dedup_minhash_lsh", _JACCARD_ORACLE)
+def dedup_minhash_lsh(spark, sf_dir):
+    """MinHash(32 perms) + LSH(16 bands × 2 rows) + exact verify — must equal
+    the brute-force oracle (miss prob ≈ 3e-12 per true pair at j=0.9)."""
+    return minhash_dedup_pairs(
+        _t(spark, sf_dir, "documents"), threshold_pct=90, bands=16, rows=2
+    )
+
+
+# ------------------------------------------------------------------- simhash
+
+@register(
+    "dedup_simhash_docs",
+    f"""
+    WITH {SQL_SHINGLE_CTE},
+    {sql_simhash_cte().strip()}
+    SELECT doc_id, simhash FROM simhashed
+    """,
+)
+def dedup_simhash_docs(spark, sf_dir):
+    """Per-document 32-bit SimHash signature (unrolled majority vote)."""
+    return simhash_docs(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_simhash_pairs",
+    f"""
+    WITH {SQL_SHINGLE_CTE},
+    {sql_simhash_cte().strip().lstrip()}
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+    FROM simhashed a, simhashed b
+    WHERE a.doc_id < b.doc_id AND bit_count(xor(a.simhash, b.simhash)) <= {HAM_MAX}
+    """,
+)
+def dedup_simhash_pairs(spark, sf_dir):
+    """SimHash pairs with Hamming ≤ 3 via 4-byte banding (pigeonhole recall
+    guarantee) + exact verification — equals brute force by construction."""
+    return simhash_near_pairs(_t(spark, sf_dir, "documents"))
+
+
+# ------------------------------------------------- embedding cosine near-dup
+
+_COS = sql_cosine("a.embedding", "b.embedding", 64)
+
+@register(
+    "dedup_embedding_cosine",
+    f"""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b
+    FROM embeddings a, embeddings b
+    WHERE a.vec_id < b.vec_id AND {_COS} >= 0.45
+    """,
+)
+def dedup_embedding_cosine(spark, sf_dir):
+    """Embedding near-dup: hyperplane LSH (40 bands × 2 rows) + exact cosine
+    verify vs brute-force oracle. τ=0.45 fits this corpus (random vectors,
+    max pairwise cosine ≈ 0.51; margin to the threshold ≈ 1e-3 ≫ float noise)."""
+    return lsh_signature_pairs(
+        _t(spark, sf_dir, "embeddings"), threshold=0.45, rows=2, bands=40
+    )
+
+
+@register(
+    "similarity_bruteforce_pairs",
+    f"""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b
+    FROM embeddings a, embeddings b
+    WHERE a.vec_id < b.vec_id AND {_COS} >= 0.45
+    """,
+)
+def similarity_bruteforce_pairs(spark, sf_dir):
+    """Exact O(n²) threshold-pair baseline (the oracle's own algorithm,
+    expressed in Spark) — correctness anchor for the LSH variant."""
+    return threshold_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.45)
+
+
+# ------------------------------------------------------------ similarity topk
+
+@register(
+    "similarity_cosine_topk",
+    f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 10),
+         c AS (SELECT vec_id AS neighbor_id, embedding FROM embeddings)
+    SELECT query_id, neighbor_id, rank FROM (
+      SELECT q.query_id, c.neighbor_id,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY q.query_id
+               ORDER BY {sql_cosine('q.embedding', 'c.embedding', 64)} DESC, c.neighbor_id
+             ) AS BIGINT) AS rank
+      FROM q, c WHERE q.query_id != c.neighbor_id)
+    WHERE rank <= 10
+    """,
+)
+def similarity_cosine_topk(spark, sf_dir):
+    """Exact top-10 cosine neighbors for query vectors (vec_id < 10):
+    broadcast queries × one corpus scan × per-query partial top-k."""
+    e = _t(spark, sf_dir, "embeddings")
+    return cosine_topk(e, e.where(F.col("vec_id") < 10), k=10)
+
+
+@register("similarity_ivf_topk", None)  # approximate — rows-only check
+def similarity_ivf_topk(spark, sf_dir):
+    """IVF-style ANN top-k (coarse hyperplane cells, Hamming-1 probes).
+    Approximate by design → no SQL oracle; recall vs the exact twin is
+    asserted in tests/test_dedup.py."""
+    e = _t(spark, sf_dir, "embeddings")
+    return ivf_topk(e, e.where(F.col("vec_id") < 10), k=10)

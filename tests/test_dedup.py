@@ -1,0 +1,72 @@
+"""Dedup / similarity operator tests beyond the oracle gate (which already
+covers exact equality to brute force at sf0.01 via tools/selfcheck.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from hpmr_spark.dedup.minhash import lsh_candidate_pairs, minhash_signatures
+from hpmr_spark.dedup.ngram import ngram_jaccard_pairs
+from hpmr_spark.dedup.shingles import shingle_sets
+from hpmr_spark.similarity.brute_force import cosine_topk
+from hpmr_spark.similarity.lsh import ivf_topk
+from hpmr_spark.sources.tables import load_table
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents")
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return load_table(spark, sf_dir, "embeddings")
+
+
+def test_shingles_shape(docs):
+    sh = shingle_sets(docs)
+    row = sh.where(F.size("sh") > 0).first()
+    assert row is not None
+    assert all(len(s.split(" ")) == 3 for s in row["sh"][:5])
+
+
+def test_minhash_signature_bounds(docs):
+    sig = minhash_signatures(docs, n_perm=8)
+    mx = sig.select(F.greatest(*[F.max(f"sig_{j}") for j in range(8)])).first()[0]
+    assert 0 <= mx < 4294967291
+
+
+def test_lsh_candidates_superset_of_high_jaccard(docs):
+    """Every true ≥90% pair must be an LSH candidate (recall check)."""
+    truth = {
+        (r["doc_a"], r["doc_b"])
+        for r in ngram_jaccard_pairs(docs, threshold_pct=90).collect()
+    }
+    cands = {
+        (r["doc_a"], r["doc_b"])
+        for r in lsh_candidate_pairs(minhash_signatures(docs), bands=16, rows=2).collect()
+    }
+    assert truth <= cands
+
+
+def test_ivf_recall_vs_exact(emb):
+    """IVF ANN with Hamming-1 probing should keep decent recall@10 on random
+    vectors (weak-similarity regime — this bounds it, not perfection)."""
+    queries = emb.where(F.col("vec_id") < 10)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk(emb, queries, k=10).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_topk(emb, queries, k=10).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.3, f"IVF recall collapsed: {recall}"
+
+
+def test_exact_dedup_idempotent(docs, spark):
+    from hpmr_spark.dedup.exact import drop_exact_dups
+
+    once = drop_exact_dups(docs)
+    twice = drop_exact_dups(once)
+    assert once.count() == twice.count()
