@@ -12,6 +12,8 @@ _MODULES = [
     "hpmr_spark.operators.relational",
     "hpmr_spark.operators.text_queries",
     "hpmr_spark.operators.dedup_queries",
+    "hpmr_spark.operators.multimodal_queries",
+    "hpmr_spark.operators.streaming_queries",
 ]
 
 for _m in _MODULES:

@@ -1,0 +1,75 @@
+"""Multimodal columns: image/audio/video as opaque `binary` payloads with
+typed metadata, processed via Arrow-batched Pandas UDFs (mapInPandas).
+
+The container has no image/audio libraries, so the actual byte decoding is
+STUBBED (see decode_stub.py): `decode_image_meta` tries Pillow and falls back
+to a deterministic fake decoder. Everything Spark-side is real and tested:
+binary column construction, schema, mapInPandas batch shape, partitioning.
+
+Scale: payloads stay columnar (parquet binary); metadata extraction is one
+mapInPandas scan with Arrow transfer — no per-row Python, no shuffle. Frame
+sampling explodes into (payload_id, frame_idx, offset) WITHOUT copying bytes.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from hpmr_spark.multimodal.decode_stub import fake_decode_meta
+
+DECODED_SCHEMA = (
+    "doc_id long, byte_len long, format string, width long, height long, n_frames long"
+)
+
+
+def documents_as_binary(docs: DataFrame) -> DataFrame:
+    """Materialize a binary payload column (utf-8 bytes of text — the stand-in
+    for real image/audio bytes) plus source metadata."""
+    return docs.select(
+        "doc_id",
+        F.encode("text", "utf-8").alias("payload"),
+        F.struct(
+            F.col("source").alias("origin"),
+            F.col("lang").alias("tag"),
+            F.length(F.encode("text", "utf-8")).cast("long").alias("byte_len"),
+        ).alias("meta"),
+    )
+
+
+def decode_meta(binary_df: DataFrame) -> DataFrame:
+    """mapInPandas metadata extraction over the binary payload column.
+
+    Arrow ships (doc_id, payload) batches to Python; the decoder emits one
+    metadata row per payload. Swap fake_decode_meta for a real decoder
+    (Pillow/libav) when available — the Spark plumbing is identical."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            metas = [fake_decode_meta(p) for p in pdf["payload"]]
+            out = pd.DataFrame(metas)
+            out.insert(0, "doc_id", pdf["doc_id"].values)
+            yield out
+
+    return binary_df.select("doc_id", "payload").mapInPandas(decode, DECODED_SCHEMA)
+
+
+def sample_frames(binary_df: DataFrame, stride: int = 1024) -> DataFrame:
+    """Frame sampling: one row per (doc_id, frame_idx) with byte offsets —
+    pure Catalyst (sequence + explode), bytes never copied per frame."""
+    n_frames = (F.length("payload").cast("long") / F.lit(stride)).cast("long") + 1
+    return binary_df.select(
+        "doc_id",
+        F.length("payload").cast("long").alias("byte_len"),
+        F.explode(F.sequence(F.lit(0).cast("long"), n_frames - 1)).alias("frame_idx"),
+    ).select(
+        "doc_id",
+        "frame_idx",
+        (F.col("frame_idx") * stride).alias("frame_offset"),
+        F.least(F.lit(stride), F.col("byte_len") - F.col("frame_idx") * stride).alias(
+            "frame_len"
+        ),
+    )

@@ -1,0 +1,74 @@
+"""Oracle-checked multimodal queries.
+
+The fake decoder's metadata is pure integer arithmetic on payload bytes, so
+DuckDB can replicate it exactly — the oracle checks the REAL distributed
+plumbing (binary column, Arrow mapInPandas batches, explode) end to end,
+with only the innermost decode call stubbed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hpmr_spark.catalog import register, _t
+from hpmr_spark.multimodal.binary_columns import (
+    decode_meta,
+    documents_as_binary,
+    sample_frames,
+)
+
+
+@register(
+    "multimodal_binary_meta",
+    """
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+           md5(text) AS payload_md5,
+           source AS origin
+    FROM documents
+    """,
+)
+def multimodal_binary_meta(spark, sf_dir):
+    """Binary payload column + typed metadata, hashed for integrity."""
+    b = documents_as_binary(_t(spark, sf_dir, "documents"))
+    return b.select(
+        "doc_id",
+        F.col("meta.byte_len").alias("byte_len"),
+        F.md5("payload").alias("payload_md5"),
+        F.col("meta.origin").alias("origin"),
+    )
+
+
+@register(
+    "multimodal_decode_meta",
+    """
+    WITH b AS (SELECT doc_id, text, encode(text) AS payload FROM documents)
+    SELECT doc_id,
+           CAST(octet_length(payload) AS BIGINT) AS byte_len,
+           ['raw','png','jpeg','webp'][(CASE WHEN octet_length(payload) = 0 THEN 0
+                                        ELSE ascii(text) END % 4) + 1] AS format,
+           CAST(16 * (octet_length(payload) % 64 + 1) AS BIGINT) AS width,
+           CAST(9 * (octet_length(payload) % 64 + 1) AS BIGINT) AS height,
+           CAST(octet_length(payload) // 1024 + 1 AS BIGINT) AS n_frames
+    FROM b
+    """,
+)
+def multimodal_decode_meta(spark, sf_dir):
+    """Arrow-batched mapInPandas 'decode' (deterministic stub) — checks the
+    full Python-UDF plumbing: batch iteration, schema, row alignment."""
+    return decode_meta(documents_as_binary(_t(spark, sf_dir, "documents")))
+
+
+@register(
+    "multimodal_frame_sample",
+    """
+    WITH b AS (SELECT doc_id, octet_length(encode(text)) AS byte_len FROM documents)
+    SELECT doc_id, CAST(i AS BIGINT) AS frame_idx,
+           CAST(i * 1024 AS BIGINT) AS frame_offset,
+           CAST(least(1024, byte_len - i * 1024) AS BIGINT) AS frame_len
+    FROM b, unnest(range(byte_len // 1024 + 1)) AS t(i)
+    """,
+)
+def multimodal_frame_sample(spark, sf_dir):
+    """Frame sampling: explode payloads into offset windows (no byte copies)."""
+    return sample_frames(documents_as_binary(_t(spark, sf_dir, "documents")), stride=1024)

@@ -1,0 +1,60 @@
+"""Oracle-checked streaming queries.
+
+Each runs genuinely through Structured Streaming (micro-batch planner +
+state store, Trigger.AvailableNow) and lands in a memory sink; the returned
+DataFrame is then hash-compared against a batch-SQL oracle. Tumbling windows
+align to the epoch, matching DuckDB's time_bucket.
+"""
+
+from __future__ import annotations
+
+from hpmr_spark.catalog import register
+from hpmr_spark.streaming.windows import (
+    sliding_window_activity,
+    stateful_user_totals,
+    tumbling_window_counts,
+)
+
+
+@register(
+    "streaming_tumbling_counts",
+    """
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+    FROM events GROUP BY window_start, event_type
+    """,
+)
+def streaming_tumbling_counts(spark, sf_dir):
+    return tumbling_window_counts(spark, sf_dir)
+
+
+@register(
+    "streaming_sliding_activity",
+    """
+    WITH buckets AS (
+      SELECT time_bucket(INTERVAL '1 hour', ts) AS b, ts FROM events)
+    SELECT ws AS window_start, CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM (SELECT b AS ws, ts FROM buckets
+          UNION ALL SELECT b - INTERVAL '1 hour' AS ws, ts FROM buckets)
+    GROUP BY ws
+    """,
+)
+def streaming_sliding_activity(spark, sf_dir):
+    """2h windows sliding 1h: each event lands in 2 windows — the oracle
+    replicates via the window-start union trick."""
+    return sliding_window_activity(spark, sf_dir)
+
+
+@register(
+    "streaming_stateful_user_totals",
+    """
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+    FROM events GROUP BY user_id
+    """,
+)
+def streaming_stateful_user_totals(spark, sf_dir):
+    """applyInPandasWithState running totals — final state ≡ batch groupBy."""
+    return stateful_user_totals(spark, sf_dir)

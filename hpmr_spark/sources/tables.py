@@ -29,7 +29,23 @@ BROADCAST_TABLES = frozenset({"region", "nation"})
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        return load_events(spark, sf_dir)
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.ts is parquet TIMESTAMP(NANOS), which Spark's reader rejects.
+    Read nanos as long (legacy conf, runtime-settable) and truncate to a
+    micros timestamp with exact integer division — `ts div 1000`, never
+    float division: epoch-nanos ≈ 1.7e18 exceeds double's 2^53 mantissa, so
+    `/1000` would corrupt microseconds. DuckDB truncates nanos→micros the
+    same way."""
+    from pyspark.sql import functions as F
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
 
 
 def load_tables(spark: SparkSession, sf_dir: str, names=TABLES) -> dict[str, DataFrame]:

