@@ -1,0 +1,80 @@
+"""Benchmark harness — run the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Query list mirrors the reference's implicit benchmarks (BASELINE.md: 1M-key
+ingest/distinct, flatMap+reduceByKey sum, groupBy-agg, membership joins)
+plus one representative of each engine subsystem (join, window, dedup-LSH,
+similarity, text, streaming). Results materialize via the noop sink, so
+timing covers scan→compute→shuffle without driver collect overhead.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Stable headline set — keep names/membership fixed across rounds so BENCH_r{N}
+# files are comparable.
+BENCH_QUERIES = [
+    "range_mapreduce_sum",          # reference micro-bench: range → keyed sum
+    "mapreduce_revenue_by_order",   # flagship flatMap+reduceByKey analog
+    "reducer_sum_min_max",          # groupBy-agg reducer surface
+    "distmap_n_keys",               # distinct-key count
+    "set_membership_semi_join",     # has()/unset() membership idioms
+    "q1_pricing_summary",           # scan-heavy filtered agg
+    "join_multiway_region_revenue", # 5-way join
+    "window_running_order_count",   # window functions
+    "topk_global_orders",           # top-k
+    "text_token_stats",             # text pipeline (regex-heavy scan)
+    "dedup_minhash_lsh",            # MinHash+LSH near-dedup
+    "similarity_cosine_topk",       # vector similarity
+    "streaming_tumbling_counts",    # structured streaming epoch
+]
+
+
+def main() -> int:
+    from __spark_entry__ import queries
+
+    from hpmr_spark.engine import get_spark
+
+    spark = get_spark("hpmr-bench")
+    qs = queries()
+
+    # warmup: touch the biggest input once so JVM/codegen startup doesn't
+    # pollute the first measured query
+    spark.read.parquet(f"{SF_DIR}/lineitem.parquet").count()
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        t0 = time.time()
+        df = qs[name](spark, SF_DIR)
+        df.write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf),
+            }
+        )
+    )
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

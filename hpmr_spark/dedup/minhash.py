@@ -74,9 +74,21 @@ def minhash_dedup_pairs(
     bands: int = 16,
     rows: int = 2,
 ) -> DataFrame:
-    """LSH candidates verified by exact Jaccard (integer threshold compare)."""
-    sh = shingle_sets(docs)
-    cands = lsh_candidate_pairs(minhash_signatures(docs, n_perm), bands, rows)
+    """LSH candidates verified by exact Jaccard (integer threshold compare).
+
+    The shingle frame feeds three subtrees (signatures, verify-left,
+    verify-right); Catalyst has no cross-join common-subexpression reuse, so
+    it is persisted once — at cluster scale this is the standard
+    materialize-the-shingle-table step (MEMORY_AND_DISK spills gracefully)."""
+    from pyspark import StorageLevel
+
+    sh = shingle_sets(docs).persist(StorageLevel.MEMORY_AND_DISK)
+    hashed = sh.select("doc_id", F.explode("sh").alias("shingle")).select(
+        "doc_id", hash32(F.col("shingle")).alias("h32")
+    )
+    aggs = [F.min(minhash_perm(F.col("h32"), j)).alias(f"sig_{j}") for j in range(n_perm)]
+    signatures = hashed.groupBy("doc_id").agg(*aggs)
+    cands = lsh_candidate_pairs(signatures, bands, rows)
     sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
