@@ -14,6 +14,8 @@ _MODULES = [
     "hpmr_spark.operators.dedup_queries",
     "hpmr_spark.operators.multimodal_queries",
     "hpmr_spark.operators.streaming_queries",
+    "hpmr_spark.operators.skew_queries",
+    "hpmr_spark.operators.sink_queries",
 ]
 
 for _m in _MODULES:

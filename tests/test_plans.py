@@ -1,0 +1,64 @@
+"""Plan-quality regression tests: lock in the physical plans that survive a
+100× scale-up — pushdown, pruning, broadcast joins, map-side combine.
+These assert on .explain('formatted') output, not results."""
+
+import pytest
+
+import hpmr_spark.all_queries  # noqa: F401
+from hpmr_spark.catalog import QUERIES
+from hpmr_spark.plans.explain import (
+    formatted_plan,
+    has_broadcast_join,
+    n_shuffles,
+    scan_info,
+)
+
+
+def test_filter_and_projection_reach_scan(spark, sf_dir):
+    df = QUERIES["filter_projection_pushdown"](spark, sf_dir)
+    scans = scan_info(df)
+    assert scans, "no parquet scan found in plan"
+    s = scans[0]
+    assert "l_shipdate" in s["pushed_filters"] and "l_quantity" in s["pushed_filters"], (
+        f"filters not pushed: {s['pushed_filters']}"
+    )
+    # projection pruning: only the 3 referenced columns read, not all 11
+    assert set(s["read_columns"]) == {"l_orderkey", "l_quantity", "l_shipdate"}, (
+        f"scan reads too much: {s['read_columns']}"
+    )
+
+
+def test_revenue_agg_prunes_columns(spark, sf_dir):
+    df = QUERIES["mapreduce_revenue_by_order"](spark, sf_dir)
+    s = scan_info(df)[0]
+    assert set(s["read_columns"]) == {"l_orderkey", "l_extendedprice", "l_discount"}
+
+
+def test_dim_join_broadcasts(spark, sf_dir):
+    df = QUERIES["join_broadcast_part_revenue"](spark, sf_dir)
+    assert has_broadcast_join(df)
+    # fact side should not shuffle for the join itself; one exchange for the agg
+    assert n_shuffles(df) <= 2, formatted_plan(df)
+
+
+def test_multiway_join_broadcasts_dims(spark, sf_dir):
+    df = QUERIES["join_multiway_region_revenue"](spark, sf_dir)
+    assert has_broadcast_join(df)
+
+
+def test_keyed_agg_single_shuffle(spark, sf_dir):
+    """The mapreduce kernel must be exactly one shuffle (partial agg map-side,
+    final agg reduce-side) — the reference's async_set+sync epoch shape."""
+    df = QUERIES["mapreduce_revenue_by_order"](spark, sf_dir)
+    assert n_shuffles(df) == 1, formatted_plan(df)
+
+
+def test_partial_aggregation_present(spark, sf_dir):
+    plan = formatted_plan(QUERIES["mapreduce_revenue_by_order"](spark, sf_dir))
+    assert "HashAggregate" in plan
+    assert plan.count("HashAggregate") >= 2, "no partial+final agg split"
+
+
+def test_topk_no_global_sort(spark, sf_dir):
+    plan = formatted_plan(QUERIES["topk_global_orders"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan
