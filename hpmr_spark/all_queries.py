@@ -10,6 +10,8 @@ import importlib
 _MODULES = [
     "hpmr_spark.catalog",
     "hpmr_spark.operators.relational",
+    "hpmr_spark.operators.relational2",
+    "hpmr_spark.operators.kv_parity",
     "hpmr_spark.operators.text_queries",
     "hpmr_spark.operators.dedup_queries",
     "hpmr_spark.operators.multimodal_queries",
