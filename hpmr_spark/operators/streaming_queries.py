@@ -48,6 +48,27 @@ def streaming_sliding_activity(spark, sf_dir):
 
 
 @register(
+    "streaming_append_closed_windows",
+    """
+    WITH wm AS (SELECT MAX(ts) - INTERVAL '1 hour' AS watermark FROM events)
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events, wm
+    GROUP BY window_start, event_type, watermark
+    HAVING window_start + INTERVAL '1 hour' <= watermark
+    """,
+)
+def streaming_append_closed_windows(spark, sf_dir):
+    """Watermark/late-data semantics: append mode emits only windows closed by
+    the final watermark (max ts − 1h); the oracle reproduces that window set
+    in batch SQL."""
+    from hpmr_spark.streaming.late_data import append_mode_closed_windows
+
+    return append_mode_closed_windows(spark, sf_dir)
+
+
+@register(
     "streaming_stateful_user_totals",
     """
     SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
