@@ -24,6 +24,8 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # Stable headline set — keep names/membership fixed across rounds so BENCH_r{N}
 # files are comparable.
 BENCH_QUERIES = [
+    "kv_1m_distinct_ingest",        # reference 1M-key set ingest (hash_set_test.cc)
+    "kv_1m_mapreduce_sum",          # reference 1M-key mapreduce sum (dist_map_test.cc)
     "range_mapreduce_sum",          # reference micro-bench: range → keyed sum
     "mapreduce_revenue_by_order",   # flagship flatMap+reduceByKey analog
     "reducer_sum_min_max",          # groupBy-agg reducer surface

@@ -87,6 +87,40 @@ def kv_f2_sparse_keys(spark, sf_dir):
 
 
 @register(
+    "kv_1m_distinct_ingest",
+    """
+    SELECT CAST(COUNT(DISTINCT i * i) AS BIGINT) AS n_keys
+    FROM range(0, 1000000) t(i)
+    """,
+)
+def kv_1m_distinct_ingest(spark, sf_dir):
+    """Reference 1M-key set ingest+distinct micro-bench
+    (ref src/hash_set_test.cc:57-85): i² keys, distinct count = 1M."""
+    return (
+        spark.range(0, 1_000_000)
+        .select((F.col("id") * F.col("id")).alias("key"))
+        .agg(F.countDistinct("key").alias("n_keys"))
+    )
+
+
+@register(
+    "kv_1m_mapreduce_sum",
+    """
+    SELECT CAST(i % 1000 AS BIGINT) AS key, CAST(SUM(i) AS BIGINT) AS total
+    FROM range(0, 1000000) t(i) GROUP BY key
+    """,
+)
+def kv_1m_mapreduce_sum(spark, sf_dir):
+    """Reference 1M-key distributed mapreduce sum micro-bench
+    (ref src/dist_map_test.cc:71-88, golden N(N−1)/2 across keys)."""
+    return (
+        spark.range(0, 1_000_000)
+        .groupBy((F.col("id") % 1000).alias("key"))
+        .agg(F.sum("id").alias("total"))
+    )
+
+
+@register(
     "kv_f3_range_golden",
     """
     SELECT CAST(COUNT(DISTINCT i) AS BIGINT) AS n_distinct,
