@@ -1,0 +1,52 @@
+"""Partition-count invariance sweep (the reference's n_procs=1 vs 4 CI
+discipline, SURVEY.md §5): representative queries must produce identical
+canonical results under different shuffle parallelism — the driver runs them
+in its own session with its own settings."""
+
+import hashlib
+
+import pytest
+
+import hpmr_spark.all_queries  # noqa: F401
+from hpmr_spark.catalog import QUERIES
+
+REPRESENTATIVE = [
+    "mapreduce_revenue_by_order",
+    "reducer_keep_overwrite",
+    "q1_pricing_summary",
+    "join_multiway_region_revenue",
+    "window_top3_orders_per_customer",
+    "topk_global_orders",
+    "rollup_returnflag_linestatus",
+    "skew_salted_sum_by_status",
+    "skew_salted_join_revenue",
+    "dedup_minhash_lsh",
+    "dedup_simhash_pairs",
+    "similarity_cosine_topk",
+    "text_quality_score",
+    "kv_f1_reducer_surface",
+]
+
+
+def canon(df) -> str:
+    pdf = df.toPandas()
+    pdf = pdf[sorted(pdf.columns)].copy()
+    for c in pdf.columns:
+        if pdf[c].dtype.kind == "f":
+            pdf[c] = pdf[c].round(6)
+        pdf[c] = pdf[c].astype(str)
+    rows = sorted("|".join(t) for t in pdf.itertuples(index=False, name=None))
+    return hashlib.md5("\n".join(rows).encode()).hexdigest()
+
+
+@pytest.mark.parametrize("name", REPRESENTATIVE)
+def test_partition_invariance(spark, sf_dir, name):
+    orig = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "5")
+        h5 = canon(QUERIES[name](spark, sf_dir))
+        spark.conf.set("spark.sql.shuffle.partitions", "64")
+        h64 = canon(QUERIES[name](spark, sf_dir))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", orig)
+    assert h5 == h64, f"{name} result depends on shuffle partitioning"
