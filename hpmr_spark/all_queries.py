@@ -13,6 +13,8 @@ _MODULES = [
     "hpmr_spark.operators.relational2",
     "hpmr_spark.operators.kv_parity",
     "hpmr_spark.operators.relational3",
+    "hpmr_spark.operators.temporal_queries",
+    "hpmr_spark.operators.relational4",
     "hpmr_spark.operators.text_queries",
     "hpmr_spark.operators.dedup_queries",
     "hpmr_spark.operators.multimodal_queries",
