@@ -88,17 +88,14 @@ class KeyedMap:
         reducers run via RDD.reduceByKey (still map-side combined)."""
         if self._unique:
             return self
-        if reducer.agg_factory is not None:
-            aggs = [reducer.agg(VALUE, ORDER if self._has_order else None).alias(VALUE)]
-            if self._has_order:
-                aggs.append(F.max(ORDER).alias(ORDER))
-            out = self._df.groupBy(KEY).agg(*aggs)
-        else:
-            fn = reducer.fn
-            rdd = self._df.select(KEY, VALUE).rdd.map(tuple).reduceByKey(fn)
-            out = rdd.toDF([KEY, VALUE])
-            self_has_order = False  # order column dropped on the RDD path
-            return KeyedMap(out, _has_order=self_has_order, _unique=True)
+        if reducer.agg_factory is None:
+            # arbitrary Python merge → RDD path (order column dropped)
+            rdd = self._df.select(KEY, VALUE).rdd.map(tuple).reduceByKey(reducer.fn)
+            return KeyedMap(rdd.toDF([KEY, VALUE]), _has_order=False, _unique=True)
+        aggs = [reducer.agg(VALUE, ORDER if self._has_order else None).alias(VALUE)]
+        if self._has_order:
+            aggs.append(F.max(ORDER).alias(ORDER))
+        out = self._df.groupBy(KEY).agg(*aggs)
         return KeyedMap(out, _has_order=self._has_order, _unique=True)
 
     def set_batch(

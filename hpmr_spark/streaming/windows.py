@@ -57,16 +57,28 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _run_to_table(stream_df: DataFrame, label: str, output_mode: str) -> DataFrame:
+    """Run an AvailableNow stream into a memory sink and return its table.
+
+    Stateful operators keep one state store per shuffle partition; at the
+    test corpus sizes a high partition count just multiplies state-store
+    commit overhead, so the stream runs at 16 shuffle partitions (results
+    are partition-count invariant — tests/test_invariance.py). A production
+    deployment sizes this to keyspace/executor count instead."""
     spark = stream_df.sparkSession
     name = f"mem_{label}_{next(_ctr)}"
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    orig = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "16")
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", orig)
     return spark.table(name)
 
 
