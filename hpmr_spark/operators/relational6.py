@@ -1,0 +1,71 @@
+"""Batch 6: exact-integer correlation and boolean aggregates.
+
+Correlation from raw integer moments — corr(x,y) =
+(n·Σxy − Σx·Σy) / sqrt((n·Σx² − (Σx)²)(n·Σy² − (Σy)²)) — every Σ is an exact
+BIGINT, so the final double is one identical IEEE expression in both engines
+(never corr() over doubles, whose partial-merge order varies)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hpmr_spark.catalog import register, _t
+
+
+@register(
+    "corr_qty_discount_exact",
+    """
+    WITH m AS (
+      SELECT l_returnflag,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sx,
+             CAST(SUM(CAST(ROUND(l_discount * 100) AS BIGINT)) AS BIGINT) AS sy,
+             CAST(SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS BIGINT) AS sxx,
+             CAST(SUM(CAST(ROUND(l_discount * 100) AS BIGINT)
+                      * CAST(ROUND(l_discount * 100) AS BIGINT)) AS BIGINT) AS syy,
+             CAST(SUM(CAST(l_quantity AS BIGINT)
+                      * CAST(ROUND(l_discount * 100) AS BIGINT)) AS BIGINT) AS sxy
+      FROM lineitem GROUP BY l_returnflag)
+    SELECT l_returnflag, n,
+           ROUND((n * sxy - sx * sy) /
+                 sqrt((n * sxx - sx * sx) * 1.0 * (n * syy - sy * sy)), 6) AS corr_qd
+    FROM m
+    """,
+)
+def corr_qty_discount_exact(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("long")
+    y = F.round(F.col("l_discount") * 100).cast("long")
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+        F.sum(x * y).alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    corr = (n * F.col("sxy") - sx * sy) / F.sqrt(
+        (n * F.col("sxx") - sx * sx) * 1.0 * (n * F.col("syy") - sy * sy)
+    )
+    return m.select("l_returnflag", "n", F.round(corr, 6).alias("corr_qd"))
+
+
+@register(
+    "bool_aggregates",
+    """
+    SELECT o_orderpriority,
+           bool_and(o_totalprice > 1000) AS all_over_1k,
+           bool_or(o_totalprice > 500000) AS any_over_500k,
+           CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS n_finished
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def bool_aggregates(spark, sf_dir):
+    """every/any (bool_and/bool_or) + FILTER-style conditional count."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.every(F.col("o_totalprice") > 1000).alias("all_over_1k"),
+        F.some(F.col("o_totalprice") > 500000).alias("any_over_500k"),
+        F.count(F.when(F.col("o_orderstatus") == "F", 1)).alias("n_finished"),
+    )
