@@ -59,6 +59,15 @@ def test_partial_aggregation_present(spark, sf_dir):
     assert plan.count("HashAggregate") >= 2, "no partial+final agg split"
 
 
+def test_bucketed_join_no_exchange_under_join(spark, sf_dir):
+    """Co-located bucketed join: SortMergeJoin reads pre-bucketed tables —
+    zero Exchange under the join; the only shuffle is the final aggregation."""
+    df = QUERIES["bucketed_join_revenue"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "SortMergeJoin" in plan
+    assert n_shuffles(df) == 1, plan  # agg only — join side exchange-free
+
+
 def test_topk_no_global_sort(spark, sf_dir):
     plan = formatted_plan(QUERIES["topk_global_orders"](spark, sf_dir))
     assert "TakeOrderedAndProject" in plan, plan
