@@ -48,6 +48,26 @@ def streaming_sliding_activity(spark, sf_dir):
 
 
 @register(
+    "streaming_stream_stream_join",
+    """
+    SELECT p.user_id, p.event_id AS purchase_id, v.event_id AS view_id,
+           p.ts AS p_ts, v.ts AS v_ts
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      ON p.user_id = v.user_id
+     AND v.ts <= p.ts AND v.ts >= p.ts - INTERVAL '1 hour'
+    """,
+)
+def streaming_stream_stream_join(spark, sf_dir):
+    """Stream-stream inner join (purchase ⋈ views within preceding hour),
+    watermark-bounded state on both sides; over a static corpus ≡ the batch
+    time-range join."""
+    from hpmr_spark.streaming.joins import purchases_with_recent_views
+
+    return purchases_with_recent_views(spark, sf_dir)
+
+
+@register(
     "streaming_append_closed_windows",
     """
     WITH wm AS (SELECT MAX(ts) - INTERVAL '1 hour' AS watermark FROM events)
