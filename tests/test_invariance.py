@@ -25,6 +25,11 @@ REPRESENTATIVE = [
     "similarity_cosine_topk",
     "text_quality_score",
     "kv_f1_reducer_surface",
+    "sample_deterministic_10pct",
+    "train_test_split_counts",
+    "bucketed_join_revenue",
+    "asof_join_purchase_view",
+    "sessionize_clicks",
 ]
 
 
