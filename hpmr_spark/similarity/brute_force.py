@@ -29,16 +29,26 @@ def cosine_topk(
     tie-break on neighbor id. Cosine values are intentionally NOT in the
     output schema (cross-engine float repr noise); ranks are stable because
     adjacent similarities differ ≫ float error."""
+    from hpmr_spark.functions.vectors import dot, norm
+
     q = F.broadcast(
         queries.select(
-            F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("q_vec"),
+            norm(F.col(vec_col)).alias("q_nrm"),
         )
     )
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        norm(F.col(vec_col)).alias("c_nrm"),
+    )
     scored = q.crossJoin(c).where(F.col("query_id") != F.col("neighbor_id")).select(
         "query_id",
         "neighbor_id",
-        cosine(F.col("q_vec"), F.col("c_vec")).alias("sim"),
+        (dot(F.col("q_vec"), F.col("c_vec")) / (F.col("q_nrm") * F.col("c_nrm"))).alias(
+            "sim"
+        ),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (
@@ -56,11 +66,14 @@ def threshold_pairs(
 ) -> DataFrame:
     """Exact all-pairs cosine ≥ threshold (id_a < id_b). O(n²) — baseline /
     verification oracle; use LSH-bucketed variant at scale."""
-    a = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    b = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    from hpmr_spark.functions.vectors import dot, norm
+
+    c = corpus.withColumn("_nrm", norm(F.col(vec_col)))
+    a = c.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), F.col("_nrm").alias("na"))
+    b = c.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), F.col("_nrm").alias("nb"))
     return (
         a.crossJoin(b)
         .where(F.col("id_a") < F.col("id_b"))
-        .where(cosine(F.col("va"), F.col("vb")) >= threshold)
+        .where(dot(F.col("va"), F.col("vb")) >= F.lit(threshold) * F.col("na") * F.col("nb"))
         .select("id_a", "id_b")
     )

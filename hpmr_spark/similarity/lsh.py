@@ -78,12 +78,17 @@ def lsh_signature_pairs(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
-    va = v.select(F.col("id").alias("id_a"), F.col("vec").alias("va"))
-    vb = v.select(F.col("id").alias("id_b"), F.col("vec").alias("vb"))
+    # verify: norms precomputed once per vector (not re-folded per pair);
+    # dot ≥ τ·‖a‖·‖b‖ avoids the per-pair division
+    from hpmr_spark.functions.vectors import norm
+
+    vn = v.withColumn("nrm", norm(F.col("vec")))
+    va = vn.select(F.col("id").alias("id_a"), F.col("vec").alias("va"), F.col("nrm").alias("na"))
+    vb = vn.select(F.col("id").alias("id_b"), F.col("vec").alias("vb"), F.col("nrm").alias("nb"))
     return (
         cands.join(va, "id_a")
         .join(vb, "id_b")
-        .where(cosine(F.col("va"), F.col("vb")) >= threshold)
+        .where(dot(F.col("va"), F.col("vb")) >= F.lit(threshold) * F.col("na") * F.col("nb"))
         .select("id_a", "id_b")
     )
 
