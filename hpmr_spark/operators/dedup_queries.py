@@ -99,6 +99,44 @@ def dedup_simhash_pairs(spark, sf_dir):
     return simhash_near_pairs(_t(spark, sf_dir, "documents"))
 
 
+# ------------------------------------------------------ connected components
+
+@register(
+    "dedup_cluster_components",
+    f"""
+    WITH RECURSIVE {SQL_SHINGLE_CTE},
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM shingled a, shingled b
+      WHERE a.doc_id < b.doc_id
+        AND 100 * len(list_intersect(a.sh, b.sh))
+            >= 90 * (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))),
+    edges AS (
+      SELECT doc_a AS s, doc_b AS d FROM pairs
+      UNION SELECT doc_b AS s, doc_a AS d FROM pairs),
+    reach AS (
+      SELECT s, d FROM edges
+      UNION
+      SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s),
+    comp AS (
+      SELECT s AS node, least(s, MIN(d)) AS component
+      FROM reach GROUP BY s)
+    SELECT component AS representative,
+           CAST(COUNT(*) AS BIGINT) AS cluster_size,
+           array_to_string(list_sort(list(CAST(node AS VARCHAR))), ',') AS members
+    FROM comp GROUP BY component
+    """,
+)
+def dedup_cluster_components(spark, sf_dir):
+    """True transitive dup clusters via iterative min-label propagation
+    (driver-looped joins with convergence check) — the engine's iterative
+    operator; oracle = DuckDB recursive-CTE transitive closure."""
+    from hpmr_spark.dedup.components import dedup_clusters
+
+    pairs = ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), threshold_pct=90)
+    return dedup_clusters(pairs)
+
+
 # ------------------------------------------------- embedding cosine near-dup
 
 _COS = sql_cosine("a.embedding", "b.embedding", 64)
