@@ -64,6 +64,37 @@ def test_ivf_recall_vs_exact(emb):
     assert recall >= 0.3, f"IVF recall collapsed: {recall}"
 
 
+def test_numpy_topk_matches_exact(emb):
+    """The Arrow→numpy GEMM path must produce the same neighbor sets as the
+    exact JVM fold path (gaps between neighbors ≫ float noise here)."""
+    from hpmr_spark.similarity.vectorized import cosine_topk_numpy
+    from pyspark.sql import functions as F
+
+    queries = emb.where(F.col("vec_id") < 10)
+    exact = {
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in cosine_topk(emb, queries, k=10).collect()
+    }
+    vec = {
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in cosine_topk_numpy(emb, queries, k=10).collect()
+    }
+    assert exact == vec
+
+
+def test_incremental_dedup_rejects_cross_epoch_dups(docs, spark):
+    from hpmr_spark.dedup.incremental import incremental_dedup
+    from pyspark.sql import functions as F
+
+    b1 = docs.select("doc_id", "text").limit(100)
+    acc1, state = incremental_dedup(None, b1)
+    # resubmit the same texts under new ids — all must be rejected
+    clones = b1.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    acc2, _ = incremental_dedup(state, clones)
+    assert acc1.count() == 100
+    assert acc2.count() == 0
+
+
 def test_exact_dedup_idempotent(docs, spark):
     from hpmr_spark.dedup.exact import drop_exact_dups
 
