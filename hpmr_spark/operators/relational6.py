@@ -52,6 +52,57 @@ def corr_qty_discount_exact(spark, sf_dir):
 
 
 @register(
+    "exists_subquery_priority",
+    """
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders
+    WHERE EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_quantity > 49)
+    GROUP BY o_orderpriority
+    """,
+)
+def exists_subquery_priority(spark, sf_dir):
+    """Correlated EXISTS (TPC-H Q4 shape) → left-semi join under the hood."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_quantity") > 49).select(
+        F.col("l_orderkey").alias("o_orderkey")
+    )
+    return (
+        o.join(li, "o_orderkey", "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+@register(
+    "q18_large_volume_orders",
+    """
+    SELECT o_orderkey, CAST(ROUND(o_totalprice * 100) AS BIGINT) AS totalprice_cents,
+           CAST(total_qty AS BIGINT) AS total_qty
+    FROM orders JOIN (
+      SELECT l_orderkey, SUM(l_quantity) AS total_qty
+      FROM lineitem GROUP BY l_orderkey HAVING SUM(l_quantity) > 150
+    ) big ON o_orderkey = big.l_orderkey
+    """,
+)
+def q18_large_volume_orders(spark, sf_dir):
+    """TPC-H Q18 shape: HAVING-filtered agg subquery joined back to orders."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .where(F.col("total_qty") > 150)
+        .select(F.col("l_orderkey").alias("o_orderkey"), "total_qty")
+    )
+    return o.join(big, "o_orderkey").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("totalprice_cents"),
+        F.col("total_qty").cast("long").alias("total_qty"),
+    )
+
+
+@register(
     "bool_aggregates",
     """
     SELECT o_orderpriority,
