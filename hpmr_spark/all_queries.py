@@ -1,11 +1,14 @@
 """Import every module that registers queries into hpmr_spark.catalog.
 
-Importing this module fully populates QUERIES/ORACLES. Modules are optional
-while under construction — each import is individually guarded so a broken
-extension never takes down the whole registry.
+Importing this module fully populates QUERIES/ORACLES. Each import is
+individually guarded so one broken extension module can never take down the
+whole registry (the driver's correctness gate would otherwise lose every
+query to a single ImportError).
 """
 
 import importlib
+import sys
+import traceback
 
 _MODULES = [
     "hpmr_spark.catalog",
@@ -28,5 +31,11 @@ _MODULES = [
     "hpmr_spark.operators.sink_queries",
 ]
 
+FAILED_MODULES: dict[str, str] = {}
+
 for _m in _MODULES:
-    importlib.import_module(_m)
+    try:
+        importlib.import_module(_m)
+    except Exception:  # pragma: no cover - defensive only
+        FAILED_MODULES[_m] = traceback.format_exc()
+        print(f"hpmr_spark: WARNING — query module {_m} failed to import", file=sys.stderr)
