@@ -225,6 +225,33 @@ class KeyedMap:
     def df(self) -> DataFrame:
         return self._df
 
+    def to_dict(self, max_rows: int = 1_000_000) -> dict:
+        """Collect the whole map to a driver dict — the reference's
+        owner-broadcast get() generalized to all keys (src/dist_map.h:132-145).
+        Guarded by max_rows: this is for genuinely small maps."""
+        n = self._df.count()
+        if n > max_rows:
+            raise ValueError(f"KeyedMap has {n} keys; refusing driver collect > {max_rows}")
+        return {r[0]: r[1] for r in self._df.select(KEY, VALUE).collect()}
+
+    def as_map_column(self, max_rows: int = 10_000):
+        """The hot-lookup pattern: the map as a literal Catalyst map column
+        (create_map), so joins against it become JVM-side getItem lookups
+        with no shuffle — the broadcast-dict idiom from SURVEY §2 row 6."""
+        items = self.to_dict(max_rows)
+        flat = []
+        for k, v in items.items():
+            flat.extend([F.lit(k), F.lit(v)])
+        return F.create_map(*flat)
+
+    def lookup_join(self, df: DataFrame, key_col: str, out_col: str = "value",
+                    max_rows: int = 10_000) -> DataFrame:
+        """Attach this map's values to df rows by key via a literal map
+        lookup (no shuffle, no broadcast join machinery) — for small hot
+        dimension maps; use a broadcast join beyond max_rows."""
+        m = self.as_map_column(max_rows)
+        return df.withColumn(out_col, m.getItem(F.col(key_col)))
+
     def persist(self) -> "KeyedMap":
         self._df = self._df.persist()
         return self

@@ -124,6 +124,15 @@ def test_keyed_set_dedup_on_ingest(spark):
     assert s.n_keys() == 100
 
 
+def test_lookup_join_literal_map(spark):
+    # hot-lookup idiom: small map becomes a literal Catalyst map column
+    km = KeyedMap.from_pairs(spark, [(1, "a"), (2, "b")])
+    df = spark.createDataFrame([(1,), (2,), (3,)], ["k"])
+    out = {r["k"]: r["value"] for r in km.lookup_join(df, "k").collect()}
+    assert out == {1: "a", 2: "b", 3: None}
+    assert km.to_dict() == {1: "a", 2: "b"}
+
+
 def test_keyed_set_bulk_membership(spark):
     df = spark.createDataFrame([(i, f"r{i}") for i in range(10)], ["k", "payload"])
     s = KeyedSet.from_keys(spark, [2, 4, 6])
