@@ -48,6 +48,28 @@ def streaming_sliding_activity(spark, sf_dir):
 
 
 @register(
+    "streaming_dedup_events",
+    """
+    SELECT event_type, CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_unique
+    FROM events GROUP BY event_type
+    """,
+)
+def streaming_dedup_events(spark, sf_dir):
+    """Streaming exact dedup: dropDuplicates on the event-id key with a
+    watermark bounding the dedup state window — the streaming twin of
+    dedup_exact_groups. Counts per type after in-stream dedup ≡ batch
+    COUNT(DISTINCT)."""
+    from pyspark.sql import functions as F
+
+    from hpmr_spark.streaming.windows import _events_stream, _run_to_table
+
+    ev = _events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    deduped = ev.dropDuplicatesWithinWatermark(["event_id"])
+    agg = deduped.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_unique"))
+    return _run_to_table(agg, "sdedup", "complete")
+
+
+@register(
     "streaming_stream_stream_join",
     """
     SELECT p.user_id, p.event_id AS purchase_id, v.event_id AS view_id,
