@@ -52,6 +52,33 @@ def corr_qty_discount_exact(spark, sf_dir):
 
 
 @register(
+    "argmax_customer_per_nation",
+    """
+    SELECT n_name, c_custkey AS top_custkey, c_acctbal AS top_acctbal FROM (
+      SELECT n_name, c_custkey, c_acctbal,
+             ROW_NUMBER() OVER (PARTITION BY n_name
+                                ORDER BY c_acctbal DESC, c_custkey ASC) AS rn
+      FROM nation JOIN customer ON c_nationkey = n_nationkey)
+    WHERE rn = 1
+    """,
+)
+def argmax_customer_per_nation(spark, sf_dir):
+    """argmax-per-group (TPC-H Q2 shape): richest customer per nation,
+    deterministic tie-break on lowest custkey via struct ordering."""
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    order = F.struct(F.col("c_acctbal"), (-F.col("c_custkey")).alias("neg_key"))
+    return (
+        n.join(c, n.n_nationkey == c.c_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.max_by("c_custkey", order).alias("top_custkey"),
+            F.max("c_acctbal").alias("top_acctbal"),
+        )
+    )
+
+
+@register(
     "exists_subquery_priority",
     """
     SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders
