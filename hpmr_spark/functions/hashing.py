@@ -47,9 +47,11 @@ def minhash_perm(h32: Column, j: int) -> Column:
 
 # ---------------------------------------------------------------- DuckDB twins
 SQL_HEX15_TO_BIGINT = (
-    "CAST(list_sum(list_transform(range(15), i -> "
-    "CAST(strpos('0123456789abcdef', substr({h}, i+1, 1)) - 1 AS BIGINT) "
-    "* (CAST(1 AS BIGINT) << (4*(14-i))))) AS BIGINT)"
+    # lambda var deliberately obscure: this expression gets embedded in
+    # queries whose outer scope may bind common names like `i`
+    "CAST(list_sum(list_transform(range(15), _hx -> "
+    "CAST(strpos('0123456789abcdef', substr({h}, _hx+1, 1)) - 1 AS BIGINT) "
+    "* (CAST(1 AS BIGINT) << (4*(14-_hx))))) AS BIGINT)"
 )
 
 

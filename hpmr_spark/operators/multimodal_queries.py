@@ -59,6 +59,29 @@ def multimodal_decode_meta(spark, sf_dir):
     return decode_meta(documents_as_binary(_t(spark, sf_dir, "documents")))
 
 
+from hpmr_spark.functions.hashing import SQL_HEX15_TO_BIGINT  # noqa: E402
+
+_CHUNK_FP = "md5(substr(text, i * 256 + 1, 256))"
+_ENERGY = SQL_HEX15_TO_BIGINT.format(h=f"substr({_CHUNK_FP}, 1, 15)")
+
+
+@register(
+    "multimodal_audio_features",
+    f"""
+    SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+           {_CHUNK_FP} AS chunk_fp,
+           CAST({_ENERGY} % 1000000 AS BIGINT) AS energy_ppm
+    FROM documents, unnest(range(length(text) // 256 + 1)) AS t(i)
+    """,
+)
+def multimodal_audio_features(spark, sf_dir):
+    """Audio-shaped pipeline: fixed windows + per-window Python feature
+    extraction (mapInPandas), fully oracle-verified via md5-derived fakes."""
+    from hpmr_spark.multimodal.audio_stub import audio_features
+
+    return audio_features(_t(spark, sf_dir, "documents"))
+
+
 @register(
     "multimodal_frame_sample",
     """
