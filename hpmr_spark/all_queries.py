@@ -23,6 +23,7 @@ _MODULES = [
     "hpmr_spark.operators.bucketing_queries",
     "hpmr_spark.operators.sampling",
     "hpmr_spark.operators.pipeline_queries",
+    "hpmr_spark.operators.ml_features",
     "hpmr_spark.operators.text_queries",
     "hpmr_spark.operators.dedup_queries",
     "hpmr_spark.operators.multimodal_queries",

@@ -1,0 +1,103 @@
+"""ML feature operators: feature hashing (the hashing trick), modality
+joins, quantile bucketing."""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from hpmr_spark.catalog import register, _t
+from hpmr_spark.functions.hashing import hash60, sql_hash60
+from hpmr_spark.functions.text import tokens
+from hpmr_spark.functions.vectors import sql_dot
+
+DIMS = 64
+
+
+@register(
+    "text_feature_hashing",
+    f"""
+    SELECT doc_id,
+           CAST(({sql_hash60('tok')}) % {DIMS} AS BIGINT) AS dim,
+           CAST(COUNT(*) AS BIGINT) AS weight
+    FROM (SELECT doc_id, unnest(regexp_extract_all(lower(text),
+                 '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS tok
+          FROM documents)
+    GROUP BY doc_id, dim
+    """,
+)
+def text_feature_hashing(spark, sf_dir):
+    """Feature hashing: tokens → 64-dim sparse count vector in long format
+    (doc_id, dim, weight) — the standard trick for turning unbounded vocab
+    into fixed-width features with zero vocabulary state. One explode + one
+    keyed agg; at 100 TB this is a single shuffle on (doc_id, dim)."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+    return (
+        toks.select("doc_id", (hash60(F.col("tok")) % DIMS).alias("dim"))
+        .groupBy("doc_id", "dim")
+        .agg(F.count(F.lit(1)).alias("weight"))
+    )
+
+
+@register(
+    "multimodal_text_vector_join",
+    f"""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(MIN(sqrt({sql_dot('embedding', 'embedding', 64)})), 6) AS min_norm,
+           ROUND(MAX(sqrt({sql_dot('embedding', 'embedding', 64)})), 6) AS max_norm
+    FROM documents JOIN embeddings ON doc_id = vec_id
+    GROUP BY lang
+    """,
+)
+def multimodal_text_vector_join(spark, sf_dir):
+    """Cross-modality join (text metadata ⋈ embedding vectors on shared id):
+    per-language embedding-norm envelope. min/max are order-free, so doubles
+    are safe; norms are identical IEEE expressions in both engines."""
+    from hpmr_spark.functions.vectors import norm
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    e = _t(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id"), "embedding"
+    )
+    return (
+        d.join(e, "doc_id")
+        .select("lang", norm(F.col("embedding")).alias("nrm"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.min("nrm"), 6).alias("min_norm"),
+            F.round(F.max("nrm"), 6).alias("max_norm"),
+        )
+    )
+
+
+@register(
+    "ntile_price_deciles",
+    """
+    SELECT decile,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+    FROM (SELECT o_totalprice,
+                 NTILE(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile
+          FROM orders)
+    GROUP BY decile
+    """,
+)
+def ntile_price_deciles(spark, sf_dir):
+    """Decile bucketing via ntile (deterministic full ordering). Note: a
+    global ORDER BY — fine for bucket statistics, but at 100 TB prefer
+    approx quantile cutpoints + bucket-by-range instead."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return (
+        o.select(
+            "o_totalprice", F.ntile(10).over(w).alias("decile")
+        )
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("total_cents"),
+        )
+    )
