@@ -73,6 +73,64 @@ def multimodal_text_vector_join(spark, sf_dir):
     )
 
 
+_TOKRE_SQL = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+
+@register(
+    "text_tfidf_scaled",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '{_TOKRE_SQL}')) AS tok
+      FROM documents),
+    tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY doc_id, tok),
+    df AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY tok),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents)
+    SELECT tf.doc_id, tf.tok,
+           CAST(tf.tf AS BIGINT) AS tf,
+           CAST(tf.tf * ((n.n_docs * 1000) // df.df) AS BIGINT) AS tfidf_scaled
+    FROM tf JOIN df ON tf.tok = df.tok, n
+    """,
+)
+def text_tfidf_scaled(spark, sf_dir):
+    """TF-IDF with integer-scaled IDF: idf_scaled = (N·1000) div df —
+    deterministic integer arithmetic instead of log(), whose last-ulp libm
+    differences would make cross-engine hashes flaky. Monotone in 1/df, so
+    ranking behavior is preserved; swap in log-idf when consuming the
+    weights numerically."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = toks.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = d.count()
+    idf = dfreq.select(
+        "tok", F.floor(F.lit(n_docs * 1000) / F.col("df")).alias("idf_scaled")
+    )
+    return tf.join(idf, "tok").select(
+        "doc_id",
+        "tok",
+        F.col("tf").cast("long").alias("tf"),
+        (F.col("tf") * F.col("idf_scaled")).cast("long").alias("tfidf_scaled"),
+    )
+
+
+@register(
+    "posexplode_tokens",
+    f"""
+    SELECT doc_id, CAST(i AS BIGINT) AS pos, toks[i+1] AS tok
+    FROM (SELECT doc_id, regexp_extract_all(lower(text), '{_TOKRE_SQL}') AS toks
+          FROM documents WHERE doc_id < 20),
+         unnest(range(len(toks))) t(i)
+    """,
+)
+def posexplode_tokens(spark, sf_dir):
+    """Lateral view with ordinality (posexplode): position-indexed token
+    stream — the UDTF shape (1 row → n rows with position)."""
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 20)
+    return d.select(
+        "doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "tok")
+    ).select("doc_id", F.col("pos").cast("long").alias("pos"), "tok")
+
+
 @register(
     "ntile_price_deciles",
     """
