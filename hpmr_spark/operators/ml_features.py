@@ -113,6 +113,36 @@ def text_tfidf_scaled(spark, sf_dir):
     )
 
 
+import pandas as pd  # noqa: E402
+from pyspark.sql.functions import pandas_udf  # noqa: E402
+
+
+@pandas_udf("long")
+def _ws_token_count_pandas(text: pd.Series) -> pd.Series:
+    """Scalar Pandas UDF (Arrow-batched, vectorized pandas str ops) — the
+    10-100× faster alternative to a row-at-a-time Python UDF. Matches
+    functions.text.whitespace_token_count exactly."""
+    stripped = text.str.strip()
+    counts = stripped.str.split(r"\s+").str.len()
+    return counts.where(stripped != "", 0).astype("int64")
+
+
+@register(
+    "pandas_udf_token_count",
+    """
+    SELECT doc_id,
+           CAST(CASE WHEN trim(text) = '' THEN 0
+                ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT) AS n_ws_tokens
+    FROM documents
+    """,
+)
+def pandas_udf_token_count(spark, sf_dir):
+    """The scalar @pandas_udf path, oracle-verified against the same
+    whitespace tokenization the JVM expression computes."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", _ws_token_count_pandas(F.col("text")).alias("n_ws_tokens"))
+
+
 @register(
     "posexplode_tokens",
     f"""
