@@ -3,6 +3,7 @@ joins, quantile bucketing."""
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
@@ -113,18 +114,23 @@ def text_tfidf_scaled(spark, sf_dir):
     )
 
 
-import pandas as pd  # noqa: E402
-from pyspark.sql.functions import pandas_udf  # noqa: E402
-
-
-@pandas_udf("long")
-def _ws_token_count_pandas(text: pd.Series) -> pd.Series:
+def _ws_token_count_pandas():
     """Scalar Pandas UDF (Arrow-batched, vectorized pandas str ops) — the
     10-100× faster alternative to a row-at-a-time Python UDF. Matches
-    functions.text.whitespace_token_count exactly."""
-    stripped = text.str.strip()
-    counts = stripped.str.split(r"\s+").str.len()
-    return counts.where(stripped != "", 0).astype("int64")
+    functions.text.whitespace_token_count exactly.
+
+    Constructed lazily: the @pandas_udf decorator parses its return type
+    against an active SparkContext, so decorating at module import would
+    break session-less imports of the query registry."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def ws_count(text: pd.Series) -> pd.Series:
+        stripped = text.str.strip()
+        counts = stripped.str.split(r"\s+").str.len()
+        return counts.where(stripped != "", 0).astype("int64")
+
+    return ws_count
 
 
 @register(
@@ -140,7 +146,8 @@ def pandas_udf_token_count(spark, sf_dir):
     """The scalar @pandas_udf path, oracle-verified against the same
     whitespace tokenization the JVM expression computes."""
     d = _t(spark, sf_dir, "documents")
-    return d.select("doc_id", _ws_token_count_pandas(F.col("text")).alias("n_ws_tokens"))
+    udf = _ws_token_count_pandas()
+    return d.select("doc_id", udf(F.col("text")).alias("n_ws_tokens"))
 
 
 @register(
