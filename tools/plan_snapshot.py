@@ -1,0 +1,74 @@
+"""Snapshot physical-plan shape metrics (shuffle count, broadcast presence,
+codegen spans) for every analyzable query into plans_golden.json.
+
+Run after intentional plan changes: python tools/plan_snapshot.py
+tests/test_plan_regression.py compares current plans against the snapshot —
+a shuffle-count increase is a scale regression caught at test time.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+GOLDEN = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans_golden.json")
+
+SKIP = {
+    # execute work at build time (streaming runs, collects, table writes)
+    "streaming_tumbling_counts",
+    "streaming_sliding_activity",
+    "streaming_stateful_user_totals",
+    "streaming_append_closed_windows",
+    "streaming_stream_stream_join",
+    "streaming_dedup_events",
+    "setops_union_intersect_except",
+    "similarity_topk_numpy",
+    "bucketed_join_revenue",
+    "sink_parquet_roundtrip",
+    "sink_csv_roundtrip",
+    "sink_json_roundtrip",
+    "dedup_cluster_components",  # iterative: checkpoints at build
+    "dedup_incremental_epochs",
+    "text_tfidf_scaled",  # driver-side count during build
+}
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def snapshot() -> dict:
+    from __spark_entry__ import queries
+
+    from hpmr_spark.engine import get_spark
+    from hpmr_spark.plans.explain import (
+        formatted_plan,
+        has_broadcast_join,
+        n_shuffles,
+        whole_stage_codegen_spans,
+    )
+
+    spark = get_spark("plan-snapshot")
+    out = {}
+    for name, fn in sorted(queries().items()):
+        if name in SKIP:
+            continue
+        try:
+            df = fn(spark, SF_DIR)
+            out[name] = {
+                "n_shuffles": n_shuffles(df),
+                "broadcast_join": has_broadcast_join(df),
+                "codegen_spans": whole_stage_codegen_spans(df),
+            }
+        except Exception as e:  # noqa: BLE001
+            out[name] = {"error": str(e)[:120]}
+    spark.stop()
+    return out
+
+
+if __name__ == "__main__":
+    snap = snapshot()
+    with open(GOLDEN, "w") as f:
+        json.dump(snap, f, indent=1, sort_keys=True)
+    print(f"wrote {GOLDEN}: {len(snap)} plans")
