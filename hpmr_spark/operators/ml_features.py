@@ -169,6 +169,31 @@ def posexplode_tokens(spark, sf_dir):
 
 
 @register(
+    "unpivot_quantity_metrics",
+    """
+    SELECT l_returnflag, metric, CAST(value AS BIGINT) AS value
+    FROM (SELECT l_returnflag,
+                 CAST(SUM(l_quantity) AS BIGINT) AS sum_qty,
+                 CAST(MIN(l_quantity) AS BIGINT) AS min_qty,
+                 CAST(MAX(l_quantity) AS BIGINT) AS max_qty
+          FROM lineitem GROUP BY l_returnflag)
+    UNPIVOT (value FOR metric IN (sum_qty, min_qty, max_qty))
+    """,
+)
+def unpivot_quantity_metrics(spark, sf_dir):
+    """Wide→long unpivot (melt): one row per (group, metric)."""
+    li = _t(spark, sf_dir, "lineitem")
+    wide = li.groupBy("l_returnflag").agg(
+        F.sum("l_quantity").cast("long").alias("sum_qty"),
+        F.min("l_quantity").cast("long").alias("min_qty"),
+        F.max("l_quantity").cast("long").alias("max_qty"),
+    )
+    return wide.unpivot(
+        ["l_returnflag"], ["sum_qty", "min_qty", "max_qty"], "metric", "value"
+    )
+
+
+@register(
     "ntile_price_deciles",
     """
     SELECT decile,

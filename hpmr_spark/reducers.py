@@ -62,7 +62,15 @@ class Reducer:
     max = _Reducer("max", F.max, max)  # corrected semantics (ref body transposed)
     # Engine extensions beyond the reference's five (free on Spark):
     count = _Reducer("count", F.count, lambda a, b: a + b)
-    avg = _Reducer("avg", F.avg, None)
+    # avg is not a binary merge (needs sum+count state) — Catalyst path only;
+    # the RDD fallback raises instead of silently mis-merging
+    avg = _Reducer(
+        "avg",
+        F.avg,
+        lambda a, b: (_ for _ in ()).throw(
+            TypeError("Reducer.avg has no binary merge; use the DataFrame path")
+        ),
+    )
 
     _BY_NAME = None
 
