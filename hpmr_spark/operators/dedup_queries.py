@@ -172,6 +172,79 @@ def similarity_bruteforce_pairs(spark, sf_dir):
     return threshold_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.45)
 
 
+_PERT = "((({h}) % 1000) - 500) * 0.00001"
+
+
+def _sql_perturbed_cte() -> str:
+    """Corpus ∪ perturbed copies: vec' = vec + tiny deterministic noise —
+    near-dups at cosine ≈ 0.9999, engineered identically in both engines."""
+    from hpmr_spark.functions.hashing import sql_hash60
+
+    h = sql_hash60("CAST(vec_id AS VARCHAR) || '_' || CAST(i AS VARCHAR)")
+    pert = _PERT.format(h=h)
+    return f"""
+  corpus AS (
+    SELECT vec_id, list_transform(range(64), i -> CAST(embedding[i+1] AS DOUBLE)) AS v
+    FROM embeddings
+    UNION ALL
+    SELECT vec_id + 10000 AS vec_id,
+           list_transform(range(64), i -> CAST(embedding[i+1] AS DOUBLE) + {pert}) AS v
+    FROM embeddings)
+"""
+
+
+@register(
+    "similarity_planted_neardup_lsh",
+    f"""
+    WITH {_sql_perturbed_cte()}
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b
+    FROM corpus a, corpus b
+    WHERE a.vec_id < b.vec_id
+      AND list_sum(list_transform(range(64), i -> a.v[i+1] * b.v[i+1]))
+          >= 0.999 * sqrt(list_sum(list_transform(range(64), i -> a.v[i+1] * a.v[i+1])))
+                   * sqrt(list_sum(list_transform(range(64), i -> b.v[i+1] * b.v[i+1])))
+    """,
+)
+def similarity_planted_neardup_lsh(spark, sf_dir):
+    """High-similarity ANN regime: each vector gets a perturbed twin
+    (cos ≈ 0.9999); hyperplane LSH at rows=8 (sharp s-curve: P(candidate) at
+    cos 0.9999 ≈ 1−(1−0.996⁸)⁸ ≈ 1−2e-12, while random pairs at cos ≤ 0.51
+    almost never collide in 8 aligned bits) + exact verify at τ=0.999.
+    This is where banded LSH beats brute force at scale — candidates ≈
+    true pairs, not n²."""
+    from hpmr_spark.functions.hashing import hash60
+    from hpmr_spark.similarity.lsh import lsh_signature_pairs
+
+    e = _t(spark, sf_dir, "embeddings")
+    base = e.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    pert = e.select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: x.cast("double")
+            + (
+                (
+                    hash60(
+                        F.concat(
+                            F.col("vec_id").cast("string"), F.lit("_"), i.cast("string")
+                        )
+                    )
+                    % 1000
+                )
+                - 500
+            )
+            * 0.00001,
+        ).alias("v"),
+    )
+    corpus = base.unionByName(pert)
+    return lsh_signature_pairs(
+        corpus, threshold=0.999, rows=8, bands=8, id_col="vec_id", vec_col="v"
+    )
+
+
 # ------------------------------------------------------------ similarity topk
 
 @register(

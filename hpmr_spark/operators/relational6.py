@@ -130,6 +130,79 @@ def q18_large_volume_orders(spark, sf_dir):
 
 
 @register(
+    "calendar_gap_fill",
+    """
+    WITH bounds AS (
+      SELECT o_custkey, date_trunc('month', MIN(o_orderdate)) AS lo,
+             date_trunc('month', MAX(o_orderdate)) AS hi
+      FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 20),
+    months AS (
+      SELECT o_custkey, unnest(generate_series(lo, hi, INTERVAL '1 month')) AS month
+      FROM bounds),
+    actual AS (
+      SELECT o_custkey, date_trunc('month', o_orderdate) AS month,
+             COUNT(*) AS n_orders
+      FROM orders GROUP BY o_custkey, month)
+    SELECT m.o_custkey, m.month,
+           CAST(coalesce(a.n_orders, 0) AS BIGINT) AS n_orders
+    FROM months m LEFT JOIN actual a
+      ON m.o_custkey = a.o_custkey AND m.month = a.month
+    """,
+)
+def calendar_gap_fill(spark, sf_dir):
+    """Time-series gap fill: dense month spine per active customer (sequence
+    + explode), left-joined to actuals with zero fill — the densify
+    operator every time-series pipeline needs."""
+    o = _t(spark, sf_dir, "orders")
+    bounds = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.date_trunc("month", F.min("o_orderdate")).alias("lo"),
+            F.date_trunc("month", F.max("o_orderdate")).alias("hi"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .where(F.col("n") >= 20)
+    )
+    months = bounds.select(
+        "o_custkey",
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 MONTH"))
+        ).alias("month"),
+    )
+    actual = o.groupBy(
+        "o_custkey", F.date_trunc("month", "o_orderdate").alias("month")
+    ).agg(F.count(F.lit(1)).alias("n_orders"))
+    return months.join(actual, ["o_custkey", "month"], "left").select(
+        "o_custkey",
+        "month",
+        F.coalesce("n_orders", F.lit(0)).cast("long").alias("n_orders"),
+    )
+
+
+@register(
+    "percent_rank_prices",
+    """
+    SELECT o_orderkey,
+           ROUND(percent_rank() OVER (ORDER BY o_totalprice, o_orderkey), 6) AS pr,
+           ROUND(cume_dist() OVER (ORDER BY o_totalprice, o_orderkey), 6) AS cd
+    FROM orders WHERE o_orderkey % 20 = 0
+    """,
+)
+def percent_rank_prices(spark, sf_dir):
+    """percent_rank/cume_dist — rank ratios of exact ints, rounded the same
+    on both sides."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderkey") % 20 == 0)
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+    )
+
+
+@register(
     "bool_aggregates",
     """
     SELECT o_orderpriority,
