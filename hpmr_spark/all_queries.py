@@ -21,6 +21,7 @@ _MODULES = [
     "hpmr_spark.operators.relational5",
     "hpmr_spark.operators.relational6",
     "hpmr_spark.operators.relational7",
+    "hpmr_spark.operators.relational8",
     "hpmr_spark.operators.bucketing_queries",
     "hpmr_spark.operators.sampling",
     "hpmr_spark.operators.pipeline_queries",
