@@ -71,3 +71,16 @@ def test_bucketed_join_no_exchange_under_join(spark, sf_dir):
 def test_topk_no_global_sort(spark, sf_dir):
     plan = formatted_plan(QUERIES["topk_global_orders"](spark, sf_dir))
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_partitioned_sink_read_prunes_partitions(spark, sf_dir):
+    """Reading back a lang-partitioned write with lang='en' must prune at the
+    partition level (directory skip), not as a data filter, and the scan
+    must read only the referenced data columns."""
+    from hpmr_spark.operators.relational9 import sink_partitioned_pruned
+
+    df = sink_partitioned_pruned(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "PartitionFilters: [isnotnull(lang" in plan and "= en)" in plan, plan
+    s = scan_info(df)[0]
+    assert set(s["read_columns"]) == {"source", "n_chars"}, s["read_columns"]
