@@ -244,3 +244,81 @@ def sink_partitioned_pruned(spark, sf_dir):
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").cast("long").alias("sum_chars"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Window value functions: first_value / nth_value / lead over order history.
+# ---------------------------------------------------------------------------
+@register(
+    "window_value_functions",
+    """
+    SELECT o_orderkey, o_custkey,
+           CAST(first_value(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                OVER w AS BIGINT) AS first_cents,
+           CAST(nth_value(CAST(ROUND(o_totalprice * 100) AS BIGINT), 2)
+                OVER w AS BIGINT) AS second_cents,
+           CAST(lead(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                OVER w AS BIGINT) AS next_cents
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def window_value_functions(spark, sf_dir):
+    """first_value/nth_value/lead over each customer's order history. The
+    frame is the full partition (UNBOUNDED BOTH) so nth_value(2) is the
+    customer's second-ever order on both engines; (o_orderdate, o_orderkey)
+    is a total order. All values are exact cents."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    # lead() must see the default growing frame, not the explicit full frame
+    wl = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.first_value(cents).over(w).cast("long").alias("first_cents"),
+        F.nth_value(cents, 2).over(w).cast("long").alias("second_cents"),
+        F.lead(cents).over(wl).cast("long").alias("next_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Global sort (range-partitioned) ordered export.
+# ---------------------------------------------------------------------------
+@register(
+    "ordered_export_january",
+    """
+    SELECT l_orderkey, l_linenumber, l_shipdate,
+           CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS price_cents
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-02-01'
+    ORDER BY l_shipdate, l_orderkey, l_linenumber, price_cents
+    """,
+)
+def ordered_export_january(spark, sf_dir):
+    """Global ORDER BY of a filtered export: Spark samples the sort keys,
+    range-partitions (Exchange rangepartitioning), and sorts each partition —
+    the scalable total-sort (no single-node sort, unlike LIMIT-less collect
+    approaches). The ordering is total so output files are deterministic."""
+    li = _t(spark, sf_dir, "lineitem")
+    out = (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-02-01").cast("timestamp"))
+        )
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_shipdate",
+            _cents(F.col("l_extendedprice")).alias("price_cents"),
+        )
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber", "price_cents")
+    )
+    return out

@@ -36,3 +36,17 @@ def sink_csv_roundtrip(spark, sf_dir):
 @register("sink_json_roundtrip", _REV_SQL)
 def sink_json_roundtrip(spark, sf_dir):
     return roundtrip(_revenue(spark, sf_dir), "json", "rev")
+
+
+@register("sink_orc_roundtrip", _REV_SQL)
+def sink_orc_roundtrip(spark, sf_dir):
+    """ORC: the second bundled columnar format (predicate pushdown + column
+    pruning like parquet); same serialization-identity contract."""
+    return roundtrip(_revenue(spark, sf_dir), "orc", "rev")
+
+
+@register("sink_xml_roundtrip", _REV_SQL)
+def sink_xml_roundtrip(spark, sf_dir):
+    """XML: Spark 4 native XML source/sink (rowTag records), read back with
+    the writer's schema. Row-oriented text — interchange, not analytics."""
+    return roundtrip(_revenue(spark, sf_dir), "xml", "rev")

@@ -35,5 +35,16 @@ def roundtrip(df: DataFrame, fmt: str, label: str) -> DataFrame:
     if fmt == "json":
         writer.json(path)
         return spark.read.schema(df.schema).json(path)
+    if fmt == "orc":
+        writer.orc(path)
+        return spark.read.orc(path)
+    if fmt == "xml":
+        writer.format("xml").option("rowTag", "row").save(path)
+        return (
+            spark.read.schema(df.schema)
+            .format("xml")
+            .option("rowTag", "row")
+            .load(path)
+        )
     writer.parquet(path)
     return spark.read.parquet(path)
