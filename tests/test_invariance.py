@@ -30,6 +30,14 @@ REPRESENTATIVE = [
     "bucketed_join_revenue",
     "asof_join_purchase_view",
     "sessionize_clicks",
+    # session additions: iterative, session-window, merge, fuzzy-dedup,
+    # rows-frame window, arrow kernel
+    "graph_pagerank_trade",
+    "session_window_builtin",
+    "merge_upsert_customers",
+    "dedup_levenshtein_fuzzy",
+    "window_moving_avg_7row",
+    "mapinarrow_embedding_norms",
 ]
 
 
