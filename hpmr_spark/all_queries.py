@@ -24,6 +24,7 @@ _MODULES = [
     "hpmr_spark.operators.relational8",
     "hpmr_spark.operators.relational9",
     "hpmr_spark.operators.arrow_pandas_queries",
+    "hpmr_spark.operators.relational10",
     "hpmr_spark.operators.bucketing_queries",
     "hpmr_spark.operators.sampling",
     "hpmr_spark.operators.pipeline_queries",

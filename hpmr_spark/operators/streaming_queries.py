@@ -121,3 +121,94 @@ def streaming_append_closed_windows(spark, sf_dir):
 def streaming_stateful_user_totals(spark, sf_dir):
     """applyInPandasWithState running totals — final state ≡ batch groupBy."""
     return stateful_user_totals(spark, sf_dir)
+
+
+@register(
+    "streaming_session_windows",
+    """
+    WITH e AS (
+      SELECT user_id, epoch_us(ts) AS us FROM events
+    ),
+    m AS (
+      SELECT *, CASE WHEN us - LAG(us) OVER (PARTITION BY user_id ORDER BY us) > 1800000000
+                      OR LAG(us) OVER (PARTITION BY user_id ORDER BY us) IS NULL
+                     THEN 1 ELSE 0 END AS is_new
+      FROM e
+    ),
+    s AS (
+      SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY us
+                                  ROWS UNBOUNDED PRECEDING) AS seq
+      FROM m
+    ),
+    wm AS (SELECT MAX(epoch_us(ts)) - 3600000000 AS w_us FROM events)
+    SELECT user_id,
+           make_timestamp(MIN(us)) AS session_start,
+           make_timestamp(MAX(us) + 1800000000) AS session_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM s, wm
+    GROUP BY user_id, seq, w_us
+    HAVING MAX(us) + 1800000000 <= w_us
+    """,
+)
+def streaming_session_windows(spark, sf_dir):
+    """Streaming session windows (stateful session merge in the state store):
+    30-min gap sessions per user, append mode — only sessions closed by the
+    final watermark (max ts − 1h) emit; open tails stay withheld. The oracle
+    is batch lag/cumsum sessionization restricted by the same watermark
+    predicate. Session state is bounded by the watermark: closed sessions
+    evict, so state ∝ active users × open sessions, not history."""
+    from pyspark.sql import functions as F
+
+    from hpmr_spark.streaming.windows import _events_stream, _run_to_table
+
+    ev = _events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    agg = ev.groupBy(
+        F.session_window("ts", "30 minutes").alias("sw"), "user_id"
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    out = _run_to_table(agg, "sessionwin", "append")
+    return out.select(
+        "user_id",
+        F.col("sw.start").alias("session_start"),
+        F.col("sw.end").alias("session_end"),
+        "n_events",
+    )
+
+
+@register(
+    "streaming_foreachbatch_sink",
+    """
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+    FROM events GROUP BY event_type
+    """,
+)
+def streaming_foreachbatch_sink(spark, sf_dir):
+    """foreachBatch: the custom-sink escape hatch — each micro-batch arrives
+    as a BATCH DataFrame with full write API (parquet here; JDBC/MERGE at a
+    real deployment). Complete output mode makes every batch a full
+    snapshot, so overwrite-per-batch is idempotent under retries — the
+    exactly-once pattern for non-transactional sinks."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from hpmr_spark.streaming.windows import _events_stream
+
+    ev = _events_stream(spark, sf_dir)
+    agg = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_cents"),
+    )
+    path = tempfile.mkdtemp(prefix="hpmr_feb_sink_") + "/out"
+
+    def write_batch(batch_df, epoch_id):
+        batch_df.write.mode("overwrite").parquet(path)
+
+    q = (
+        agg.writeStream.foreachBatch(write_batch)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(path)
