@@ -57,3 +57,58 @@ def test_epoch_lineage_stress(spark):
             km = km.checkpoint()
     got = dict(km.items())
     assert got == dict(expect)
+
+
+# ---------------------------------------------------------------------------
+# Invariant properties of this session's composite operators (sf0.001).
+# ---------------------------------------------------------------------------
+
+
+def test_merge_upsert_partitions_keyspace(spark, sf_dir):
+    """Statuses partition the output: every customer key appears exactly once
+    as kept/updated; exactly 10 synthetic keys (offset +1e6) are inserted."""
+    import hpmr_spark.all_queries  # noqa: F401
+    from hpmr_spark.catalog import QUERIES
+
+    rows = QUERIES["merge_upsert_customers"](spark, sf_dir).collect()
+    by_status = defaultdict(list)
+    for r in rows:
+        by_status[r.status].append(r.key)
+    n_cust = spark.read.parquet(f"{sf_dir}/customer.parquet").count()
+    assert len(by_status["inserted"]) == 10
+    assert all(k > 1000000 for k in by_status["inserted"])
+    assert len(by_status["kept"]) + len(by_status["updated"]) == n_cust
+    keys = [k for s in ("kept", "updated") for k in by_status[s]]
+    assert len(keys) == len(set(keys)), "customer key duplicated across statuses"
+
+
+def test_pagerank_mass_bounds(spark, sf_dir):
+    """Truncating integer PageRank: total mass never exceeds 1e6 ppm, every
+    node retains at least the teleport floor 6000, and sparsified out-degrees
+    produce non-uniform ranks."""
+    import hpmr_spark.all_queries  # noqa: F401
+    from hpmr_spark.catalog import QUERIES
+
+    rows = QUERIES["graph_pagerank_trade"](spark, sf_dir).collect()
+    ranks = [r.pr_ppm for r in rows]
+    assert len(rows) == 25
+    assert all(r >= 6000 for r in ranks)
+    assert sum(ranks) <= 1_000_000
+    assert len(set(ranks)) > 1, "uniform ranks — sparsification lost"
+
+
+def test_session_windows_disjoint_per_user(spark, sf_dir):
+    """Gap sessions of one user never overlap: sorted by start, each
+    session's start is ≥ the previous session's end (end = last event +
+    gap, so equality can't occur either — strictly greater)."""
+    import hpmr_spark.all_queries  # noqa: F401
+    from hpmr_spark.catalog import QUERIES
+
+    rows = QUERIES["session_window_builtin"](spark, sf_dir).collect()
+    sessions = defaultdict(list)
+    for r in rows:
+        sessions[r.user_id].append((r.session_start, r.session_end))
+    for user, ss in sessions.items():
+        ss.sort()
+        for (s1, e1), (s2, e2) in zip(ss, ss[1:]):
+            assert s2 > e1, f"user {user}: overlapping sessions {e1} vs {s2}"
