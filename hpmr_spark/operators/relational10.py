@@ -117,3 +117,58 @@ def inline_dim_join(spark, sf_dir):
             F.count(F.lit(1)).alias("n_orders"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Multiset intersection (INTERSECT ALL) — duplicate-preserving set op.
+# ---------------------------------------------------------------------------
+@register(
+    "setops_intersect_all",
+    """
+    SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n FROM (
+      SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R'
+      INTERSECT ALL
+      SELECT l_partkey FROM lineitem WHERE l_quantity >= 25
+    ) GROUP BY l_partkey
+    """,
+)
+def setops_intersect_all(spark, sf_dir):
+    """intersectAll: multiset intersection keeps min(count_left, count_right)
+    copies per key — Spark plans it as a count-compare aggregate, not a
+    join; completes the exceptAll/intersect/union family."""
+    li = _t(spark, sf_dir, "lineitem")
+    a = li.where(F.col("l_returnflag") == "R").select("l_partkey")
+    b = li.where(F.col("l_quantity") >= 25).select("l_partkey")
+    return a.intersectAll(b).groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+# ---------------------------------------------------------------------------
+# explode_outer: row-preserving array expansion (empty → NULL row).
+# ---------------------------------------------------------------------------
+@register(
+    "explode_outer_long_words",
+    """
+    WITH w AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(text, ' '), x -> len(x) > 9) AS ws
+      FROM documents
+    )
+    SELECT doc_id, u.word FROM (
+      SELECT doc_id, unnest(ws) AS word FROM w WHERE len(ws) > 0
+      UNION ALL
+      SELECT doc_id, CAST(NULL AS VARCHAR) AS word FROM w WHERE len(ws) = 0
+    ) u
+    """,
+)
+def explode_outer_long_words(spark, sf_dir):
+    """explode_outer: documents with no long (>9 char) words survive as a
+    NULL row instead of vanishing — the left-outer flavor of flatMap. Plain
+    explode silently drops empty groups; for corpus accounting (every doc
+    must appear downstream) the outer variant is the correct default."""
+    docs = _t(spark, sf_dir, "documents")
+    ws = F.filter(F.split("text", " "), lambda x: F.length(x) > 9)
+    return docs.select(
+        "doc_id", F.explode_outer(ws).alias("word")
+    )
