@@ -53,6 +53,52 @@ def synth_docs(spark, n: int):
     return base.unionByName(dups)
 
 
+
+
+def synth_events(spark, n: int):
+    """Deterministic synthetic event stream: ~1K users over one day."""
+    return spark.range(n).select(
+        F.col("id").alias("event_id"),
+        ((F.xxhash64("id") % 1000 + 1000) % 1000).alias("user_id"),
+        F.timestamp_micros(
+            F.lit(1700000000000000)
+            + ((F.xxhash64(F.col("id") + 7) % 86400000000 + 86400000000) % 86400000000)
+        ).alias("ts"),
+    )
+
+
+def pagerank_probe(spark, m: int, fanout: int = 8, iters: int = 3):
+    """Integer-ppb PageRank over a synthetic hash graph (m nodes, ~8m edges)."""
+    nodes = spark.range(m).select(F.col("id").alias("node"))
+    edges = (
+        nodes.select(
+            F.col("node").alias("src"),
+            F.explode(F.sequence(F.lit(1), F.lit(fanout))).alias("k"),
+        )
+        .select(
+            "src", ((F.xxhash64(F.col("src") * 31 + F.col("k")) % m + m) % m).alias("dst")
+        )
+        .distinct()
+        .persist()
+    )
+    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    init = 10**9 // m
+    tele = (15 * 10**9 // 100) // m
+    pr = nodes.select("node", F.lit(init).cast("long").alias("pr"))
+    for _ in range(iters):
+        contrib = (
+            edges.join(outdeg, "src")
+            .join(pr.select(F.col("node").alias("src"), "pr"), "src")
+            .select(F.col("dst").alias("node"), F.expr("((pr * 850) div 1000) div deg").alias("c"))
+        )
+        pr = (
+            nodes.join(contrib.groupBy("node").agg(F.sum("c").alias("s")), "node", "left")
+            .select("node", (F.lit(tele) + F.coalesce(F.col("s"), F.lit(0))).cast("long").alias("pr"))
+        )
+    return pr
+
+
+
 def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
     from hpmr_spark.engine import get_spark
@@ -77,6 +123,31 @@ def main():
     t0 = time.time()
     pairs = minhash_dedup_pairs(docs, threshold_pct=90, bands=16, rows=2).count()
     print(f"minhash_lsh pairs: {pairs} in {time.time()-t0:.1f}s")
+
+    n_ev = n * 30
+    ev = synth_events(spark, n_ev).persist()
+    ev.count()
+    t0 = time.time()
+    n_sessions = (
+        ev.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .count()
+    )
+    print(f"session_window: {n_sessions} sessions over {n_ev} events in {time.time()-t0:.1f}s")
+
+    t0 = time.time()
+    n_keys = (
+        ev.withColumn("event_type", (F.col("event_id") % 5).cast("string"))
+        .groupBy("user_id", "event_type")
+        .agg(F.max(F.struct("ts", "event_id")).alias("m"))
+        .count()
+    )
+    print(f"cdc_latest: {n_keys} keys in {time.time()-t0:.1f}s")
+
+    m = max(n // 100, 1000)
+    t0 = time.time()
+    total = pagerank_probe(spark, m).agg(F.sum("pr")).collect()[0][0]
+    print(f"pagerank: {m} nodes x3 iters, mass {total} ppb in {time.time()-t0:.1f}s")
 
     spark.stop()
 
