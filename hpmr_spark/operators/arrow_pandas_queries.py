@@ -113,3 +113,60 @@ def grouped_map_lang_stats(spark, sf_dir):
         "lang string, n_docs long, sum_chars long, min_chars long, "
         "max_chars long, median_chars long",
     )
+
+
+# ---------------------------------------------------------------------------
+# zip_with: pairwise combine of two arrays (exact integer dot product).
+# ---------------------------------------------------------------------------
+@register(
+    "hof_zipwith_dot_product",
+    """
+    SELECT a.vec_id,
+           CAST(list_sum(list_transform(generate_series(1, len(a.embedding)),
+                i -> CAST(FLOOR(CAST(a.embedding[i] AS DOUBLE)
+                               * CAST(b.embedding[i] AS DOUBLE) * 1000000) AS BIGINT)))
+             AS BIGINT) AS dot_micros
+    FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+    """,
+)
+def hof_zipwith_dot_product(spark, sf_dir):
+    """zip_with: element-aligned combine of two array columns — the dot
+    product of each vector with its successor, floored per term to exact
+    integer micros (float32→float64 widening exact, identical IEEE ops both
+    engines). zip_with + aggregate stays entirely in codegen: the join
+    shuffles only (vec_id, embedding), no explode blow-up of dim× rows."""
+    emb = _t(spark, sf_dir, "embeddings")
+    a = emb.select("vec_id", F.col("embedding").alias("ea"))
+    b = emb.select((F.col("vec_id") - 1).alias("vec_id"), F.col("embedding").alias("eb"))
+    terms = F.zip_with(
+        "ea",
+        "eb",
+        lambda x, y: F.floor(x.cast("double") * y.cast("double") * F.lit(1000000)).cast(
+            "long"
+        ),
+    )
+    dot = F.aggregate(terms, F.lit(0).cast("long"), lambda acc, t: acc + t)
+    return a.join(b, "vec_id").select("vec_id", dot.alias("dot_micros"))
+
+
+# ---------------------------------------------------------------------------
+# FILTER (WHERE) aggregate clause — per-aggregate predicates, one pass.
+# ---------------------------------------------------------------------------
+_FILTER_AGG_SQL = """
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_all,
+           CAST(COUNT(*) FILTER (WHERE l_quantity >= 25) AS BIGINT) AS n_bulk,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+                FILTER (WHERE l_discount > 0.05) AS BIGINT) AS discounted_cents
+    FROM lineitem
+    GROUP BY l_returnflag
+"""
+
+
+@register("filter_clause_aggregates", _FILTER_AGG_SQL)
+def filter_clause_aggregates(spark, sf_dir):
+    """ANSI FILTER (WHERE) per-aggregate predicates — three differently-
+    filtered aggregates in ONE scan + one shuffle (vs three self-joined
+    subqueries); same SQL text planned by both engines."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_FILTER_AGG_SQL)
