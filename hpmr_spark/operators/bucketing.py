@@ -21,6 +21,27 @@ N_BUCKETS = 8
 _prepared: set = set()
 
 
+def _writable_table_base(spark: SparkSession) -> str | None:
+    """None when the session warehouse dir is writable (managed tables work);
+    otherwise a fresh tmp dir to host EXTERNAL bucketed tables.
+    `spark.sql.warehouse.dir` is a static conf — it cannot be repointed on a
+    live session — but `.option("path", ...)` per table can, which is the
+    read-only-cwd escape hatch."""
+    import os
+    import tempfile
+
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    try:
+        os.makedirs(warehouse, exist_ok=True)
+        probe = os.path.join(warehouse, ".hpmr_write_probe")
+        with open(probe, "w"):
+            pass
+        os.remove(probe)
+        return None
+    except OSError:
+        return tempfile.mkdtemp(prefix="hpmr_warehouse_")
+
+
 def prepare_bucketed(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     """Materialize lineitem+orders bucketed by orderkey (once per sf_dir)."""
     import shutil
@@ -29,30 +50,25 @@ def prepare_bucketed(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     li_name, o_name = f"li_bkt_{tag}", f"o_bkt_{tag}"
     if (sf_dir, "done") in _prepared:
         return li_name, o_name
+    alt_base = _writable_table_base(spark)
     # idempotent across sessions: the in-memory catalog forgets tables but
     # their warehouse directories persist — clear both
     warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
     for name in (li_name, o_name):
         spark.sql(f"DROP TABLE IF EXISTS {name}")
-        shutil.rmtree(f"{warehouse}/{name}", ignore_errors=True)
+        if alt_base is None:
+            shutil.rmtree(f"{warehouse}/{name}", ignore_errors=True)
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
         "l_orderkey", "l_extendedprice", "l_discount"
     )
     o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
         "o_orderkey", "o_orderpriority"
     )
-    (
-        li.write.mode("overwrite")
-        .bucketBy(N_BUCKETS, "l_orderkey")
-        .sortBy("l_orderkey")
-        .saveAsTable(li_name)
-    )
-    (
-        o.write.mode("overwrite")
-        .bucketBy(N_BUCKETS, "o_orderkey")
-        .sortBy("o_orderkey")
-        .saveAsTable(o_name)
-    )
+    for df, name, key in ((li, li_name, "l_orderkey"), (o, o_name, "o_orderkey")):
+        writer = df.write.mode("overwrite").bucketBy(N_BUCKETS, key).sortBy(key)
+        if alt_base is not None:
+            writer = writer.option("path", f"{alt_base}/{name}")
+        writer.saveAsTable(name)
     _prepared.add((sf_dir, "done"))
     return li_name, o_name
 

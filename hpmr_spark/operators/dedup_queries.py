@@ -150,12 +150,15 @@ _COS = sql_cosine("a.embedding", "b.embedding", 64)
     """,
 )
 def dedup_embedding_cosine(spark, sf_dir):
-    """Embedding near-dup: hyperplane LSH (40 bands × 2 rows) + exact cosine
-    verify vs brute-force oracle. τ=0.45 fits this corpus (random vectors,
-    max pairwise cosine ≈ 0.51; margin to the threshold ≈ 1e-3 ≫ float noise)."""
-    return lsh_signature_pairs(
-        _t(spark, sf_dir, "embeddings"), threshold=0.45, rows=2, bands=40
-    )
+    """Embedding near-dup at a weak threshold (τ=0.45) — regime-aware
+    dispatch: banding cannot prune at this τ (round-1 measured it DEGENERATE,
+    40.8 s vs 6.8 s for minhash at sf0.01), so `cosine_pairs_auto` routes to
+    the blocked-GEMM exact all-pairs path (cogrouped block pairs, one BLAS
+    GEMM each). τ=0.45 fits this corpus (random vectors, max pairwise cosine
+    ≈ 0.51; margin to the threshold ≈ 1e-3 ≫ float noise)."""
+    from hpmr_spark.similarity.lsh import cosine_pairs_auto
+
+    return cosine_pairs_auto(_t(spark, sf_dir, "embeddings"), threshold=0.45)
 
 
 @register(

@@ -22,14 +22,103 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def threshold_pairs_gemm(
+    corpus: DataFrame,
+    threshold: float,
+    n_blocks: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact all-pairs cosine ≥ threshold via blocked GEMM — the correct
+    weak-threshold path.
+
+    Below τ ≈ 0.7 hyperplane banding cannot prune (per-bit agreement
+    probability is too high — nearly every pair becomes an LSH candidate, so
+    the "scale path" silently degenerates to a worse-than-brute-force cross
+    join). Exact weak-τ similarity join is inherently O(n²·d); the right
+    engineering response is to make the n² term COMPUTE-bound (one BLAS GEMM
+    per block pair) instead of shuffle/candidate-bound:
+
+    - split the corpus into `n_blocks` hash blocks; each unordered block pair
+      (i ≤ j) is one cogroup task → no cross join, no candidate explosion;
+    - replication factor per row is n_blocks+1 (each block meets every other
+      block once), so shuffled bytes are n·(B+1)·d — linear in n for fixed B;
+    - inside a task: normalize once, S = A @ Bᵀ (float64), threshold, emit.
+
+    At 100 TB: pick n_blocks so one block (n/B rows × d) fits an executor;
+    compute grows n²d regardless — that is the problem statement's cost, not
+    the plan's. For genuinely planetary corpora the product answer is a higher
+    τ (banded LSH regime, `lsh_signature_pairs`) or ANN (`ivf_topk`).
+
+    Float discipline: float32 → float64 widening before normalize/GEMM; the
+    registered query's corpus has ≥1e-3 margin between any true pair and the
+    threshold, so BLAS summation order cannot flip a decision (same argument
+    as the rank-stability note on cosine_topk_numpy).
+    """
+    v = corpus.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
+    ).withColumn("blk", F.pmod(F.col("id"), F.lit(n_blocks)).cast("int"))
+    # row in block k acts as LEFT of pairs (k, j≥k) and RIGHT of pairs (i≤k, k)
+    left = v.select(
+        "id", "vec", F.col("blk").alias("bi"),
+        F.explode(F.sequence(F.col("blk"), F.lit(n_blocks - 1))).alias("bj"),
+    )
+    right = v.select(
+        "id", "vec", F.col("blk").alias("bj"),
+        F.explode(F.sequence(F.lit(0), F.col("blk"))).alias("bi"),
+    )
+
+    def compare(key, lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                              "id_b": pd.Series(dtype="int64")})
+        if len(lpdf) == 0 or len(rpdf) == 0:
+            return empty
+        bi, bj = int(key[0]), int(key[1])
+        A = np.stack(lpdf["vec"].to_numpy()).astype(np.float64)
+        B = np.stack(rpdf["vec"].to_numpy()).astype(np.float64)
+        An = np.linalg.norm(A, axis=1, keepdims=True)
+        Bn = np.linalg.norm(B, axis=1, keepdims=True)
+        A /= np.where(An == 0.0, 1.0, An)
+        B /= np.where(Bn == 0.0, 1.0, Bn)
+        S = A @ B.T
+        ia, ib = np.nonzero(S >= threshold)
+        id_a = lpdf["id"].to_numpy()[ia]
+        id_b = rpdf["id"].to_numpy()[ib]
+        if bi == bj:  # same set on both sides: keep strict upper triangle
+            keep = id_a < id_b
+            return pd.DataFrame({"id_a": id_a[keep], "id_b": id_b[keep]})
+        lo = np.minimum(id_a, id_b)
+        hi = np.maximum(id_a, id_b)
+        return pd.DataFrame({"id_a": lo, "id_b": hi})
+
+    return (
+        left.groupBy("bi", "bj")
+        .cogroup(right.groupBy("bi", "bj"))
+        .applyInPandas(compare, "id_a long, id_b long")
+    )
+
+
 def cosine_topk_numpy(
     corpus: DataFrame,
     queries: DataFrame,
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_query_rows: int = 100_000,
 ) -> DataFrame:
-    """Top-k cosine via per-batch GEMM: sims = Q_norm @ C_norm.T."""
+    """Top-k cosine via per-batch GEMM: sims = Q_norm @ C_norm.T.
+
+    The QUERY side is collected to the driver and broadcast (the corpus is
+    never collected) — guarded by max_query_rows, mirroring
+    KeyedMap.to_dict: this path is for a bounded query set against an
+    unbounded corpus; a huge query set should use the symmetric
+    `threshold_pairs_gemm` instead."""
+    n_q = queries.count()
+    if n_q > max_query_rows:
+        raise ValueError(
+            f"query set has {n_q} rows; refusing driver collect > {max_query_rows} "
+            "(raise max_query_rows, or use threshold_pairs_gemm for corpus-x-corpus)"
+        )
     q_rows = queries.select(id_col, vec_col).collect()
     q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
     Q = np.array([r[1] for r in q_rows], dtype=np.float64)

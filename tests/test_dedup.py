@@ -82,6 +82,74 @@ def test_numpy_topk_matches_exact(emb):
     assert exact == vec
 
 
+def test_numpy_topk_refuses_huge_query_collect(emb):
+    """The driver-side collect of the query set is guarded (mirrors
+    KeyedMap.to_dict): an oversized query frame must raise, not OOM."""
+    from hpmr_spark.similarity.vectorized import cosine_topk_numpy
+
+    with pytest.raises(ValueError, match="refusing driver collect"):
+        cosine_topk_numpy(emb, emb, k=5, max_query_rows=10)
+
+
+def _clustered_embeddings(spark, n_clusters=40, per_cluster=50, dim=64, sigma=0.02):
+    """Deterministic Gaussian-cluster fixture: tight clusters (cosine to
+    center ≈ 0.999) so true nearest neighbors are in-cluster — the regime
+    IVF is built for, unlike the random-vector parquet corpus."""
+    import math
+    import random
+
+    rng = random.Random(0xC1)
+    rows = []
+    vid = 0
+    for _ in range(n_clusters):
+        center = [rng.gauss(0.0, 1.0) for _ in range(dim)]
+        nrm = math.sqrt(sum(x * x for x in center))
+        center = [x / nrm for x in center]
+        for _ in range(per_cluster):
+            vec = [c + rng.gauss(0.0, sigma) for c in center]
+            rows.append((vid, vec))
+            vid += 1
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_ivf_recall_clustered(spark):
+    """On clustered embeddings (the realistic ANN regime) IVF with Hamming-1
+    probing must achieve recall@10 ≥ 0.9 vs the exact top-k — the hard
+    assertion the random-vector corpus can't support (see
+    test_ivf_recall_vs_exact's bound there)."""
+    emb = _clustered_embeddings(spark).cache()
+    queries = emb.where(F.col("vec_id") % 100 == 0)  # one probe per 2 clusters
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk(emb, queries, k=10).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_topk(emb, queries, k=10).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    emb.unpersist()
+    assert recall >= 0.9, f"IVF recall on clustered embeddings: {recall}"
+
+
+def test_connected_components_chain(spark):
+    """A 64-node path graph forces multi-round convergence (diameter 63 —
+    plain label propagation would need ~63 rounds; large-star/small-star must
+    resolve it within the max_iter=12 O(log n) budget) and every node must
+    land in component 0."""
+    from hpmr_spark.dedup.components import connected_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(63)] + [(100, 101), (101, 102)],
+        "doc_a long, doc_b long",
+    )
+    got = {
+        (r["node"], r["component"]) for r in connected_components(pairs).collect()
+    }
+    want = {(i, 0) for i in range(64)} | {(i, 100) for i in (100, 101, 102)}
+    assert got == want
+
+
 def test_incremental_dedup_rejects_cross_epoch_dups(docs, spark):
     from hpmr_spark.dedup.incremental import incremental_dedup
     from pyspark.sql import functions as F
