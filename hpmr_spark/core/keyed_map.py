@@ -105,9 +105,20 @@ class KeyedMap:
         (src/dist_map.h:118-130). New rows get a later epoch order so
         ``overwrite`` means "batch wins over existing state"."""
         if self._has_order:
+            # Batch order must exceed EVERY existing order, including
+            # user-supplied order_col values from from_df (e.g. epoch-micros
+            # timestamps ~1.7e15) — a fixed (epoch+1)·2^40 base silently
+            # loses to those. Derive it as max(existing)+1 via a broadcast
+            # 1-row aggregate, keeping the plan fully declarative.
             cur = self._df
-            nxt = _normalize(batch, key_col, value_col, None).withColumn(
-                ORDER, F.lit(self._epoch + 1).cast("long") * F.lit(1 << 40)
+            base = cur.agg(
+                (F.coalesce(F.max(ORDER), F.lit(0)) + F.lit(1)).cast("long").alias("_base")
+            )
+            nxt = (
+                _normalize(batch, key_col, value_col, None)
+                .crossJoin(F.broadcast(base))
+                .withColumn(ORDER, F.col("_base"))
+                .drop("_base")
             )
         else:
             cur = self._df.withColumn(ORDER, F.lit(0).cast("long"))

@@ -43,13 +43,28 @@ def asof_join(
         .orderBy(F.col(ts_col).asc(), F.col("_side").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    carried = unioned
-    for c in right_value_cols:
-        carried = carried.withColumn(c, F.last(c, ignorenulls=True).over(w))
-    carried = carried.withColumn(
-        "_right_ts", F.last(F.when(F.col("_side") == 0, F.col(ts_col)), True).over(w)
+    # carry ONE struct of the whole matched right row (populated only on
+    # right-side rows) instead of per-column last(ignorenulls): a legit NULL
+    # value in the matched row must be attached as NULL, not skipped in favor
+    # of an older non-NULL one, and all values + asof_ts must come from the
+    # SAME right row — DuckDB ASOF JOIN semantics
+    carried = unioned.withColumn(
+        "_r",
+        F.last(
+            F.when(
+                F.col("_side") == 0,
+                F.struct(
+                    F.col(ts_col).alias("_asof_ts"),
+                    *[F.col(c) for c in right_value_cols],
+                ),
+            ),
+            True,
+        ).over(w),
     )
     out = carried.where(F.col("_side") == 1).drop("_side")
+    for c in right_value_cols:
+        out = out.withColumn(c, F.col("_r")[c])
+    out = out.withColumn("_right_ts", F.col("_r._asof_ts")).drop("_r")
     if tolerance_seconds is not None:
         stale = (
             F.col(ts_col).cast("long") - F.col("_right_ts").cast("long")

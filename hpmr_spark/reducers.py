@@ -61,7 +61,11 @@ class Reducer:
     min = _Reducer("min", F.min, min)  # corrected semantics (ref body transposed)
     max = _Reducer("max", F.max, max)  # corrected semantics (ref body transposed)
     # Engine extensions beyond the reference's five (free on Spark):
-    count = _Reducer("count", F.count, lambda a, b: a + b)
+    # count follows the pre-counted-values convention: ingest each row with
+    # value 1 (or a partial count), and BOTH paths merge by addition — so the
+    # state stays re-aggregable across sync/set_batch epochs. (F.count here
+    # would count rows and silently reset accumulated counts on re-merge.)
+    count = _Reducer("count", F.sum, lambda a, b: a + b)
     # avg is not a binary merge (needs sum+count state) — Catalyst path only;
     # the RDD fallback raises instead of silently mis-merging
     avg = _Reducer(

@@ -22,6 +22,7 @@ from __future__ import annotations
 import itertools
 from typing import Iterator, Tuple
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -119,7 +120,10 @@ def _user_totals_fn(
     n, cents = state.get if state.exists else (0, 0)
     for pdf in pdfs:
         n += len(pdf)
-        cents += int((pdf["value"] * 100).round().astype("int64").sum())
+        # half-away-from-zero, matching F.round / DuckDB ROUND — pandas
+        # Series.round is banker's (half-even) and would flake on .5 cents
+        v = pdf["value"].to_numpy() * 100.0
+        cents += int((np.floor(np.abs(v) + 0.5) * np.sign(v)).astype("int64").sum())
     state.update((n, cents))
     yield pd.DataFrame([{"user_id": user_id, "n_events": n, "value_cents": cents}])
 

@@ -92,6 +92,21 @@ def test_set_batch_epoch_merge(spark):
     assert overwritten.get("a") == 10 and overwritten.get("b") == 2
 
 
+def test_set_batch_beats_user_order_col(spark):
+    # A map built via from_df with a real-world order column (epoch-micros
+    # scale, ≫ 2^40) must still let set_batch's overwrite win: the batch
+    # order is derived from max(existing)+1, not a fixed epoch base.
+    big = 1_700_000_000_000_000  # epoch-micros ballpark
+    src = spark.createDataFrame(
+        [("a", 1, big), ("a", 2, big + 5), ("b", 7, big)], ["k", "v", "ord"]
+    )
+    km = KeyedMap.from_df(src, "k", "v", Reducer.overwrite, order_col="ord")
+    assert km.get("a") == 2
+    batch = spark.createDataFrame([("a", 99)], ["k", "v"])
+    assert km.set_batch(batch, "k", "v", Reducer.overwrite).get("a") == 99
+    assert km.set_batch(batch, "k", "v", Reducer.keep).get("a") == 2
+
+
 def test_chained_map_reduce(spark):
     # DistMap::mapreduce chaining (src/dist_map.h:256-279 result is same type).
     km = prange(spark, 0, 1000).map_reduce_expr(F.col("id") % 100, F.lit(1), Reducer.sum)

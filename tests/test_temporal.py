@@ -47,6 +47,21 @@ def test_asof_join_no_prior_row_is_null(spark):
     assert row["v"] is None and row["asof_ts"] is None
 
 
+def test_asof_join_null_in_matched_row_carries(spark):
+    """A legit NULL value in the MATCHED (most recent) right row must be
+    attached as NULL — not skipped in favor of an older non-NULL row — and
+    multiple value columns must all come from that same matched row
+    (DuckDB ASOF JOIN semantics)."""
+    left = spark.createDataFrame([(1, _ts(12))], ["user_id", "ts"])
+    right = spark.createDataFrame(
+        [(1, _ts(9), 100, 7), (1, _ts(11), None, None)],
+        "user_id long, ts timestamp, v long, w long",
+    )
+    row = asof_join(left, right, "user_id", "ts", ["v", "w"]).first()
+    assert row["asof_ts"] == _ts(11)
+    assert row["v"] is None and row["w"] is None
+
+
 def test_sessionize_gap_boundaries(spark):
     rows = [
         (1, 7, _ts(10, 0)),
