@@ -54,6 +54,13 @@ def threshold_pairs_gemm(
     registered query's corpus has ≥1e-3 margin between any true pair and the
     threshold, so BLAS summation order cannot flip a decision (same argument
     as the rank-stability note on cosine_topk_numpy).
+
+    Implementation note: this is a tagged-union grouped map, NOT
+    cogroup+applyInPandas. A self-cogroup of this shape miscompiles under
+    whole-plan column pruning in Spark 4.1 (an output-discarding action like
+    count() prunes the Python UDF's right-side INPUT columns down to the
+    grouping keys — KeyError in the worker), while the single grouped map is
+    planned correctly under every action. Same shuffle shape either way.
     """
     v = corpus.select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
@@ -62,28 +69,32 @@ def threshold_pairs_gemm(
     left = v.select(
         "id", "vec", F.col("blk").alias("bi"),
         F.explode(F.sequence(F.col("blk"), F.lit(n_blocks - 1))).alias("bj"),
+        F.lit(0).alias("side"),
     )
     right = v.select(
         "id", "vec", F.col("blk").alias("bj"),
         F.explode(F.sequence(F.lit(0), F.col("blk"))).alias("bi"),
+        F.lit(1).alias("side"),
     )
 
-    def compare(key, lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+    def compare(key, pdf: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame({"id_a": pd.Series(dtype="int64"),
                               "id_b": pd.Series(dtype="int64")})
-        if len(lpdf) == 0 or len(rpdf) == 0:
+        l = pdf[pdf["side"] == 0]
+        r = pdf[pdf["side"] == 1]
+        if len(l) == 0 or len(r) == 0:
             return empty
         bi, bj = int(key[0]), int(key[1])
-        A = np.stack(lpdf["vec"].to_numpy()).astype(np.float64)
-        B = np.stack(rpdf["vec"].to_numpy()).astype(np.float64)
+        A = np.stack(l["vec"].to_numpy()).astype(np.float64)
+        B = np.stack(r["vec"].to_numpy()).astype(np.float64)
         An = np.linalg.norm(A, axis=1, keepdims=True)
         Bn = np.linalg.norm(B, axis=1, keepdims=True)
         A /= np.where(An == 0.0, 1.0, An)
         B /= np.where(Bn == 0.0, 1.0, Bn)
         S = A @ B.T
         ia, ib = np.nonzero(S >= threshold)
-        id_a = lpdf["id"].to_numpy()[ia]
-        id_b = rpdf["id"].to_numpy()[ib]
+        id_a = l["id"].to_numpy()[ia]
+        id_b = r["id"].to_numpy()[ib]
         if bi == bj:  # same set on both sides: keep strict upper triangle
             keep = id_a < id_b
             return pd.DataFrame({"id_a": id_a[keep], "id_b": id_b[keep]})
@@ -92,8 +103,8 @@ def threshold_pairs_gemm(
         return pd.DataFrame({"id_a": lo, "id_b": hi})
 
     return (
-        left.groupBy("bi", "bj")
-        .cogroup(right.groupBy("bi", "bj"))
+        left.unionByName(right)
+        .groupBy("bi", "bj")
         .applyInPandas(compare, "id_a long, id_b long")
     )
 

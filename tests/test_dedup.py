@@ -82,6 +82,17 @@ def test_numpy_topk_matches_exact(emb):
     assert exact == vec
 
 
+def test_threshold_pairs_gemm_survives_count(emb):
+    """Regression: the blocked-GEMM pair join must produce identical results
+    under count() and collect(). The original self-cogroup implementation
+    miscompiled under count() (whole-plan column pruning stripped the Python
+    UDF's right-side input columns → KeyError in the worker)."""
+    from hpmr_spark.similarity.vectorized import threshold_pairs_gemm
+
+    pairs = threshold_pairs_gemm(emb, threshold=0.45)
+    assert pairs.count() == len(pairs.collect())
+
+
 def test_numpy_topk_refuses_huge_query_collect(emb):
     """The driver-side collect of the query set is guarded (mirrors
     KeyedMap.to_dict): an oversized query frame must raise, not OOM."""
