@@ -35,6 +35,7 @@ _MODULES = [
     "hpmr_spark.operators.streaming_queries",
     "hpmr_spark.operators.skew_queries",
     "hpmr_spark.operators.sink_queries",
+    "hpmr_spark.operators.relational11",
 ]
 
 FAILED_MODULES: dict[str, str] = {}

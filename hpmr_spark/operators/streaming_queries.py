@@ -12,8 +12,26 @@ from hpmr_spark.catalog import register
 from hpmr_spark.streaming.windows import (
     sliding_window_activity,
     stateful_user_totals,
+    stream_static_enrich,
     tumbling_window_counts,
 )
+
+
+@register(
+    "streaming_static_enrich",
+    """
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+           c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+    FROM events JOIN customer ON user_id = c_custkey
+    GROUP BY window_start, c_mktsegment
+    """,
+)
+def streaming_static_enrich(spark, sf_dir):
+    """Stream-static broadcast enrichment before the windowed agg (the
+    enrich-then-aggregate feature-pipeline topology)."""
+    return stream_static_enrich(spark, sf_dir)
 
 
 @register(

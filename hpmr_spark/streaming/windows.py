@@ -109,6 +109,27 @@ def sliding_window_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(F.col("w.start").alias("window_start"), "n_events")
 
 
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment: the event stream joins a static dimension
+    (customer) BEFORE the windowed aggregation. The static side is re-read
+    per micro-batch and broadcast — no stream-side shuffle for the join, no
+    watermark requirement on the static side; this is the standard
+    enrich-then-aggregate topology for feature/metric pipelines."""
+    ev = _events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    joined = ev.join(F.broadcast(cust), "user_id", "inner")
+    agg = joined.groupBy(F.window("ts", "1 hour").alias("w"), "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_cents"),
+    )
+    out = _run_to_table(agg, "enrich", "complete")
+    return out.select(
+        F.col("w.start").alias("window_start"), "c_mktsegment", "n_events", "value_cents"
+    )
+
+
 STATE_SCHEMA = "n long, cents long"
 OUTPUT_SCHEMA = "user_id long, n_events long, value_cents long"
 

@@ -38,6 +38,7 @@ SKIP = {
     "sink_partitioned_pruned",
     "streaming_session_windows",
     "streaming_foreachbatch_sink",
+    "streaming_static_enrich",
     "graph_pagerank_trade",  # plan depends on cache materialization state
 }
 
