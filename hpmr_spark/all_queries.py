@@ -36,6 +36,7 @@ _MODULES = [
     "hpmr_spark.operators.skew_queries",
     "hpmr_spark.operators.sink_queries",
     "hpmr_spark.operators.relational11",
+    "hpmr_spark.operators.relational12",
 ]
 
 FAILED_MODULES: dict[str, str] = {}
