@@ -37,6 +37,7 @@ _MODULES = [
     "hpmr_spark.operators.sink_queries",
     "hpmr_spark.operators.relational11",
     "hpmr_spark.operators.relational12",
+    "hpmr_spark.operators.corpus_pipeline",
 ]
 
 FAILED_MODULES: dict[str, str] = {}
@@ -57,7 +58,9 @@ for _m in _MODULES:
 # embedding, multimodal, skew, sinks) inside that window; everything else
 # keeps its original relative order behind it. Queries dropped from the
 # round-1 window were all driver-green there and stay covered by
-# tools/selfcheck.py (all 149) every round.
+# tools/selfcheck.py (the full registry) every round. Round 2 swapped the
+# corpus-pipeline batch's riskiest four (packing, contamination,
+# quantization, vocab encode) in for four family-duplicate safe entries.
 _CHECK_FIRST = [
     "mapreduce_revenue_by_order",  # flagship — keep first (entry() twin)
     "q1_pricing_summary",
@@ -92,8 +95,8 @@ _CHECK_FIRST = [
     "dedup_incremental_epochs",
     "similarity_topk_numpy",
     "text_token_stats",
-    "text_fingerprint",
-    "dedup_exact_groups",
+    "pack_sequences_ctx512",
+    "embedding_quantize_int8",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_simhash_pairs",
@@ -102,12 +105,12 @@ _CHECK_FIRST = [
     "similarity_planted_neardup_lsh",
     "similarity_cosine_topk",
     "multimodal_audio_features",
-    "multimodal_frame_sample",
+    "contamination_check_5gram",
     "streaming_session_windows",
     "streaming_stateful_user_totals",
     "streaming_tumbling_counts",
     "skew_salted_join_revenue",
-    "skew_diagnostics_orders",
+    "vocab_topn_encode",
     "sink_xml_roundtrip",
 ]
 

@@ -38,6 +38,12 @@ REPRESENTATIVE = [
     "dedup_levenshtein_fuzzy",
     "window_moving_avg_7row",
     "mapinarrow_embedding_norms",
+    # corpus-pipeline batch: packing (global prefix sum), mixing (hash
+    # gating), contamination (broadcast semi), quantization (row-local)
+    "pack_sequences_ctx512",
+    "mixture_weighted_sources",
+    "contamination_check_5gram",
+    "embedding_quantize_int8",
 ]
 
 
