@@ -41,6 +41,18 @@ BENCH_QUERIES = [
     "streaming_tumbling_counts",    # structured streaming epoch
 ]
 
+# Round-2 additions — timed and reported under "extra_queries" but NOT in
+# the headline total, so "value" stays comparable with BENCH_r01/BASELINE
+# (VERDICT r1 #8: new heavy operators get their own entries, never replace
+# or dilute the stable set).
+BENCH_EXTRA = [
+    "pack_sequences_ctx512",        # corpus packing (global prefix sum)
+    "contamination_check_5gram",    # 5-gram overlap vs held-out set
+    "embedding_quantize_int8",      # row-local int8 quantization
+    "chunk_sliding_window64",       # declarative sliding chunker
+    "vocab_topn_encode",            # df vocab + broadcast encode
+]
+
 
 def main() -> int:
     from __spark_entry__ import queries
@@ -61,6 +73,13 @@ def main() -> int:
         df.write.mode("overwrite").format("noop").save()
         timings[name] = round(time.time() - t0, 3)
 
+    extra: dict[str, float] = {}
+    for name in BENCH_EXTRA:
+        t0 = time.time()
+        df = qs[name](spark, SF_DIR)
+        df.write.mode("overwrite").format("noop").save()
+        extra[name] = round(time.time() - t0, 3)
+
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(
@@ -70,6 +89,8 @@ def main() -> int:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "extra_queries": extra,
+                "extra_total_sec": round(sum(extra.values()), 3),
                 "sf": float(sf),
             }
         )

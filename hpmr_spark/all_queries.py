@@ -38,6 +38,7 @@ _MODULES = [
     "hpmr_spark.operators.relational11",
     "hpmr_spark.operators.relational12",
     "hpmr_spark.operators.corpus_pipeline",
+    "hpmr_spark.operators.sketch_udaf_queries",
 ]
 
 FAILED_MODULES: dict[str, str] = {}
@@ -85,10 +86,10 @@ _CHECK_FIRST = [
     "sessionize_clicks",
     "nonequi_band_join",
     "percentile_quantity_by_flag",
-    "corr_qty_discount_exact",
+    "sketch_countmin_status",
     "grouped_map_lang_stats",
     "mapinarrow_embedding_norms",
-    "hof_zipwith_dot_product",
+    "pandas_udaf_median_qty",
     "pandas_udf_token_count",
     "bucketed_join_revenue",
     "stratified_sample_per_lang",

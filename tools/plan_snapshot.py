@@ -32,6 +32,7 @@ SKIP = {
     "sink_json_roundtrip",
     "dedup_cluster_components",  # iterative: checkpoints at build
     "dedup_incremental_epochs",
+    "sketch_countmin_status",  # driver-side sketch build + collect
     "text_tfidf_scaled",  # driver-side count during build
     "sink_orc_roundtrip",
     "sink_xml_roundtrip",
