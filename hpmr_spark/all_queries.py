@@ -39,6 +39,7 @@ _MODULES = [
     "hpmr_spark.operators.relational12",
     "hpmr_spark.operators.corpus_pipeline",
     "hpmr_spark.operators.sketch_udaf_queries",
+    "hpmr_spark.operators.corpus_stats_queries",
 ]
 
 FAILED_MODULES: dict[str, str] = {}

@@ -44,6 +44,9 @@ REPRESENTATIVE = [
     "mixture_weighted_sources",
     "contamination_check_5gram",
     "embedding_quantize_int8",
+    # corpus-stats batch: bigram shuffle agg, exact-integer centroids
+    "bigram_lm_counts",
+    "embedding_centroids_exact",
 ]
 
 
