@@ -99,6 +99,53 @@ def pagerank_probe(spark, m: int, fanout: int = 8, iters: int = 3):
 
 
 
+def corpus_probe(spark, n: int):
+    """Write a synthetic documents+embeddings 'sf' directory and run the
+    round-2 corpus-pipeline queries exactly as registered (same plans the
+    driver checks), so the scaling numbers measure the real operators."""
+    import shutil
+    import tempfile
+
+    from __spark_entry__ import queries
+
+    qs = queries()
+    tmp = tempfile.mkdtemp(prefix="scale_corpus_")
+    try:
+        docs = synth_docs(spark, n).select(
+            "doc_id",
+            "text",
+            F.concat(F.lit("l"), (F.col("doc_id") % 5).cast("string")).alias("lang"),
+            F.concat(F.lit("src"), (F.col("doc_id") % 20).cast("string")).alias("source"),
+            F.length("text").alias("n_chars"),
+        )
+        docs.write.mode("overwrite").parquet(f"{tmp}/documents.parquet")
+        emb = spark.range(n // 5).select(
+            F.col("id").alias("vec_id"),
+            F.expr(
+                "transform(sequence(1, 64), i -> CAST((pmod(xxhash64(id * 64 + i),"
+                " 2000) - 1000) / 1000.0 AS FLOAT))"
+            ).alias("embedding"),
+            (F.col("id") % 10).cast("int").alias("label"),
+        )
+        emb.write.mode("overwrite").parquet(f"{tmp}/embeddings.parquet")
+
+        for name in [
+            "pack_sequences_ctx512",
+            "chunk_sliding_window64",
+            "vocab_topn_encode",
+            "contamination_check_5gram",
+            "bigram_lm_counts",
+            "text_repetition_stats",
+            "embedding_quantize_int8",
+            "embedding_centroids_exact",
+        ]:
+            t0 = time.time()
+            cnt = qs[name](spark, tmp).count()
+            print(f"{name}: {cnt} rows in {time.time()-t0:.1f}s")
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
     from hpmr_spark.engine import get_spark
@@ -148,6 +195,8 @@ def main():
     t0 = time.time()
     total = pagerank_probe(spark, m).agg(F.sum("pr")).collect()[0][0]
     print(f"pagerank: {m} nodes x3 iters, mass {total} ppb in {time.time()-t0:.1f}s")
+
+    corpus_probe(spark, n)
 
     spark.stop()
 
