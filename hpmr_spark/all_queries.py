@@ -40,6 +40,7 @@ _MODULES = [
     "hpmr_spark.operators.corpus_pipeline",
     "hpmr_spark.operators.sketch_udaf_queries",
     "hpmr_spark.operators.corpus_stats_queries",
+    "hpmr_spark.operators.graph_ml_queries",
 ]
 
 FAILED_MODULES: dict[str, str] = {}
@@ -86,7 +87,7 @@ _CHECK_FIRST = [
     "asof_join_purchase_view",
     "sessionize_clicks",
     "nonequi_band_join",
-    "percentile_quantity_by_flag",
+    "kmeans_assign_step",
     "sketch_countmin_status",
     "grouped_map_lang_stats",
     "mapinarrow_embedding_norms",
@@ -96,7 +97,7 @@ _CHECK_FIRST = [
     "stratified_sample_per_lang",
     "dedup_incremental_epochs",
     "similarity_topk_numpy",
-    "text_token_stats",
+    "text_repetition_stats",
     "pack_sequences_ctx512",
     "embedding_quantize_int8",
     "dedup_ngram_jaccard",

@@ -1,0 +1,186 @@
+"""Graph + ML batch: triangle counting over the trade graph and one exact
+k-means assignment step over the embeddings table.
+
+Reference parity: both are chained keyed-mapreduce workloads (the
+reference's epoch pattern, /root/reference/src/dist_map.h:256-279) —
+triangles are two keyed joins over an edge list, k-means assignment is a
+broadcast of small state (centroids) against a scan, exactly the shape of
+`get`-side lookups against a built DistMap.
+
+Determinism: trade edges use the committed integer cross-multiplied
+threshold (shared with graph_pagerank_trade); centroids are integer-micros
+floor-divided (a committed quantization, identical in both engines);
+distances are exact integer L2² with a (dist, label) struct-min tie-break.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hpmr_spark.catalog import register, _t
+
+
+# ---------------------------------------------------------------------------
+# Triangle counting on the undirected trade graph.
+# ---------------------------------------------------------------------------
+_TRI_ORACLE = """
+    WITH pe AS (
+      SELECT c_nationkey AS src, s_nationkey AS dst,
+             CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS v
+      FROM customer
+        JOIN orders   ON o_custkey = c_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN supplier ON s_suppkey = l_suppkey
+      GROUP BY 1, 2
+    ),
+    tot AS (SELECT CAST(SUM(v) AS BIGINT) AS t FROM pe),
+    und AS (
+      SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS w
+      FROM pe, tot WHERE v * 625 > t AND src <> dst
+    ),
+    tri AS (
+      SELECT e1.u AS a, e1.w AS b, e2.w AS c
+      FROM und e1
+      JOIN und e2 ON e2.u = e1.w
+      JOIN und e3 ON e3.u = e1.u AND e3.w = e2.w
+    ),
+    x AS (
+      SELECT a AS node FROM tri
+      UNION ALL SELECT b FROM tri
+      UNION ALL SELECT c FROM tri
+    )
+    SELECT CAST(node AS BIGINT) AS nationkey,
+           CAST(COUNT(*) AS BIGINT) AS n_triangles
+    FROM x GROUP BY node
+"""
+
+
+@register("graph_triangle_count", _TRI_ORACLE)
+def graph_triangle_count(spark, sf_dir):
+    """Per-node triangle counts on the undirected trade graph (same
+    committed edge threshold as graph_pagerank_trade — one revenue agg
+    feeds both). The (a<b<c) canonical ordering makes each triangle count
+    exactly once with no division by 6: edge lists store u<w, the wedge
+    join extends b to c>b, and the closing edge (a, c) is a semi-join.
+    Scale: the classic two-join triangle plan; at real graph sizes the
+    wedge explosion is bounded by degree — the high-degree mitigation
+    (order by degree instead of id) is documented, not needed at 25
+    nodes. Edges are tiny after aggregation → both joins broadcast."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+
+    pe = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .groupBy(F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst"))
+        .agg(F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias("v"))
+    )
+    tot = pe.agg(F.sum("v").cast("long").alias("t"))
+    und = (
+        pe.crossJoin(F.broadcast(tot))
+        .where((F.col("v") * 625 > F.col("t")) & (F.col("src") != F.col("dst")))
+        .select(
+            F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("w")
+        )
+        .distinct()
+    )
+    e1 = und.select(F.col("u").alias("a"), F.col("w").alias("b"))
+    e2 = und.select(F.col("u").alias("b"), F.col("w").alias("c"))
+    e3 = und.select(F.col("u").alias("a"), F.col("w").alias("c"))
+    tri = e1.join(F.broadcast(e2), "b").join(F.broadcast(e3), ["a", "c"])
+    nodes = (
+        tri.select(F.col("a").alias("node"))
+        .unionAll(tri.select(F.col("b").alias("node")))
+        .unionAll(tri.select(F.col("c").alias("node")))
+    )
+    return nodes.groupBy("node").agg(F.count(F.lit(1)).alias("n_triangles")).select(
+        F.col("node").cast("long").alias("nationkey"), "n_triangles"
+    )
+
+
+# ---------------------------------------------------------------------------
+# One exact k-means assignment step (centroid build + nearest-centroid).
+# ---------------------------------------------------------------------------
+_KMEANS_ORACLE = """
+    WITH vi AS (
+      SELECT vec_id, label,
+             CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS v,
+             generate_subscripts(embedding, 1) AS dim
+      FROM embeddings
+    ),
+    cent AS (
+      SELECT label AS clabel, dim,
+             CAST(SUM(v) AS BIGINT) // CAST(COUNT(*) AS BIGINT) AS c
+      FROM vi GROUP BY label, dim
+    ),
+    dist AS (
+      SELECT vi.vec_id, vi.label, cent.clabel,
+             CAST(SUM((vi.v - cent.c) * (vi.v - cent.c)) AS BIGINT) AS d2
+      FROM vi JOIN cent ON vi.dim = cent.dim
+      GROUP BY vi.vec_id, vi.label, cent.clabel
+    ),
+    ranked AS (
+      SELECT vec_id, label, clabel,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY d2, clabel) AS rn
+      FROM dist
+    )
+    SELECT CAST(label AS BIGINT) AS true_label,
+           CAST(clabel AS BIGINT) AS assigned_label,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs
+    FROM ranked WHERE rn = 1
+    GROUP BY label, clabel
+"""
+
+
+@register("kmeans_assign_step", _KMEANS_ORACLE)
+def kmeans_assign_step(spark, sf_dir):
+    """One full k-means iteration step, exact: per-label centroids in
+    floor-divided integer micros (the committed quantization — both
+    engines compute identical centroid integers), then every vector is
+    assigned to the nearest centroid by exact integer squared-L2 with a
+    (distance, label) struct-min tie-break, and the (true, assigned)
+    confusion matrix comes back. Spark shape: centroids reduce to
+    k×dims integers and broadcast; the assignment is one corpus scan with
+    a zip_with fold per (vector, centroid) — no shuffle of embeddings.
+    At 100 TB this is exactly Lloyd's-iteration-on-Spark: small state
+    broadcast, scan-side argmin, one tiny confusion agg. µ-integer max
+    |v|≈1e6 → per-dim delta² ≤ 4e12, ×64 dims ≤ 2.6e14 — safely in
+    BIGINT."""
+    e = _t(spark, sf_dir, "embeddings")
+    vi = e.select(
+        "vec_id",
+        "label",
+        F.expr(
+            "transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000)"
+            " AS BIGINT))"
+        ).alias("v"),
+    )
+    ex = vi.select(
+        "label", F.posexplode("v").alias("dim0", "val")
+    ).groupBy("label", "dim0").agg(
+        F.expr("CAST(SUM(val) AS BIGINT) div CAST(COUNT(1) AS BIGINT)").alias("c")
+    )
+    cents = ex.groupBy(F.col("label").alias("clabel")).agg(
+        F.expr("transform(array_sort(collect_list(struct(dim0, c))), s -> s.c)")
+        .alias("cv")
+    )
+    joined = vi.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "label",
+        "clabel",
+        F.expr(
+            "aggregate(zip_with(v, cv, (a, b) -> (a - b) * (a - b)), "
+            "CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+        ).alias("d2"),
+    )
+    best = joined.groupBy("vec_id", "label").agg(
+        F.min(F.struct("d2", "clabel")).alias("m")
+    )
+    return best.groupBy(
+        F.col("label").cast("long").alias("true_label"),
+        F.col("m.clabel").cast("long").alias("assigned_label"),
+    ).agg(F.count(F.lit(1)).alias("n_vecs"))

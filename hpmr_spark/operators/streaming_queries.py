@@ -230,3 +230,47 @@ def streaming_foreachbatch_sink(spark, sf_dir):
     )
     q.awaitTermination()
     return spark.read.parquet(path)
+
+
+@register(
+    "streaming_dedup_against_corpus",
+    """
+    WITH f AS (
+      SELECT doc_id,
+             md5(array_to_string(string_split(text, ' ')[1:5], ' ')) AS fp
+      FROM documents
+    )
+    SELECT doc_id, fp FROM f
+    WHERE doc_id >= 250
+      AND fp NOT IN (SELECT fp FROM f WHERE doc_id < 250)
+    """,
+)
+def streaming_dedup_against_corpus(spark, sf_dir):
+    """Streaming ingest dedup against an existing corpus: arriving
+    documents (the doc_id ≥ 250 half, streamed through the file source)
+    are anti-joined on a 5-word-prefix shingle fingerprint against the
+    static fingerprint set of the already-ingested corpus (doc_id < 250)
+    — the new-data-vs-history shape every incremental pretraining ingest
+    runs (prefix fingerprints, not full-text hashes, so boilerplate-opening
+    near-dups drop too; 13 docs are filtered on this corpus). Stream-static
+    LEFT ANTI is stateless (no watermark, no state store): each micro-batch
+    scans only its new files, and the static side is a broadcast of
+    fingerprints, never text. The batch oracle is the same anti-join as
+    one SQL query."""
+    from pyspark.sql import functions as F
+
+    from hpmr_spark.streaming.windows import _docs_stream, _run_to_table
+
+    prefix_fp = F.md5(F.array_join(F.slice(F.split("text", " "), 1, 5), " "))
+    docs = _docs_stream(spark, sf_dir)
+    arriving = docs.where(F.col("doc_id") >= 250).select(
+        "doc_id", prefix_fp.alias("fp")
+    )
+    corpus_fps = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .where(F.col("doc_id") < 250)
+        .select(prefix_fp.alias("fp"))
+        .distinct()
+    )
+    surviving = arriving.join(corpus_fps, "fp", "left_anti").select("doc_id", "fp")
+    return _run_to_table(surviving, "corpusdedup", "append")

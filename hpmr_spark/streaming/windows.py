@@ -57,6 +57,24 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _docs_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream the documents table (file source needs a directory — same
+    symlink trick as _events_stream). The corpus-ingest topology: new
+    documents arrive as files and flow through stateless/stateful dedup
+    before they reach training storage."""
+    import os
+    import tempfile
+
+    path = f"{sf_dir}/documents.parquet"
+    key = ("docs", sf_dir)
+    if key not in _stream_dirs:
+        d = tempfile.mkdtemp(prefix="hpmr_docs_stream_")
+        os.symlink(path, os.path.join(d, "documents.parquet"))
+        _stream_dirs[key] = d
+    schema = spark.read.parquet(path).schema
+    return spark.readStream.schema(schema).parquet(_stream_dirs[key])
+
+
 def _run_to_table(stream_df: DataFrame, label: str, output_mode: str) -> DataFrame:
     """Run an AvailableNow stream into a memory sink and return its table.
 

@@ -33,6 +33,7 @@ SKIP = {
     "dedup_cluster_components",  # iterative: checkpoints at build
     "dedup_incremental_epochs",
     "sketch_countmin_status",  # driver-side sketch build + collect
+    "streaming_dedup_against_corpus",
     "text_tfidf_scaled",  # driver-side count during build
     "sink_orc_roundtrip",
     "sink_xml_roundtrip",
