@@ -41,6 +41,10 @@ _MODULES = [
     "hpmr_spark.operators.sketch_udaf_queries",
     "hpmr_spark.operators.corpus_stats_queries",
     "hpmr_spark.operators.graph_ml_queries",
+    "hpmr_spark.operators.corpus_quality_queries",
+    "hpmr_spark.operators.relational13",
+    "hpmr_spark.operators.stats_layout_queries",
+    "hpmr_spark.operators.analytics_queries",
 ]
 
 FAILED_MODULES: dict[str, str] = {}
@@ -63,7 +67,10 @@ for _m in _MODULES:
 # round-1 window were all driver-green there and stay covered by
 # tools/selfcheck.py (the full registry) every round. Round 2 swapped the
 # corpus-pipeline batch's riskiest four (packing, contamination,
-# quantization, vocab encode) in for four family-duplicate safe entries.
+# quantization, vocab encode) in for four family-duplicate safe entries;
+# later round-2 swaps put the corpus-quality/relational13 riskiest four
+# (bigram-LM doc score, SCD2 intervals, IGNORE-NULLS LOCF, regex scrub)
+# in for four more family-duplicate safe entries.
 _CHECK_FIRST = [
     "mapreduce_revenue_by_order",  # flagship — keep first (entry() twin)
     "q1_pricing_summary",
@@ -85,7 +92,7 @@ _CHECK_FIRST = [
     "session_window_builtin",
     "window_value_functions",
     "asof_join_purchase_view",
-    "sessionize_clicks",
+    "scd2_user_event_history",
     "nonequi_band_join",
     "kmeans_assign_step",
     "sketch_countmin_status",
@@ -102,16 +109,16 @@ _CHECK_FIRST = [
     "embedding_quantize_int8",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
-    "dedup_simhash_pairs",
+    "doc_lm_score_ppm",
     "dedup_cluster_components",
     "dedup_embedding_cosine",
     "similarity_planted_neardup_lsh",
-    "similarity_cosine_topk",
+    "locf_gap_fill_values",
     "multimodal_audio_features",
     "contamination_check_5gram",
     "streaming_session_windows",
     "streaming_stateful_user_totals",
-    "streaming_tumbling_counts",
+    "pii_scrub_props",
     "skew_salted_join_revenue",
     "vocab_topn_encode",
     "sink_xml_roundtrip",

@@ -1,0 +1,312 @@
+"""Corpus-quality batch: doc-level LM scoring, stopword discovery +
+content ratio, PII-style masking, inverted-index postings, curriculum
+shard assignment.
+
+These are the quality-filtering / indexing stages of a pretraining-data
+pipeline (CCNet/Gopher-style), each expressed as a single declarative
+Catalyst plan. Reference parity: all are keyed-aggregation workloads —
+the reference's sync() combine loop (/root/reference/src/dist_map.h:147-210)
+over corpus keys.
+
+Determinism rules (CLAUDE.md): probabilities and ratios in integer ppm via
+floor division on non-negative operands; token sets stringified after an
+explicit sort; masked text compared via md5 (the only cross-engine hash).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from hpmr_spark.catalog import register, _t
+
+
+# ---------------------------------------------------------------------------
+# Per-document LM score under the corpus bigram model (perplexity proxy).
+# ---------------------------------------------------------------------------
+@register(
+    "doc_lm_score_ppm",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(string_split(text, ' ')) AS w,
+             generate_subscripts(string_split(text, ' '), 1) AS i
+      FROM documents
+    ),
+    bi AS (
+      SELECT a.doc_id, a.w AS w1, b.w AS w2
+      FROM toks a JOIN toks b
+        ON a.doc_id = b.doc_id AND b.i = a.i + 1
+    ),
+    c AS (
+      SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n FROM bi GROUP BY w1, w2
+    ),
+    lm AS (
+      SELECT w1, w2,
+             CAST(n * 1000000 // SUM(n) OVER (PARTITION BY w1) AS BIGINT)
+               AS p_ppm
+      FROM c
+    )
+    SELECT bi.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM(p_ppm) AS BIGINT) AS sum_ppm,
+           CAST(SUM(p_ppm) // COUNT(*) AS BIGINT) AS mean_ppm
+    FROM bi JOIN lm ON bi.w1 = lm.w1 AND bi.w2 = lm.w2
+    GROUP BY bi.doc_id
+    """,
+)
+def doc_lm_score_ppm(spark, sf_dir):
+    """Perplexity-proxy quality score: mean conditional bigram probability
+    P(w2|w1) (integer ppm) of each document under the LM estimated from the
+    WHOLE corpus — the classic fluency filter, without logs or floats so the
+    score is exact and parallel-sum-safe. Plan: one explode builds (doc_id,
+    w1, w2) pairs (persisted — it feeds both the global count agg and the
+    score join; Catalyst has no cross-tree CSE), the LM table is
+    vocab²-bounded and broadcast back onto the pairs, then ONE shuffle per
+    stage: groupBy(w1,w2) → broadcast join → groupBy(doc_id). At 100 TB the
+    corpus streams through twice while LM state stays vocab²-bounded."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("a")
+    )
+    pairs = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "zip_with(slice(a, 1, size(a) - 1), slice(a, 2, size(a) - 1), "
+                "(x, y) -> struct(x AS w1, y AS w2))"
+            )
+        ).alias("p"),
+    ).select("doc_id", "p.w1", "p.w2")
+    pairs = pairs.persist()
+    c = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n"))
+    lm = c.withColumn(
+        "p_ppm", F.expr("n * 1000000 div sum(n) over (partition by w1)")
+    ).select("w1", "w2", "p_ppm")
+    scored = (
+        pairs.join(F.broadcast(lm), ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("p_ppm").alias("sum_ppm"),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        "n_bigrams",
+        "sum_ppm",
+        F.expr("sum_ppm div n_bigrams").alias("mean_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Corpus-driven stopword discovery: document frequency per token.
+# ---------------------------------------------------------------------------
+@register(
+    "stopword_discovery_df",
+    """
+    WITH toks AS (
+      SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w
+      FROM documents
+    )
+    SELECT w AS token,
+           CAST(COUNT(*) AS BIGINT) AS df,
+           COUNT(*) * 100 >= (SELECT COUNT(*) FROM documents) * 60 AS is_stop
+    FROM toks GROUP BY w
+    """,
+)
+def stopword_discovery_df(spark, sf_dir):
+    """Data-driven stopword list: document frequency per token, flagged
+    stop when the token appears in ≥60% of documents. The threshold test is
+    integer cross-multiplication (df·100 ≥ n_docs·60) — no float ratio ever
+    decides the flag. Plan: explode → per-doc distinct → ONE groupBy(token);
+    the corpus total is a 1-row broadcast. Output is vocab-sized — this is
+    the table the content-ratio filter broadcasts back over the corpus."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    ).distinct()
+    total = d.select(F.count(F.lit(1)).alias("n_docs"))
+    df = toks.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        df.crossJoin(F.broadcast(total))
+        .select(
+            F.col("w").alias("token"),
+            "df",
+            (F.col("df") * 100 >= F.col("n_docs") * 60).alias("is_stop"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-document content ratio after removing discovered stopwords.
+# ---------------------------------------------------------------------------
+@register(
+    "doc_content_ratio_ppm",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS w
+      FROM documents
+    ),
+    stop AS (
+      SELECT w
+      FROM (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w
+            FROM documents) t
+      GROUP BY w
+      HAVING COUNT(*) * 100 >= (SELECT COUNT(*) FROM documents) * 60
+    )
+    SELECT t.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN s.w IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_content,
+           CAST(SUM(CASE WHEN s.w IS NULL THEN 1 ELSE 0 END) * 1000000
+                // COUNT(*) AS BIGINT) AS content_ppm
+    FROM toks t LEFT JOIN stop s ON t.w = s.w
+    GROUP BY t.doc_id
+    """,
+)
+def doc_content_ratio_ppm(spark, sf_dir):
+    """Boilerplate-pressure signal: fraction (ppm) of each document's tokens
+    that are NOT corpus-discovered stopwords — the 'how much content is
+    left after cleaning' stage of a C4-style pipeline. The stop list is
+    derived in-plan (df ≥ 60% of docs) and broadcast as a left join; the
+    corpus makes one pass to build the list and one to score. At 100 TB the
+    stop list stays vocab-bounded (broadcastable), and the score shuffle
+    keys on doc_id only."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    total = d.select(F.count(F.lit(1)).alias("n_docs"))
+    stop = (
+        toks.distinct()
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .crossJoin(F.broadcast(total))
+        .where(F.col("df") * 100 >= F.col("n_docs") * 60)
+        .select("w", F.lit(True).alias("_stop"))
+    )
+    return (
+        toks.join(F.broadcast(stop), "w", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.when(F.col("_stop").isNull(), 1).otherwise(0)).alias(
+                "n_content"
+            ),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_content",
+            F.expr("n_content * 1000000 div n_tokens").alias("content_ppm"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII-style masking: redact digit runs from event props, count + fingerprint.
+# ---------------------------------------------------------------------------
+@register(
+    "pii_scrub_props",
+    """
+    SELECT event_id,
+           CAST(len(regexp_extract_all(props, '[0-9]+')) AS BIGINT)
+             AS n_digit_runs,
+           md5(regexp_replace(props, '[0-9]+', '#', 'g')) AS masked_md5
+    FROM events
+    """,
+)
+def pii_scrub_props(spark, sf_dir):
+    """PII-redaction plumbing: mask every digit run in the raw payload,
+    count how many spans were redacted, and fingerprint the masked text
+    (md5 — the one cross-engine hash). The regex is intentionally plain
+    ASCII-class ('[0-9]+') so Java regex (Spark) and RE2 (DuckDB) agree;
+    production patterns (emails, phones, SSNs) drop into the same plan
+    shape. Embarrassingly parallel — no shuffle at all: scan → project,
+    whole-stage codegen, which is exactly what a redaction pass over
+    100 TB must be."""
+    e = _t(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.expr("CAST(size(regexp_extract_all(props, '[0-9]+', 0)) AS BIGINT)").alias(
+            "n_digit_runs"
+        ),
+        F.md5(F.regexp_replace("props", "[0-9]+", "#")).alias("masked_md5"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Inverted index: token → document-frequency + capped sorted posting list.
+# ---------------------------------------------------------------------------
+@register(
+    "inverted_index_postings",
+    """
+    WITH toks AS (
+      SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w
+      FROM documents
+    )
+    SELECT w AS token,
+           CAST(COUNT(*) AS BIGINT) AS df,
+           array_to_string(list_sort(list(doc_id))[1:5], ',') AS top5_docs
+    FROM toks GROUP BY w
+    """,
+)
+def inverted_index_postings(spark, sf_dir):
+    """Search-index build step: per-token document frequency plus the first
+    5 postings (sorted doc_ids, stringified — collect order is
+    partition-dependent, the sorted prefix is not). One explode + per-doc
+    distinct + ONE groupBy(token). At 100 TB the full posting lists would
+    go to a partitioned sink instead of a capped string, but the shuffle
+    key (token) and the sort-then-cap discipline are identical."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    ).distinct()
+    return toks.groupBy("w").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.expr(
+            "array_join(transform(slice(sort_array(collect_list(doc_id)), 1, 5), "
+            "x -> cast(x as string)), ',')"
+        ).alias("top5_docs"),
+    ).select(F.col("w").alias("token"), "df", "top5_docs")
+
+
+# ---------------------------------------------------------------------------
+# Curriculum shard assignment: quality-ordered round-robin sharding.
+# ---------------------------------------------------------------------------
+@register(
+    "curriculum_shards",
+    """
+    WITH r AS (
+      SELECT doc_id, n_chars,
+             ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id) AS rn
+      FROM documents
+    )
+    SELECT CAST((rn - 1) % 8 AS BIGINT) AS shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           CAST(MIN(rn) AS BIGINT) AS min_rank,
+           CAST(MAX(rn) AS BIGINT) AS max_rank
+    FROM r GROUP BY (rn - 1) % 8
+    """,
+)
+def curriculum_shards(spark, sf_dir):
+    """Curriculum sharding: rank documents by a quality proxy (length desc,
+    doc_id tie-break) and deal them round-robin into 8 shards so every
+    shard sees the same quality profile — the deterministic alternative to
+    random shuffling for training-data layout. The global row_number is the
+    documented holistic cost (one single-partition window at test scale);
+    the 100 TB variant is rank-within-range via RangePartitioner +
+    partition offsets (same technique as ordered_export_january), with the
+    modulo dealing unchanged."""
+    d = _t(spark, sf_dir, "documents")
+    w = Window.orderBy(F.col("n_chars").desc(), "doc_id")
+    r = d.select("doc_id", "n_chars", F.row_number().over(w).alias("rn"))
+    return (
+        r.withColumn("shard", ((F.col("rn") - 1) % 8).cast("long"))
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.min("rn").cast("long").alias("min_rank"),
+            F.max("rn").cast("long").alias("max_rank"),
+        )
+    )

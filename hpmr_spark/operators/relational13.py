@@ -1,0 +1,224 @@
+"""Relational batch 13: exact-moment linear regression, cume_dist /
+nth_value window surface, SCD Type-2 history build, and LOCF gap fill.
+
+Reference parity: keyed-aggregation + ordered-window workloads — the
+reference's sync() combine loop (/root/reference/src/dist_map.h:147-210)
+plus per-key ordered state, re-expressed as Catalyst window plans.
+
+Determinism: regression moments follow the exact-integer-moments rule
+(BIGINT sums per group, one final double expression — corr_qty_discount
+pattern); window orderings carry a full tie-break (event_id / p_partkey);
+interval edges are epoch-micros BIGINTs, never floats.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from hpmr_spark.catalog import register, _t
+
+
+# ---------------------------------------------------------------------------
+# Exact-moment linear regression (regr_slope / regr_intercept parity).
+# ---------------------------------------------------------------------------
+@register(
+    "regression_moments_qty_price",
+    """
+    WITH m AS (
+      SELECT l_returnflag,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sx,
+             CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+               AS sy_cents,
+             CAST(SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT))
+               AS BIGINT) AS sxx,
+             CAST(SUM(CAST(l_quantity AS BIGINT)
+                      * CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+               AS BIGINT) AS sxy
+      FROM lineitem GROUP BY l_returnflag)
+    SELECT l_returnflag, n, sx, sy_cents, sxx, sxy,
+           (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sy_cents AS DOUBLE))
+           / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS slope_cents
+    FROM m
+    """,
+)
+def regression_moments_qty_price(spark, sf_dir):
+    """regr_slope parity without float accumulation: the five sufficient
+    moments (n, Σx, Σy, Σx², Σxy) are exact BIGINT sums — associative, so
+    map-side partial aggregation and any partition count give the same
+    bits — and the slope is ONE final double expression over those exact
+    integers (identical IEEE ops on both engines; no parallel float sum
+    ever happens). y is price in integer cents per row, the money rule.
+    At 100 TB this is the canonical two-level reduce: 4 numbers per group
+    cross the wire, not the rows."""
+    li = _t(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("long")
+    y = F.round(F.col("l_extendedprice") * 100).cast("long")
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy_cents"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(x * y).alias("sxy"),
+    )
+    slope = F.expr(
+        "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
+        " - CAST(sx AS DOUBLE) * CAST(sy_cents AS DOUBLE))"
+        " / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
+        " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+    )
+    return m.select(
+        "l_returnflag", "n", "sx", "sy_cents", "sxx", "sxy",
+        slope.alias("slope_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# cume_dist + nth_value window surface.
+# ---------------------------------------------------------------------------
+@register(
+    "window_cume_dist_nth",
+    """
+    SELECT p_partkey, p_brand,
+           CAST(ROUND(p_retailprice * 100) AS BIGINT) AS price_cents,
+           cume_dist() OVER w AS cd,
+           nth_value(CAST(ROUND(p_retailprice * 100) AS BIGINT), 2) OVER w
+             AS second_lowest_cents
+    FROM part
+    WINDOW w AS (PARTITION BY p_brand ORDER BY p_retailprice, p_partkey)
+    """,
+)
+def window_cume_dist_nth(spark, sf_dir):
+    """cume_dist + nth_value over a fully tie-broken ordering (price then
+    partkey — partkey is unique, so frames are deterministic). cume_dist is
+    an exact ratio of two integers — the same double division on both
+    engines; nth_value uses the default running frame, so rows before the
+    2nd are NULL on both engines. One shuffle on p_brand."""
+    p = _t(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy("p_retailprice", "p_partkey")
+    cents = F.round(F.col("p_retailprice") * 100).cast("long")
+    return p.select(
+        "p_partkey",
+        "p_brand",
+        cents.alias("price_cents"),
+        F.cume_dist().over(w).alias("cd"),
+        F.nth_value(cents, 2).over(w).alias("second_lowest_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# SCD Type-2 history: collapse consecutive states into validity intervals.
+# ---------------------------------------------------------------------------
+@register(
+    "scd2_user_event_history",
+    """
+    WITH o AS (
+      SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY epoch_us(ts), event_id)
+               AS prev_type
+      FROM events
+    ),
+    v AS (
+      SELECT event_id, user_id, event_type, ts_us,
+             SUM(CASE WHEN prev_type IS NULL OR prev_type <> event_type
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                     ROWS UNBOUNDED PRECEDING) AS version
+      FROM o
+    ),
+    iv AS (
+      SELECT user_id, CAST(version AS BIGINT) AS version, event_type,
+             CAST(MIN(ts_us) AS BIGINT) AS valid_from_us,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM v GROUP BY user_id, version, event_type
+    )
+    SELECT user_id, version, event_type, valid_from_us,
+           lead(valid_from_us) OVER (PARTITION BY user_id ORDER BY version)
+             AS valid_to_us,
+           n_events,
+           lead(valid_from_us) OVER (PARTITION BY user_id ORDER BY version)
+             IS NULL AS is_current
+    FROM iv
+    """,
+)
+def scd2_user_event_history(spark, sf_dir):
+    """Slowly-changing-dimension Type 2 build: per user, consecutive events
+    with the same event_type collapse into one version row with
+    [valid_from_us, valid_to_us) intervals; the open row is is_current.
+    Gaps-and-islands via lag + running sum on a fully tie-broken ordering
+    (ts, event_id), then one groupBy(user_id, version) and a lead() to
+    close each interval — two window passes and one shuffle, all keyed on
+    user_id so a 100 TB event log partitions cleanly."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", F.unix_micros("ts").alias("ts_us")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    chg = (
+        F.lag("event_type").over(w).isNull()
+        | (F.lag("event_type").over(w) != F.col("event_type"))
+    ).cast("long")
+    versions = ev.withColumn(
+        "version",
+        F.sum(chg).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    iv = versions.groupBy("user_id", "version", "event_type").agg(
+        F.min("ts_us").alias("valid_from_us"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    w2 = Window.partitionBy("user_id").orderBy("version")
+    return iv.select(
+        "user_id",
+        "version",
+        "event_type",
+        "valid_from_us",
+        F.lead("valid_from_us").over(w2).alias("valid_to_us"),
+        "n_events",
+        F.lead("valid_from_us").over(w2).isNull().alias("is_current"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# LOCF gap fill: carry the last valid observation forward per key.
+# ---------------------------------------------------------------------------
+@register(
+    "locf_gap_fill_values",
+    """
+    SELECT event_id, user_id,
+           event_type = 'error' AS is_gap,
+           last_value(CASE WHEN event_type <> 'error'
+                           THEN CAST(ROUND(value * 100) AS BIGINT) END
+                      IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS filled_cents
+    FROM events
+    """,
+)
+def locf_gap_fill_values(spark, sf_dir):
+    """Last-observation-carried-forward: error readings are gaps; each row
+    gets the most recent valid value (integer cents) of the same user at or
+    before it — NULL until the first valid one, matching both engines'
+    IGNORE NULLS running frame. One window pass, keyed on user_id, fully
+    tie-broken ordering (ts, event_id). The time-series repair primitive:
+    at 100 TB each key's history sorts within its partition, nothing else
+    moves."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    valid = F.when(
+        F.col("event_type") != "error",
+        F.round(F.col("value") * 100).cast("long"),
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        (F.col("event_type") == "error").alias("is_gap"),
+        F.last(valid, ignorenulls=True).over(w).alias("filled_cents"),
+    )

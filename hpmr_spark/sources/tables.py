@@ -35,17 +35,28 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.ts is parquet TIMESTAMP(NANOS), which Spark's reader rejects.
-    Read nanos as long (legacy conf, runtime-settable) and truncate to a
-    micros timestamp with exact integer division — `ts div 1000`, never
-    float division: epoch-nanos ≈ 1.7e18 exceeds double's 2^53 mantissa, so
-    `/1000` would corrupt microseconds. DuckDB truncates nanos→micros the
-    same way."""
+    """events.ts has shipped as both parquet TIMESTAMP(NANOS) (round 1) and
+    TIMESTAMP(MICROS) (round 2 regeneration) — adapt to whichever this
+    sf_dir holds.
+
+    NANOS: Spark's reader rejects it; read nanos as long (legacy conf,
+    runtime-settable) and truncate to a micros timestamp with exact integer
+    division — `ts div 1000`, never float division: epoch-nanos ≈ 1.7e18
+    exceeds double's 2^53 mantissa, so `/1000` would corrupt microseconds.
+    DuckDB truncates nanos→micros the same way.
+
+    MICROS: Spark 4 infers TIMESTAMP_NTZ from these files; cast to the
+    session-zone TIMESTAMP the queries were written against (identity —
+    the engine pins spark.sql.session.timeZone=UTC)."""
     from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-    return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    ts_type = df.schema["ts"].dataType
+    if isinstance(ts_type, LongType):
+        return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def load_tables(spark: SparkSession, sf_dir: str, names=TABLES) -> dict[str, DataFrame]:

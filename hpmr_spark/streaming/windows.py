@@ -50,11 +50,16 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         _stream_dirs[sf_dir] = d
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(path).schema
-    return (
-        spark.readStream.schema(schema)
-        .parquet(_stream_dirs[sf_dir])
-        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-    )
+    stream = spark.readStream.schema(schema).parquet(_stream_dirs[sf_dir])
+    # ts has shipped as both TIMESTAMP(NANOS) (read as long under the legacy
+    # conf → exact integer truncation to micros) and TIMESTAMP(MICROS) (read
+    # as NTZ → identity cast under the UTC session zone); adapt like
+    # sources/tables.py:load_events
+    from pyspark.sql.types import LongType
+
+    if isinstance(schema["ts"].dataType, LongType):
+        return stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return stream.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def _docs_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
