@@ -45,6 +45,8 @@ _MODULES = [
     "hpmr_spark.operators.relational13",
     "hpmr_spark.operators.stats_layout_queries",
     "hpmr_spark.operators.analytics_queries",
+    "hpmr_spark.operators.spark4_surface_queries",
+    "hpmr_spark.operators.temporal2_queries",
 ]
 
 FAILED_MODULES: dict[str, str] = {}

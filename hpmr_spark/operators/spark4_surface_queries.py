@@ -1,0 +1,103 @@
+"""Spark 4 surface batch: custom Python DataSource connector + SQL pipe
+syntax.
+
+The connector (sources/pydatasource.py) is the engine's extensible-source
+story — the reference's Range source (/root/reference/src/hpmr.h:1-10)
+generalized to a partition-planning Python reader. Pipe syntax is the
+Spark 4 query-authoring surface; semantics are identical to the nested
+SQL the oracles use, so these also pin that the pipe planner produces the
+same results as the classic planner."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hpmr_spark.catalog import register, _t
+from hpmr_spark.sources.pydatasource import (
+    SEQ_MOD,
+    SEQ_MULT,
+    SEQ_N,
+    register_seq_source,
+)
+
+
+@register(
+    "pydatasource_seq_agg",
+    f"""
+    SELECT (i * {SEQ_MULT} % 4294967296) % {SEQ_MOD} AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(i) AS BIGINT) AS sum_i
+    FROM range({SEQ_N}) t(i)
+    GROUP BY 1
+    """,
+)
+def pydatasource_seq_agg(spark, sf_dir):
+    """Reads through the custom Python DataSource (8 planned partitions →
+    8 parallel reader tasks) and aggregates per bucket. The committed
+    multiplicative-hash generator makes every row reproducible by the SQL
+    oracle, turning a connector smoke test into a value-hash-checked one.
+    The Python reader is the honest cost (rows cross Arrow once); the agg
+    itself is Catalyst. At scale, partitions() maps 1:1 onto backend
+    splits — that's the whole connector contract."""
+    register_seq_source(spark)
+    df = spark.read.format("hpmr_seq").load()
+    return df.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("i").alias("sum_i")
+    )
+
+
+@register(
+    "pipe_syntax_orders_summary",
+    """
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS total_cents
+    FROM orders
+    WHERE o_orderstatus = 'O'
+    GROUP BY o_orderpriority
+    """,
+)
+def pipe_syntax_orders_summary(spark, sf_dir):
+    """SQL pipe syntax (Spark 4): linear FROM → WHERE → EXTEND → AGGREGATE
+    flow. Same logical plan as the nested-SQL oracle — Catalyst canonical-
+    izes both — so this pins pipe-planner parity, money discipline
+    included (per-row integer cents before the distributed SUM)."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        FROM orders
+        |> WHERE o_orderstatus = 'O'
+        |> EXTEND CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+        |> AGGREGATE CAST(COUNT(*) AS BIGINT) AS n_orders,
+                     CAST(SUM(cents) AS BIGINT) AS total_cents
+           GROUP BY o_orderpriority
+        """
+    )
+
+
+@register(
+    "pipe_syntax_top_nations",
+    """
+    SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n_customers
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    ORDER BY n_customers DESC, n_name
+    LIMIT 5
+    """,
+)
+def pipe_syntax_top_nations(spark, sf_dir):
+    """Pipe-syntax join + aggregate + deterministic top-k (full tie-break
+    on n_name). The 25-row dimension broadcasts; the ORDER BY runs on the
+    25-row aggregate, not the fact table."""
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    _t(spark, sf_dir, "nation").createOrReplaceTempView("nation")
+    return spark.sql(
+        """
+        FROM customer
+        |> JOIN nation ON c_nationkey = n_nationkey
+        |> AGGREGATE CAST(COUNT(*) AS BIGINT) AS n_customers GROUP BY n_name
+        |> ORDER BY n_customers DESC, n_name
+        |> LIMIT 5
+        """
+    )

@@ -1,0 +1,116 @@
+"""Temporal batch 2: time-weighted averages and sequence-pattern matching.
+
+Reference parity: per-key ordered-state workloads (the reference's keyed
+combine model with an ordering column — /root/reference/src/dist_map.h:
+147-210 + reducer.h); both are one-shuffle window plans on user_id.
+
+Determinism: durations as integer seconds (floor div of exact epoch-micros
+differences, non-negative), products and sums as BIGINT, one final double
+division; pattern hits are integer counts over a fully tie-broken order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from hpmr_spark.catalog import register, _t
+
+
+@register(
+    "time_weighted_avg_value",
+    """
+    WITH seq AS (
+      SELECT user_id,
+             CAST(ROUND(value * 100) AS BIGINT) AS cents,
+             (lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id)
+              - epoch_us(ts)) // 1000000 AS dur_s
+      FROM events
+    )
+    SELECT user_id,
+           CAST(SUM(dur_s) AS BIGINT) AS total_s,
+           CAST(SUM(dur_s * cents) AS BIGINT) AS weighted_cents_s,
+           CASE WHEN SUM(dur_s) > 0 THEN
+             CAST(SUM(dur_s * cents) AS DOUBLE) / CAST(SUM(dur_s) AS DOUBLE)
+           END AS twa_cents
+    FROM seq WHERE dur_s IS NOT NULL
+    GROUP BY user_id
+    """,
+)
+def time_weighted_avg_value(spark, sf_dir):
+    """Time-weighted average — the honest mean for irregularly-sampled
+    series: each reading holds until the next one, so it weighs by its
+    integer-second duration (floor-divided from exact epoch-micros deltas;
+    the last open-ended reading is excluded on both engines). Weighted
+    sums are exact BIGINT products; the average is ONE final double
+    division. One shuffle on user_id shared by the lead() window and the
+    aggregation."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros("ts")
+    seq = ev.select(
+        "user_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        F.expr(
+            "(lead(unix_micros(ts)) over (partition by user_id order by ts, event_id)"
+            " - unix_micros(ts)) div 1000000"
+        ).alias("dur_s"),
+    )
+    agg = seq.where(F.col("dur_s").isNotNull()).groupBy("user_id").agg(
+        F.sum("dur_s").alias("total_s"),
+        F.sum(F.col("dur_s") * F.col("cents")).alias("weighted_cents_s"),
+    )
+    return agg.select(
+        "user_id",
+        "total_s",
+        "weighted_cents_s",
+        F.expr(
+            "CASE WHEN total_s > 0 THEN CAST(weighted_cents_s AS DOUBLE)"
+            " / CAST(total_s AS DOUBLE) END"
+        ).alias("twa_cents"),
+    )
+
+
+@register(
+    "pattern_match_view_purchase",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lead(event_type, 1) OVER w AS nxt1,
+             lead(event_type, 2) OVER w AS nxt2
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id,
+           CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_views,
+           CAST(SUM(CASE WHEN event_type = 'view'
+                          AND (nxt1 = 'purchase' OR nxt2 = 'purchase')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_converting_views
+    FROM seq GROUP BY user_id
+    """,
+)
+def pattern_match_view_purchase(spark, sf_dir):
+    """MATCH_RECOGNIZE-lite: count views that convert to a purchase within
+    the next two events of the same user — the sequence-pattern shape
+    (A then B within k steps) expressed as lead() lookaheads over a fully
+    tie-broken per-user order, then integer counting. Lookahead past the
+    partition end is NULL → no match, identically on both engines. One
+    shuffle on user_id; k is a column-count knob, not a join."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("nxt1"),
+        F.lead("event_type", 2).over(w).alias("nxt2"),
+    )
+    is_view = F.col("event_type") == "view"
+    converts = is_view & (
+        (F.col("nxt1") == "purchase") | (F.col("nxt2") == "purchase")
+    )
+    return seq.groupBy("user_id").agg(
+        F.sum(F.when(is_view, 1).otherwise(0)).alias("n_views"),
+        F.sum(F.when(converts, 1).otherwise(0)).alias("n_converting_views"),
+    )
