@@ -47,6 +47,7 @@ _MODULES = [
     "hpmr_spark.operators.analytics_queries",
     "hpmr_spark.operators.spark4_surface_queries",
     "hpmr_spark.operators.temporal2_queries",
+    "hpmr_spark.operators.stats_catalog_queries",
 ]
 
 FAILED_MODULES: dict[str, str] = {}

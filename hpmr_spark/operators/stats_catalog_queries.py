@@ -1,0 +1,146 @@
+"""Optimizer-statistics batch (ANALYZE TABLE parity): equi-depth histogram
+boundaries, most-common-value lists, and per-column null/NDV stats — the
+three stats a cost-based optimizer collects before planning 100 TB joins.
+
+Reference parity: the reference exposes load diagnostics only
+(check_balance — /root/reference/src/dist_hasher.h); a SQL engine's
+equivalent telemetry is column statistics, computed with the same keyed
+aggregation kernel.
+
+Determinism: boundary selection by integer rank cross-multiplication,
+MCV shares in integer ppm by floor division, NDV exact (the sketched
+variant lives in sketch_bounded_checks)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from hpmr_spark.catalog import register, _t
+
+
+@register(
+    "equi_depth_histogram_bounds",
+    """
+    WITH r AS (
+      SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+             ROW_NUMBER() OVER (ORDER BY ROUND(o_totalprice * 100),
+                                o_orderkey) AS rn,
+             COUNT(*) OVER () AS n
+      FROM orders
+    )
+    SELECT CAST(rn * 10 // n AS BIGINT) AS decile,
+           cents AS upper_bound_cents,
+           CAST(rn AS BIGINT) AS rank_at_bound
+    FROM r
+    WHERE rn * 10 // n > (rn - 1) * 10 // n
+    """,
+)
+def equi_depth_histogram_bounds(spark, sf_dir):
+    """Equi-depth (equi-height) histogram: the 10 decile upper bounds of
+    order value, selected where the integer quotient rn·10 div n
+    increments — pure rank cross-multiplication, no float quantile math,
+    fully tie-broken (cents, orderkey). This is the stats structure a CBO
+    range-prunes and estimates selectivity with. The global row_number is
+    the documented holistic cost at test scale; the cluster variant is
+    rank-within-range via RangePartitioner + per-partition offsets (the
+    ordered_export_january two-pass pattern), with the boundary predicate
+    unchanged."""
+    o = _t(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    w = Window.orderBy(F.round(F.col("o_totalprice") * 100), "o_orderkey")
+    r = o.select(
+        cents.alias("cents"),
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(
+            Window.partitionBy()
+        ).alias("n"),
+    )
+    return r.where(
+        F.expr("rn * 10 div n > (rn - 1) * 10 div n")
+    ).select(
+        F.expr("rn * 10 div n").cast("long").alias("decile"),
+        F.col("cents").alias("upper_bound_cents"),
+        F.col("rn").cast("long").alias("rank_at_bound"),
+    )
+
+
+@register(
+    "mcv_quantity_top5",
+    """
+    WITH c AS (
+      SELECT CAST(l_quantity AS BIGINT) AS qty,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM lineitem GROUP BY CAST(l_quantity AS BIGINT)
+    ),
+    t AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM lineitem)
+    SELECT qty, cnt,
+           CAST(cnt * 1000000 // total AS BIGINT) AS share_ppm
+    FROM c, t
+    ORDER BY cnt DESC, qty
+    LIMIT 5
+    """,
+)
+def mcv_quantity_top5(spark, sf_dir):
+    """Most-common-value list (the CBO's skew detector): top-5 quantity
+    values by frequency with exact ppm shares — count-ordered with a full
+    value tie-break so equal frequencies resolve identically everywhere.
+    One groupBy on a vocabulary-sized key; the total is a broadcast 1-row
+    aggregate; the ORDER BY runs on the distinct-values frame, not rows."""
+    li = _t(spark, sf_dir, "lineitem")
+    c = li.groupBy(F.col("l_quantity").cast("long").alias("qty")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    t = li.agg(F.count(F.lit(1)).alias("total"))
+    return (
+        c.crossJoin(F.broadcast(t))
+        .select("qty", "cnt", F.expr("cnt * 1000000 div total").alias("share_ppm"))
+        .orderBy(F.col("cnt").desc(), "qty")
+        .limit(5)
+    )
+
+
+@register(
+    "column_stats_orders",
+    """
+    SELECT 'o_orderpriority' AS col_name,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_null,
+           CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS ndv
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END)
+             AS BIGINT),
+           CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT)
+    FROM orders
+    """,
+)
+def column_stats_orders(spark, sf_dir):
+    """Per-column ANALYZE stats (row count, null count, exact NDV) for
+    three orders columns, stacked as (col_name, n, n_null, ndv) rows —
+    the catalog table a CBO joins against at plan time. One aggregation
+    per column (each with a single distinct — deliberately NOT fused into
+    one agg: multiple countDistinct in one agg multiplies rows through
+    Expand, the sketch_bounded_checks lesson). At 100 TB you'd swap exact
+    NDV for the HLL-gated variant; the stacked shape stays."""
+    o = _t(spark, sf_dir, "orders")
+
+    def one(col: str):
+        return o.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col(col).isNull(), 1).otherwise(0)).alias("n_null"),
+            F.countDistinct(col).alias("ndv"),
+        ).select(F.lit(col).alias("col_name"), "n", "n_null", "ndv")
+
+    return one("o_orderpriority").unionAll(one("o_orderstatus")).unionAll(
+        one("o_custkey")
+    )

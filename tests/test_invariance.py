@@ -47,6 +47,16 @@ REPRESENTATIVE = [
     # corpus-stats batch: bigram shuffle agg, exact-integer centroids
     "bigram_lm_counts",
     "embedding_centroids_exact",
+    # corpus-quality/analytics/temporal batches: persisted-pairs LM score,
+    # gaps-and-islands SCD2, IGNORE-NULLS carry-forward, per-dim ranks,
+    # staged funnel joins, exact-moment doubles
+    "doc_lm_score_ppm",
+    "scd2_user_event_history",
+    "locf_gap_fill_values",
+    "embedding_rank_normalize",
+    "funnel_view_click_purchase",
+    "skew_kurtosis_quantity",
+    "time_weighted_avg_value",
 ]
 
 
