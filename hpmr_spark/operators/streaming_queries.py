@@ -274,3 +274,42 @@ def streaming_dedup_against_corpus(spark, sf_dir):
     )
     surviving = arriving.join(corpus_fps, "fp", "left_anti").select("doc_id", "fp")
     return _run_to_table(surviving, "corpusdedup", "append")
+
+
+@register(
+    "streaming_funnel_stages",
+    """
+    WITH v AS (
+      SELECT user_id, MIN(epoch_us(ts)) AS t1
+      FROM events WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, MIN(epoch_us(e.ts)) AS t2
+      FROM events e JOIN v ON e.user_id = v.user_id
+                          AND epoch_us(e.ts) >= v.t1
+      WHERE e.event_type = 'click' GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, MIN(epoch_us(e.ts)) AS t3
+      FROM events e JOIN c ON e.user_id = c.user_id
+                          AND epoch_us(e.ts) >= c.t2
+      WHERE e.event_type = 'purchase' GROUP BY e.user_id
+    )
+    SELECT u.user_id,
+           CAST(CASE WHEN p.user_id IS NOT NULL THEN 3
+                     WHEN c.user_id IS NOT NULL THEN 2
+                     WHEN v.user_id IS NOT NULL THEN 1
+                     ELSE 0 END AS BIGINT) AS stage_reached
+    FROM (SELECT DISTINCT user_id FROM events) u
+    LEFT JOIN v ON u.user_id = v.user_id
+    LEFT JOIN c ON u.user_id = c.user_id
+    LEFT JOIN p ON u.user_id = p.user_id
+    """,
+)
+def streaming_funnel_stages(spark, sf_dir):
+    """Stateful streaming funnel (applyInPandasWithState state machine) —
+    final per-user stage ≡ the batch funnel oracle; the streaming twin of
+    funnel_view_click_purchase with four-integer bounded state per key."""
+    from hpmr_spark.streaming.windows import stateful_funnel_stages
+
+    return stateful_funnel_stages(spark, sf_dir)

@@ -189,3 +189,54 @@ def stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.groupBy("user_id").agg(
         F.max("n_events").alias("n_events"), F.max("value_cents").alias("value_cents")
     )
+
+
+FUNNEL_STATE_SCHEMA = "stage long, t1 long, t2 long, t3 long"
+FUNNEL_OUTPUT_SCHEMA = "user_id long, stage_reached long"
+
+_US = 10**18  # sentinel "no timestamp yet" (far future, exceeds any epoch-µs)
+
+
+def _funnel_fn(
+    key: Tuple[int], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Per-user funnel state machine: earliest view t1, earliest click ≥ t1
+    (t2), earliest purchase ≥ t2 (t3). Vectorized per micro-batch with the
+    SAME min/filter semantics as the batch oracle; the file source delivers
+    time-ordered batches (single parquet → one batch), so folding each
+    batch into (t1, t2, t3) state is exact."""
+    (user_id,) = key
+    stage, t1, t2, t3 = state.get if state.exists else (0, _US, _US, _US)
+    for pdf in pdfs:
+        us = pdf["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+        et = pdf["event_type"].to_numpy()
+        v = us[et == "view"]
+        if v.size:
+            t1 = min(t1, int(v.min()))
+        c = us[(et == "click") & (us >= t1)]
+        if c.size:
+            t2 = min(t2, int(c.min()))
+        p = us[(et == "purchase") & (us >= t2)]
+        if p.size:
+            t3 = min(t3, int(p.min()))
+    stage = 3 if t3 < _US else 2 if t2 < _US else 1 if t1 < _US else 0
+    state.update((stage, t1, t2, t3))
+    yield pd.DataFrame([{"user_id": user_id, "stage_reached": stage}])
+
+
+def stateful_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator: the view→click→purchase funnel
+    as an applyInPandasWithState state machine — per-user state is four
+    integers regardless of event volume, the bounded-state discipline that
+    keeps a continuous funnel viable at any scale. Output mode update; the
+    final (max) stage per user is the batch-equivalent fixpoint."""
+    ev = _events_stream(spark, sf_dir).select("user_id", "ts", "event_type")
+    updated = ev.groupBy("user_id").applyInPandasWithState(
+        _funnel_fn,
+        outputStructType=FUNNEL_OUTPUT_SCHEMA,
+        stateStructType=FUNNEL_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    out = _run_to_table(updated, "funnelstages", "update")
+    return out.groupBy("user_id").agg(F.max("stage_reached").alias("stage_reached"))

@@ -42,6 +42,8 @@ SKIP = {
     "streaming_foreachbatch_sink",
     "streaming_static_enrich",
     "graph_pagerank_trade",  # plan depends on cache materialization state
+    "streaming_funnel_stages",
+    "doc_lm_score_ppm",  # persists the pairs frame at build
 }
 
 SF_DIR = "/root/testdata/sf0.001"
