@@ -144,3 +144,81 @@ def column_stats_orders(spark, sf_dir):
     return one("o_orderpriority").unionAll(one("o_orderstatus")).unionAll(
         one("o_custkey")
     )
+
+
+@register(
+    "k_anonymity_audit",
+    """
+    WITH g AS (
+      SELECT c_mktsegment, c_nationkey, CAST(COUNT(*) AS BIGINT) AS grp_n
+      FROM customer GROUP BY c_mktsegment, c_nationkey
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(SUM(CASE WHEN grp_n < 5 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_small_groups,
+           CAST(SUM(CASE WHEN grp_n < 5 THEN grp_n ELSE 0 END) AS BIGINT)
+             AS n_suppressed_rows,
+           CAST(MIN(grp_n) AS BIGINT) AS min_k
+    FROM g
+    """,
+)
+def k_anonymity_audit(spark, sf_dir):
+    """Privacy audit before a data release: group sizes over the
+    quasi-identifier pair (segment, nation); groups under k=5 would be
+    suppressed or generalized. Reports group count, how many fall below k,
+    how many rows suppression would cost, and the worst-case k — the
+    numbers a release gate checks. One groupBy on the quasi-identifier key
+    then a metadata-sized rollup; at 100 TB the first agg is the only
+    data-sized stage."""
+    c = _t(spark, sf_dir, "customer")
+    g = c.groupBy("c_mktsegment", "c_nationkey").agg(
+        F.count(F.lit(1)).alias("grp_n")
+    )
+    return g.agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum(F.when(F.col("grp_n") < 5, 1).otherwise(0)).alias("n_small_groups"),
+        F.sum(F.when(F.col("grp_n") < 5, F.col("grp_n")).otherwise(0)).alias(
+            "n_suppressed_rows"
+        ),
+        F.min("grp_n").alias("min_k"),
+    )
+
+
+@register(
+    "join_cardinality_estimate",
+    """
+    WITH s AS (
+      SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem) AS n_li,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM orders) AS n_o,
+             (SELECT CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) FROM orders)
+               AS ndv_o
+    )
+    SELECT n_li, n_o, ndv_o,
+           CAST(n_li * n_o // ndv_o AS BIGINT) AS est_join_rows,
+           (SELECT CAST(COUNT(*) AS BIGINT)
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+             AS actual_join_rows
+    FROM s
+    """,
+)
+def join_cardinality_estimate(spark, sf_dir):
+    """The CBO's textbook equi-join estimate |L⋈O| ≈ |L|·|O| / ndv(key)
+    (integer floor division over exact counts) side by side with the
+    actual join cardinality — the estimator-quality check that drives
+    stats refresh policy. The inputs are three 1-row aggregates plus one
+    real join count; everything cross-joins broadcast-style at the end."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    s = (
+        li.agg(F.count(F.lit(1)).alias("n_li"))
+        .crossJoin(o.agg(F.count(F.lit(1)).alias("n_o")))
+        .crossJoin(o.agg(F.countDistinct("o_orderkey").alias("ndv_o")))
+    )
+    actual = li.join(o, li.l_orderkey == o.o_orderkey).agg(
+        F.count(F.lit(1)).alias("actual_join_rows")
+    )
+    return s.crossJoin(actual).select(
+        "n_li", "n_o", "ndv_o",
+        F.expr("n_li * n_o div ndv_o").alias("est_join_rows"),
+        "actual_join_rows",
+    )
