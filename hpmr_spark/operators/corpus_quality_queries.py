@@ -310,3 +310,109 @@ def curriculum_shards(spark, sf_dir):
             F.max("rn").cast("long").alias("max_rank"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# End-to-end pretraining-corpus pipeline report (composed single plan).
+# ---------------------------------------------------------------------------
+_MIX_W = {"en": 500000, "fr": 250000, "es": 125000, "zh": 62500, "de": 31250}
+_MIX_CASE = (
+    "CASE lang "
+    + " ".join(f"WHEN '{k}' THEN {v}" for k, v in _MIX_W.items())
+    + " ELSE 0 END"
+)
+
+
+def _pipeline_oracle() -> str:
+    from hpmr_spark.functions.hashing import sql_hash60
+
+    h = sql_hash60("CAST(doc_id AS VARCHAR)")
+    return f"""
+    WITH base AS (
+      SELECT doc_id, lang, n_chars, md5(text) AS fp,
+             len(string_split(text, ' ')) AS n_tokens,
+             len(list_distinct(string_split(text, ' '))) AS n_distinct
+      FROM documents
+    ),
+    flagged AS (
+      SELECT *,
+             (n_distinct * 1000000 // n_tokens >= 300000
+              AND n_chars BETWEEN 100 AND 2000) AS q_ok
+      FROM base
+    ),
+    ranked AS (
+      SELECT *,
+             CASE WHEN q_ok THEN
+               ROW_NUMBER() OVER (PARTITION BY fp, q_ok ORDER BY doc_id)
+             END AS rn
+      FROM flagged
+    ),
+    final AS (
+      SELECT *,
+             q_ok AND rn = 1 AS is_unique,
+             q_ok AND rn = 1 AND {h} % 1000000 < {_MIX_CASE} AS is_final
+      FROM ranked
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_raw,
+           CAST(SUM(CASE WHEN q_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+           CAST(SUM(CASE WHEN is_unique THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_unique,
+           CAST(SUM(CASE WHEN is_final THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_final,
+           CAST(SUM(CASE WHEN is_final THEN n_tokens ELSE 0 END) AS BIGINT)
+             AS tokens_final
+    FROM final GROUP BY lang
+    """
+
+
+@register("pipeline_pretraining_report", _pipeline_oracle())
+def pipeline_pretraining_report(spark, sf_dir):
+    """The whole pretraining-corpus build as ONE declarative plan — the
+    composition story: quality gate (distinct-token ppm ≥ 0.3 by integer
+    cross-multiplication + length band) → exact near-dup keep (min doc_id
+    per md5 fingerprint among survivors) → deterministic mixture sampling
+    (committed hash60 vs per-lang ppm) → per-language survivor and token
+    accounting. One corpus scan, one fingerprint window, one final
+    groupBy(lang); every stage is a column, not a materialization, so
+    Catalyst fuses the gates into the scan. At 100 TB this plan IS the
+    corpus job: the window keys on content fingerprint (uniform), and no
+    stage widens the data."""
+    from hpmr_spark.functions.hashing import hash60
+    from pyspark.sql import Window
+
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    base = d.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.md5("text").alias("fp"),
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+    )
+    flagged = base.withColumn(
+        "q_ok",
+        F.expr("n_distinct * 1000000 div n_tokens >= 300000")
+        & F.col("n_chars").between(100, 2000),
+    )
+    w = Window.partitionBy("fp", "q_ok").orderBy("doc_id")
+    ranked = flagged.withColumn(
+        "rn", F.when(F.col("q_ok"), F.row_number().over(w))
+    )
+    final = ranked.withColumn(
+        "is_unique", F.col("q_ok") & (F.col("rn") == 1)
+    ).withColumn(
+        "is_final",
+        F.col("is_unique")
+        & ((hash60(F.col("doc_id").cast("string")) % 1000000) < F.expr(_MIX_CASE)),
+    )
+    return final.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_raw"),
+        F.sum(F.when(F.col("q_ok"), 1).otherwise(0)).alias("n_quality"),
+        F.sum(F.when(F.col("is_unique"), 1).otherwise(0)).alias("n_unique"),
+        F.sum(F.when(F.col("is_final"), 1).otherwise(0)).alias("n_final"),
+        F.sum(F.when(F.col("is_final"), F.col("n_tokens")).otherwise(0)).alias(
+            "tokens_final"
+        ),
+    )
