@@ -50,3 +50,12 @@ def sink_xml_roundtrip(spark, sf_dir):
     """XML: Spark 4 native XML source/sink (rowTag records), read back with
     the writer's schema. Row-oriented text — interchange, not analytics."""
     return roundtrip(_revenue(spark, sf_dir), "xml", "rev")
+
+
+@register("sink_text_roundtrip", _REV_SQL)
+def sink_text_roundtrip(spark, sf_dir):
+    """Line-based text (the raw-log interchange format): rows serialize to
+    tab-joined lines and re-parse with exact integer casts on read — the
+    schema-on-read discipline for ingesting logs at scale. Integer-cents
+    values survive the string trip bit-exactly (never floats)."""
+    return roundtrip(_revenue(spark, sf_dir), "text", "rev")

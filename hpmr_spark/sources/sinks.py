@@ -16,6 +16,7 @@ import os
 import tempfile
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 _rt_dirs: dict = {}
 
@@ -38,6 +39,22 @@ def roundtrip(df: DataFrame, fmt: str, label: str) -> DataFrame:
     if fmt == "orc":
         writer.orc(path)
         return spark.read.orc(path)
+    if fmt == "text":
+        # line-based text: serialize each row to one tab-joined line, read
+        # back and re-parse with exact integer casts — the raw-log format
+        df.select(
+            F.concat_ws("\t", *[F.col(c).cast("string") for c in df.columns]).alias(
+                "value"
+            )
+        ).write.mode("overwrite").text(path)
+        parts = F.split(F.col("value"), "\t")
+        back = spark.read.text(path)
+        return back.select(
+            *[
+                parts.getItem(i).cast(f.dataType).alias(f.name)
+                for i, f in enumerate(df.schema.fields)
+            ]
+        )
     if fmt == "xml":
         writer.format("xml").option("rowTag", "row").save(path)
         return (

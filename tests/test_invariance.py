@@ -57,6 +57,7 @@ REPRESENTATIVE = [
     "funnel_view_click_purchase",
     "skew_kurtosis_quantity",
     "time_weighted_avg_value",
+    "pipeline_pretraining_report",
 ]
 
 

@@ -37,6 +37,7 @@ SKIP = {
     "text_tfidf_scaled",  # driver-side count during build
     "sink_orc_roundtrip",
     "sink_xml_roundtrip",
+    "sink_text_roundtrip",
     "sink_partitioned_pruned",
     "streaming_session_windows",
     "streaming_foreachbatch_sink",
