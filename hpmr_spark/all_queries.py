@@ -48,6 +48,7 @@ _MODULES = [
     "hpmr_spark.operators.spark4_surface_queries",
     "hpmr_spark.operators.temporal2_queries",
     "hpmr_spark.operators.stats_catalog_queries",
+    "hpmr_spark.operators.embedding_prep_queries",
 ]
 
 FAILED_MODULES: dict[str, str] = {}
