@@ -51,6 +51,10 @@ BENCH_EXTRA = [
     "embedding_quantize_int8",      # row-local int8 quantization
     "chunk_sliding_window64",       # declarative sliding chunker
     "vocab_topn_encode",            # df vocab + broadcast encode
+    "doc_lm_score_ppm",             # bigram-LM quality score (persist+broadcast)
+    "pipeline_pretraining_report",  # composed corpus pipeline (one fused plan)
+    "cooccurrence_window2",         # skip-gram pair counts + PMI ratio
+    "scd2_user_event_history",      # gaps-and-islands SCD2 intervals
 ]
 
 
