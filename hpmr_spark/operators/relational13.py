@@ -222,3 +222,95 @@ def locf_gap_fill_values(spark, sf_dir):
         (F.col("event_type") == "error").alias("is_gap"),
         F.last(valid, ignorenulls=True).over(w).alias("filled_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Pivot with multiple aggregates per cell.
+# ---------------------------------------------------------------------------
+@register(
+    "pivot_multi_agg_status",
+    """
+    SELECT o_orderpriority,
+           CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT)
+             AS f_n,
+           CAST(COALESCE(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                 FILTER (WHERE o_orderstatus = 'F'), 0) AS BIGINT) AS f_cents,
+           CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT)
+             AS o_n,
+           CAST(COALESCE(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                 FILTER (WHERE o_orderstatus = 'O'), 0) AS BIGINT) AS o_cents,
+           CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS BIGINT)
+             AS p_n,
+           CAST(COALESCE(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                 FILTER (WHERE o_orderstatus = 'P'), 0) AS BIGINT) AS p_cents
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def pivot_multi_agg_status(spark, sf_dir):
+    """Pivot with TWO measures per pivoted column (count + integer-cents
+    sum per order status) — the crosstab-with-measures report shape. Spark
+    pivot names cells {value}_{aggAlias}; both aggregates stay one
+    partial-aggregated shuffle on the group key with the pivot values as
+    conditional aggregates (equivalent to the oracle's FILTER clauses —
+    no extra pass per measure). Missing cells coalesce to 0 on both
+    engines."""
+    o = _t(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    piv = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.sum(cents), F.lit(0)).alias("cents"),
+        )
+    )
+    return piv.select(
+        "o_orderpriority",
+        F.col("F_n").alias("f_n"),
+        F.col("F_cents").alias("f_cents"),
+        F.col("O_n").alias("o_n"),
+        F.col("O_cents").alias("o_cents"),
+        F.col("P_n").alias("p_n"),
+        F.col("P_cents").alias("p_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# grouping_id over a CUBE: which aggregation level produced each row.
+# ---------------------------------------------------------------------------
+@register(
+    "cube_grouping_id_revenue",
+    """
+    SELECT CAST(GROUPING(o_orderpriority) * 2 + GROUPING(o_orderstatus)
+             AS BIGINT) AS gid,
+           o_orderpriority, o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS total_cents
+    FROM orders
+    GROUP BY CUBE (o_orderpriority, o_orderstatus)
+    """,
+)
+def cube_grouping_id_revenue(spark, sf_dir):
+    """CUBE with grouping_id: every aggregation level (detail, each
+    one-dimension rollup, grand total) tagged by which columns were
+    aggregated away — how BI layers distinguish subtotal rows from NULL
+    group values. grouping_id bit order matches GROUPING(a)·2+GROUPING(b)
+    on both engines. One Expand + one shuffle; integer cents throughout."""
+    o = _t(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    return (
+        o.cube("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(cents).alias("total_cents"),
+        )
+        .select(
+            "gid",
+            "o_orderpriority",
+            "o_orderstatus",
+            "n_orders",
+            "total_cents",
+        )
+    )
