@@ -145,3 +145,73 @@ def split_leakage_audit(spark, sf_dir):
         F.sum(F.when(cross, 1).otherwise(0)).alias("n_cross_split_groups"),
         F.sum(F.when(cross, F.col("n_docs")).otherwise(0)).alias("n_docs_at_risk"),
     )
+
+
+@register(
+    "embedding_random_projection",
+    f"""
+    WITH signs AS (
+      SELECT t1.j, t2.i,
+             CASE WHEN ({sql_hash60("CAST(t1.j AS VARCHAR) || '_' || CAST(t2.i AS VARCHAR)")})
+                       % 2 = 0 THEN 1 ELSE -1 END AS s
+      FROM range(16) t1(j), range(64) t2(i)
+    ),
+    comps AS (
+      SELECT vec_id,
+             generate_subscripts(embedding, 1) - 1 AS i,
+             CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT)
+               AS vi_micros
+      FROM embeddings
+    )
+    SELECT c.vec_id, CAST(s.j AS BIGINT) AS j,
+           CAST(SUM(c.vi_micros * s.s) AS BIGINT) AS proj_micros
+    FROM comps c JOIN signs s ON c.i = s.i
+    GROUP BY c.vec_id, s.j
+    """,
+)
+def embedding_random_projection(spark, sf_dir):
+    """Johnson-Lindenstrauss dimensionality reduction 64→16 with a ±1
+    projection matrix derived from the committed hash60 (seedless,
+    engine-reproducible, no RNG state to ship to 1000 executors). Each
+    input component is floored to integer micros PER ROW (the exact
+    float32 discipline), so every projected coordinate is an exact BIGINT
+    dot product — associative, partition-invariant. Plan: posexplode →
+    broadcast join against the 1024-row sign matrix → one shuffle on
+    (vec_id, j); map-side partials collapse the 64× blowup before the
+    exchange. The JL step feeds cheaper LSH/IVF indexes downstream."""
+    from pyspark.sql import functions as F
+
+    e = _t(spark, sf_dir, "embeddings")
+    j = spark.range(16).select(F.col("id").alias("j"))
+    i = spark.range(64).select(F.col("id").alias("i"))
+    signs = j.crossJoin(i).select(
+        "j",
+        "i",
+        F.when(
+            hash60(
+                F.concat(
+                    F.col("j").cast("string"), F.lit("_"), F.col("i").cast("string")
+                )
+            )
+            % 2
+            == 0,
+            1,
+        )
+        .otherwise(-1)
+        .alias("s"),
+    )
+    comps = e.select(
+        "vec_id", F.posexplode("embedding").alias("i", "v")
+    ).select(
+        "vec_id",
+        "i",
+        F.expr("CAST(FLOOR(CAST(v AS DOUBLE) * 1000000) AS BIGINT)").alias(
+            "vi_micros"
+        ),
+    )
+    return (
+        comps.join(F.broadcast(signs), "i")
+        .groupBy("vec_id", "j")
+        .agg(F.sum(F.col("vi_micros") * F.col("s")).alias("proj_micros"))
+        .select("vec_id", F.col("j").cast("long").alias("j"), "proj_micros")
+    )
