@@ -138,6 +138,12 @@ def corpus_probe(spark, n: int):
             "text_repetition_stats",
             "embedding_quantize_int8",
             "embedding_centroids_exact",
+            "doc_lm_score_ppm",
+            "pipeline_pretraining_report",
+            "cooccurrence_window2",
+            "token_gini_impurity_ppm",
+            "embedding_random_projection",
+            "inverted_index_postings",
         ]:
             t0 = time.time()
             cnt = qs[name](spark, tmp).count()
