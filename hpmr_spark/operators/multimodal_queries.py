@@ -95,3 +95,48 @@ def multimodal_audio_features(spark, sf_dir):
 def multimodal_frame_sample(spark, sf_dir):
     """Frame sampling: explode payloads into offset windows (no byte copies)."""
     return sample_frames(documents_as_binary(_t(spark, sf_dir, "documents")), stride=1024)
+
+
+@register(
+    "multimodal_content_dedup",
+    """
+    WITH b AS (
+      SELECT doc_id,
+             md5(hex(encode(text))) AS content_fp,
+             CAST(octet_length(encode(text)) AS BIGINT) AS byte_len
+      FROM documents
+    )
+    SELECT doc_id, content_fp, byte_len,
+           CAST(COUNT(*) OVER (PARTITION BY content_fp) AS BIGINT)
+             AS n_copies,
+           CAST(MIN(doc_id) OVER (PARTITION BY content_fp) AS BIGINT)
+             AS keeper_id
+    FROM b
+    """,
+)
+def multimodal_content_dedup(spark, sf_dir):
+    """Binary-payload exact dedup — the first pass of any multimodal
+    ingest: group identical payloads by content fingerprint, attach each
+    payload's copy count and keeper (min doc_id) — drop rows where
+    doc_id ≠ keeper_id to dedup. The payload is hashed via md5(hex(bytes)) because DuckDB's
+    md5 takes no BLOBs (CLAUDE.md quirk) — hex() agrees byte-for-byte
+    across engines, so the fingerprint does too. Only (fingerprint, 16-ish
+    bytes) cross the shuffle; payload bytes never move — exactly how you
+    dedup 100 TB of images."""
+    from hpmr_spark.multimodal.binary_columns import documents_as_binary
+
+    from pyspark.sql import Window
+
+    b = documents_as_binary(_t(spark, sf_dir, "documents"))
+    w = Window.partitionBy("content_fp")
+    return b.select(
+        "doc_id",
+        F.md5(F.hex("payload")).alias("content_fp"),
+        F.length("payload").cast("long").alias("byte_len"),
+    ).select(
+        "doc_id",
+        "content_fp",
+        "byte_len",
+        F.count(F.lit(1)).over(w).alias("n_copies"),
+        F.min("doc_id").over(w).alias("keeper_id"),
+    )

@@ -222,3 +222,55 @@ def join_cardinality_estimate(spark, sf_dir):
         F.expr("n_li * n_o div ndv_o").alias("est_join_rows"),
         "actual_join_rows",
     )
+
+
+@register(
+    "dq_expectations_orders",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_nonpositive_price,
+           CAST(SUM(CASE WHEN o_orderdate < DATE '1990-01-01'
+                           OR o_orderdate > DATE '2000-12-31'
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_date_out_of_range,
+           CAST(SUM(CASE WHEN o_orderstatus NOT IN ('F', 'O', 'P')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_bad_status,
+           CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_null_custkey,
+           SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) = 0
+             AND SUM(CASE WHEN o_orderstatus NOT IN ('F', 'O', 'P')
+                     THEN 1 ELSE 0 END) = 0
+             AND SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) = 0
+             AS suite_pass
+    FROM orders
+    """,
+)
+def dq_expectations_orders(spark, sf_dir):
+    """Expectation-suite data-quality gate (the Great-Expectations shape):
+    per-constraint violation counts — positive money, date range, status
+    domain, FK non-null — plus an overall pass boolean, all from ONE
+    conditional-aggregate scan (never one pass per expectation). This row
+    is what a pipeline publishes next to the snapshot it validates; at
+    100 TB the suite cost is one table scan regardless of how many
+    expectations it carries."""
+    o = _t(spark, sf_dir, "orders")
+
+    def viol(cond):
+        return F.sum(F.when(cond, 1).otherwise(0))
+
+    bad_price = F.col("o_totalprice") <= 0
+    bad_date = (F.col("o_orderdate") < F.lit("1990-01-01").cast("date")) | (
+        F.col("o_orderdate") > F.lit("2000-12-31").cast("date")
+    )
+    bad_status = ~F.col("o_orderstatus").isin("F", "O", "P")
+    null_ck = F.col("o_custkey").isNull()
+    return o.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        viol(bad_price).alias("n_nonpositive_price"),
+        viol(bad_date).alias("n_date_out_of_range"),
+        viol(bad_status).alias("n_bad_status"),
+        viol(null_ck).alias("n_null_custkey"),
+        (
+            (viol(bad_price) == 0) & (viol(bad_status) == 0) & (viol(null_ck) == 0)
+        ).alias("suite_pass"),
+    )
