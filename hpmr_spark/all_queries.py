@@ -83,7 +83,7 @@ _CHECK_FIRST = [
     "chained_mapreduce_histogram",
     "q21_waiting_supplier",
     "q8_market_share",
-    "q17_small_quantity_revenue",
+    "pipeline_pretraining_report",
     "lateral_top_customers_per_nation",
     "udtf_chunk_documents",
     "variant_events_extract",
@@ -92,7 +92,7 @@ _CHECK_FIRST = [
     "q20_promo_suppliers",
     "correlated_scalar_select",
     "cdc_latest_events",
-    "merge_upsert_customers",
+    "cooccurrence_window2",
     "session_window_builtin",
     "window_value_functions",
     "asof_join_purchase_view",
