@@ -184,3 +184,100 @@ def kmeans_assign_step(spark, sf_dir):
         F.col("label").cast("long").alias("true_label"),
         F.col("m.clabel").cast("long").alias("assigned_label"),
     ).agg(F.count(F.lit(1)).alias("n_vecs"))
+
+
+# ---------------------------------------------------------------------------
+# Bounded BFS shortest paths on the trade graph.
+# ---------------------------------------------------------------------------
+_BFS_ORACLE = """
+    WITH RECURSIVE pe AS (
+      SELECT c_nationkey AS src, s_nationkey AS dst,
+             CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS v
+      FROM customer
+        JOIN orders   ON o_custkey = c_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN supplier ON s_suppkey = l_suppkey
+      GROUP BY 1, 2
+    ),
+    tot AS (SELECT CAST(SUM(v) AS BIGINT) AS t FROM pe),
+    und AS (
+      SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS w
+      FROM pe, tot WHERE v * 625 > t AND src <> dst
+    ),
+    sym AS (
+      SELECT u AS src, w AS dst FROM und
+      UNION ALL
+      SELECT w, u FROM und
+    ),
+    walk(node, dist) AS (
+      SELECT CAST(0 AS BIGINT), 0
+      UNION ALL
+      SELECT CAST(s.dst AS BIGINT), wk.dist + 1
+      FROM walk wk JOIN sym s ON s.src = wk.node
+      WHERE wk.dist < 3
+    )
+    SELECT node AS nationkey, CAST(MIN(dist) AS BIGINT) AS dist
+    FROM walk GROUP BY node
+"""
+
+
+@register("graph_bfs_3hop", _BFS_ORACLE)
+def graph_bfs_3hop(spark, sf_dir):
+    """Bounded breadth-first shortest paths from nation 0 over the same
+    committed trade graph as pagerank/triangles: 3 synchronous frontier
+    expansions (the Pregel superstep pattern — each hop is one keyed join
+    + one min-aggregation, the reference's epoch loop), keeping the
+    running minimum distance per node. The oracle is the equivalent
+    bounded recursive CTE reduced by MIN. At real graph scale the frontier
+    join shuffles on node id and each superstep's state is one (node,
+    dist) row per reached vertex; the hop bound caps work exactly like the
+    CTE's dist predicate."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+
+    pe = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .groupBy(F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst"))
+        .agg(F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias("v"))
+    )
+    tot = pe.agg(F.sum("v").cast("long").alias("t"))
+    und = (
+        pe.crossJoin(F.broadcast(tot))
+        .where((F.col("v") * 625 > F.col("t")) & (F.col("src") != F.col("dst")))
+        .select(
+            F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("w")
+        )
+        .distinct()
+    )
+    sym = und.select(F.col("u").alias("src"), F.col("w").alias("dst")).unionAll(
+        und.select(F.col("w").alias("src"), F.col("u").alias("dst"))
+    )
+    # persist the derived edge list: every superstep re-reads it, and without
+    # this the 4-join derivation re-executes per hop (standard discipline for
+    # iterative graph algorithms — pagerank does the same)
+    sym = sym.persist()
+    spark_ = und.sparkSession
+    dist = spark_.createDataFrame([(0, 0)], "node long, dist int")
+    for _ in range(3):
+        # nation-graph edges are dimension-sized → broadcast kills the join
+        # shuffle; at vertex counts past broadcast range this becomes the
+        # node-partitioned shuffle join the docstring describes
+        frontier = (
+            dist.join(F.broadcast(sym), dist.node == sym.src)
+            .select(F.col("dst").alias("node"), (F.col("dist") + 1).alias("dist"))
+        )
+        dist = (
+            dist.unionByName(frontier)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .coalesce(1)  # vertex state is 25 rows — avoid 64 empty tasks/hop
+            .localCheckpoint()  # cut lineage per superstep (pagerank discipline)
+        )
+    return dist.select(
+        F.col("node").cast("long").alias("nationkey"),
+        F.col("dist").cast("long").alias("dist"),
+    )

@@ -45,6 +45,7 @@ SKIP = {
     "graph_pagerank_trade",  # plan depends on cache materialization state
     "streaming_funnel_stages",
     "doc_lm_score_ppm",  # persists the pairs frame at build
+    "graph_bfs_3hop",  # persists the edge frame at build (iterative)
 }
 
 SF_DIR = "/root/testdata/sf0.001"
