@@ -134,3 +134,37 @@ def kv_f3_range_golden(spark, sf_dir):
     return spark.range(0, 100000).agg(
         F.countDistinct("id").alias("n_distinct"), F.sum("id").alias("total")
     )
+
+
+@register(
+    "custom_reducer_max_qty",
+    """
+    SELECT l_orderkey AS key,
+           CAST(MAX(CAST(l_quantity AS BIGINT)) AS BIGINT) AS value
+    FROM lineitem GROUP BY l_orderkey
+    """,
+)
+def custom_reducer_max_qty(spark, sf_dir):
+    """User-defined reducer through the RDD reduceByKey slow path (the
+    reference's std::function reducer — /root/reference/src/dist_map.h:34):
+    an arbitrary Python merge fn (here max, so the oracle can pin it with
+    SQL MAX) that Catalyst can't see. reduceByKey still map-side combines,
+    so the shuffle carries one value per (partition, key) — semantically
+    the same two-level reduce as the JVM path, paying only the
+    Python-serialization tax (measured 4.5× at 1M rows, BASELINE.md).
+    Canned reducers never take this path."""
+    from hpmr_spark.core.keyed_map import KeyedMap
+    from hpmr_spark.reducers import Reducer
+
+    from hpmr_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.col("l_quantity").cast("long").alias("qty")
+    )
+    km = KeyedMap.from_df(
+        li,
+        "l_orderkey",
+        "qty",
+        reducer=Reducer.custom(lambda a, b: a if a >= b else b, "pymax"),
+    )
+    return km.to_df("key", "value")

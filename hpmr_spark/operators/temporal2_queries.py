@@ -114,3 +114,45 @@ def pattern_match_view_purchase(spark, sf_dir):
         F.sum(F.when(is_view, 1).otherwise(0)).alias("n_views"),
         F.sum(F.when(converts, 1).otherwise(0)).alias("n_converting_views"),
     )
+
+
+@register(
+    "asof_join_with_tolerance",
+    """
+    WITH purchases AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+    views AS (
+      SELECT user_id, ts, MAX(CAST(ROUND(value * 100) AS BIGINT)) AS view_cents
+      FROM events WHERE event_type = 'view' GROUP BY user_id, ts)
+    SELECT p.event_id, p.user_id, p.ts,
+           CASE WHEN epoch_us(p.ts) - epoch_us(v.ts) > 3600000000
+                THEN NULL ELSE v.ts END AS asof_ts,
+           CASE WHEN epoch_us(p.ts) - epoch_us(v.ts) > 3600000000
+                THEN NULL ELSE v.view_cents END AS view_cents
+    FROM purchases p ASOF LEFT JOIN views v
+      ON p.user_id = v.user_id AND p.ts >= v.ts
+    """,
+)
+def asof_join_with_tolerance(spark, sf_dir):
+    """As-of join with a staleness tolerance: the matched view must be
+    within 1 hour of the purchase, else the attachment nulls out (the
+    market-data semantic — a quote older than the tolerance is no quote).
+    Exercises the operator's tolerance branch; the comparison is exact
+    integer micros on both engines. Same single-shuffle union + window
+    carry-forward plan as the tolerance-free twin."""
+    from hpmr_spark.operators.temporal import asof_join
+    from hpmr_spark.sources.tables import load_events
+
+    ev = load_events(spark, sf_dir)
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max(F.round(F.col("value") * 100).cast("long")).alias("view_cents"))
+    )
+    out = asof_join(
+        purchases, views, "user_id", "ts", ["view_cents"], tolerance_seconds=3600
+    )
+    return out.select("event_id", "user_id", "ts", "asof_ts", "view_cents")
