@@ -314,3 +314,112 @@ def fk_integrity_audit(spark, sf_dir):
         F.count(F.lit(1)).alias("n_customer_orphans")
     )
     return a1.crossJoin(a2).crossJoin(a3)
+
+
+@register(
+    "event_rate_anomaly_hours",
+    """
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS hr,
+             CAST(COUNT(*) AS BIGINT) AS x
+      FROM events GROUP BY date_trunc('hour', ts)
+    ),
+    m AS (
+      SELECT hr, x,
+             CAST(COUNT(*) OVER w AS BIGINT) AS n,
+             CAST(SUM(x) OVER w AS BIGINT) AS s,
+             CAST(SUM(x * x) OVER w AS BIGINT) AS ss
+      FROM hourly
+      WINDOW w AS (ORDER BY hr ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT hr, x, n, s, ss,
+           n >= 12 AND
+           (n * x - s) * (n * x - s) > 9 * (n * ss - s * s) AS is_anomaly
+    FROM m
+    """,
+)
+def event_rate_anomaly_hours(spark, sf_dir):
+    """Event-rate anomaly detection with ZERO floating point: each hour's
+    count is tested against its trailing-24h baseline with the z²-test
+    rewritten as integer cross-multiplication — z² > 9 (|z| > 3σ) ⟺
+    (n·x − Σ)² > 9·(n·Σx² − Σ²) — over exact BIGINT window moments, so the
+    flag is bit-deterministic on every engine and partitioning (a float
+    z-score would flake at the boundary). Warm-up hours (n < 12) never
+    flag. The hourly rollup is the only data-sized stage; the detector
+    runs over hours. The monitoring shape for any 100 TB event firehose."""
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.groupBy(F.date_trunc("hour", "ts").alias("hr")).agg(
+        F.count(F.lit(1)).alias("x")
+    )
+    w = Window.orderBy("hr").rowsBetween(-24, -1)
+    m = hourly.select(
+        "hr",
+        "x",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum("x").over(w).alias("s"),
+        F.sum(F.col("x") * F.col("x")).over(w).alias("ss"),
+    )
+    return m.select(
+        "hr", "x", "n", "s", "ss",
+        (
+            (F.col("n") >= 12)
+            & (
+                (F.col("n") * F.col("x") - F.col("s"))
+                * (F.col("n") * F.col("x") - F.col("s"))
+                > 9 * (F.col("n") * F.col("ss") - F.col("s") * F.col("s"))
+            )
+        ).alias("is_anomaly"),
+    )
+
+
+@register(
+    "ab_test_metrics",
+    f"""
+    WITH assigned AS (
+      SELECT user_id,
+             CASE WHEN ({sql_hash60("CAST(user_id AS VARCHAR)")}) % 2 = 0
+                  THEN 'A' ELSE 'B' END AS variant,
+             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS converted,
+             CAST(SUM(CASE WHEN event_type = 'purchase'
+                      THEN CAST(ROUND(value * 100) AS BIGINT) ELSE 0 END)
+               AS BIGINT) AS purchase_cents
+      FROM events GROUP BY user_id
+    )
+    SELECT variant,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(converted) AS BIGINT) AS n_converted,
+           CAST(SUM(converted) * 1000000 // COUNT(*) AS BIGINT)
+             AS conversion_ppm,
+           CAST(SUM(purchase_cents) AS BIGINT) AS revenue_cents
+    FROM assigned GROUP BY variant
+    """,
+)
+def ab_test_metrics(spark, sf_dir):
+    """Experimentation readout: users deterministically bucketed into A/B
+    by the committed hash60 (stable across sessions, engines, reruns — the
+    assignment IS the hash, nothing stored), then per-variant conversion
+    (integer ppm) and revenue (integer cents). One user-keyed aggregation
+    then a 2-row rollup. The same hash-bucket trick powers holdouts and
+    gradual rollouts at any user-base size with zero assignment state."""
+    ev = _t(spark, sf_dir, "events")
+    assigned = ev.groupBy("user_id").agg(
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+            "converted"
+        ),
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.round(F.col("value") * 100).cast("long"),
+            ).otherwise(0)
+        ).alias("purchase_cents"),
+    ).withColumn(
+        "variant",
+        F.when(hash60(F.col("user_id").cast("string")) % 2 == 0, "A").otherwise("B"),
+    )
+    return assigned.groupBy("variant").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("converted").alias("n_converted"),
+        F.expr("sum(converted) * 1000000 div count(1)").alias("conversion_ppm"),
+        F.sum("purchase_cents").alias("revenue_cents"),
+    )
