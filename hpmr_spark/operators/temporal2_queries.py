@@ -156,3 +156,91 @@ def asof_join_with_tolerance(spark, sf_dir):
         purchases, views, "user_id", "ts", ["view_cents"], tolerance_seconds=3600
     )
     return out.select("event_id", "user_id", "ts", "asof_ts", "view_cents")
+
+
+@register(
+    "ohlc_hourly_bars",
+    """
+    WITH e AS (
+      SELECT date_trunc('hour', ts) AS hr,
+             CAST(ROUND(value * 100) AS BIGINT) AS cents,
+             ROW_NUMBER() OVER (PARTITION BY date_trunc('hour', ts)
+                                ORDER BY ts, event_id) AS rn_a,
+             ROW_NUMBER() OVER (PARTITION BY date_trunc('hour', ts)
+                                ORDER BY ts DESC, event_id DESC) AS rn_d
+      FROM events
+    )
+    SELECT hr,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(MAX(CASE WHEN rn_a = 1 THEN cents END) AS BIGINT) AS open_cents,
+           CAST(MAX(cents) AS BIGINT) AS high_cents,
+           CAST(MIN(cents) AS BIGINT) AS low_cents,
+           CAST(MAX(CASE WHEN rn_d = 1 THEN cents END) AS BIGINT) AS close_cents
+    FROM e GROUP BY hr
+    """,
+)
+def ohlc_hourly_bars(spark, sf_dir):
+    """Time-series downsampling to OHLC bars (the market-data resample):
+    per hour — open (value at the first fully tie-broken (ts, event_id)),
+    high, low, close (value at the last). Spark uses min_by/max_by over a
+    (ts, event_id) struct ordering — the compound-tie-break rule — while
+    the oracle pins the same rows with window row_number (DuckDB 1.0
+    arg_min can't take struct orderings, CLAUDE.md). ONE shuffle on the
+    hour bucket; at 100 TB bars parallelize over (symbol, window) keys."""
+    ev = _t(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    order = F.struct(F.col("ts"), F.col("event_id"))
+    return (
+        ev.select(
+            F.date_trunc("hour", "ts").alias("hr"),
+            cents.alias("cents"),
+            "ts",
+            "event_id",
+        )
+        .groupBy("hr")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min_by("cents", order).alias("open_cents"),
+            F.max("cents").alias("high_cents"),
+            F.min("cents").alias("low_cents"),
+            F.max_by("cents", order).alias("close_cents"),
+        )
+    )
+
+
+@register(
+    "topk_with_ties_prices",
+    """
+    SELECT p_brand, p_partkey,
+           CAST(ROUND(p_retailprice * 100) AS BIGINT) AS price_cents,
+           CAST(rk AS BIGINT) AS price_rank
+    FROM (
+      SELECT p_brand, p_partkey, p_retailprice,
+             dense_rank() OVER (PARTITION BY p_brand
+                                ORDER BY p_retailprice DESC) AS rk
+      FROM part)
+    WHERE rk <= 3
+    """,
+)
+def topk_with_ties_prices(spark, sf_dir):
+    """Top-k WITH ties (the SQL:2008 FETCH WITH TIES semantic): every part
+    whose price reaches the top-3 distinct price levels of its brand —
+    dense_rank so equal prices share a rank and ALL peers survive, making
+    the result set deterministic WITHOUT a tie-break (row_number top-k
+    would need one; this is the other honest answer to ties). One shuffle
+    on p_brand."""
+    p = _t(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy(F.col("p_retailprice").desc())
+    return (
+        p.select(
+            "p_brand",
+            "p_partkey",
+            F.round(F.col("p_retailprice") * 100).cast("long").alias("price_cents"),
+            F.dense_rank().over(w).alias("rk"),
+        )
+        .where(F.col("rk") <= 3)
+        .select(
+            "p_brand", "p_partkey", "price_cents",
+            F.col("rk").cast("long").alias("price_rank"),
+        )
+    )
