@@ -58,6 +58,13 @@ REPRESENTATIVE = [
     "skew_kurtosis_quantity",
     "time_weighted_avg_value",
     "pipeline_pretraining_report",
+    # late round-2: iterative BFS, integer z² anomaly flags, min_by/max_by
+    # bars, RDD custom-reducer path, JL projection
+    "graph_bfs_3hop",
+    "event_rate_anomaly_hours",
+    "ohlc_hourly_bars",
+    "custom_reducer_max_qty",
+    "embedding_random_projection",
 ]
 
 
