@@ -159,10 +159,13 @@ def try_functions_surface(spark, sf_dir):
       FROM orders GROUP BY 1, 2
     )
     SELECT prio,
-           array_to_string(
+           -- COALESCE: when FILTER removes every element DuckDB's list() is
+           -- NULL, but Spark's map_filter yields an EMPTY map → '' — the
+           -- empty-map case only materializes at small SFs (sf0.001)
+           COALESCE(array_to_string(
              list_sort(list(st || '=' || CAST(c * 2 AS VARCHAR))
                        FILTER (WHERE c > 100)),
-             ',') AS busy_status_map
+             ','), '') AS busy_status_map
     FROM s GROUP BY prio
     """,
 )
