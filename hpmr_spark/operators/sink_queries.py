@@ -59,3 +59,52 @@ def sink_text_roundtrip(spark, sf_dir):
     schema-on-read discipline for ingesting logs at scale. Integer-cents
     values survive the string trip bit-exactly (never floats)."""
     return roundtrip(_revenue(spark, sf_dir), "text", "rev")
+
+
+@register(
+    "sink_dynamic_partition_overwrite",
+    """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN value >= 10 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_high
+    FROM events
+    WHERE event_type <> 'click' OR value >= 10
+    GROUP BY event_type
+    """,
+)
+def sink_dynamic_partition_overwrite(spark, sf_dir):
+    """INSERT OVERWRITE with dynamic partition resolution — the warehouse
+    backfill primitive: the events table is laid out partitioned by
+    event_type, then ONE partition ('click') is rewritten with a filtered
+    version; dynamic partitionOverwriteMode only touches partitions
+    present in the incoming frame, leaving the other four untouched
+    (static mode would wipe them — the classic backfill footgun). Read
+    back and aggregate: click rows are the filtered subset, everything
+    else is intact. At 100 TB this is how a single bad day/source is
+    recomputed in place."""
+    import os
+    import tempfile
+
+    from hpmr_spark.sources.tables import load_events
+
+    ev = load_events(spark, sf_dir).select("event_id", "event_type", "value")
+    d = tempfile.mkdtemp(prefix="hpmr_dynpart_")
+    path = os.path.join(d, "events_by_type")
+    ev.write.mode("overwrite").partitionBy("event_type").parquet(path)
+    orig = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+    try:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        (
+            ev.where((F.col("event_type") == "click") & (F.col("value") >= 10))
+            .write.mode("overwrite")
+            .partitionBy("event_type")
+            .parquet(path)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", orig)
+    back = spark.read.parquet(path)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.when(F.col("value") >= 10, 1).otherwise(0)).alias("n_high"),
+    )

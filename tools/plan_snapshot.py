@@ -38,6 +38,7 @@ SKIP = {
     "sink_orc_roundtrip",
     "sink_xml_roundtrip",
     "sink_text_roundtrip",
+    "sink_dynamic_partition_overwrite",
     "sink_partitioned_pruned",
     "streaming_session_windows",
     "streaming_foreachbatch_sink",
