@@ -314,3 +314,101 @@ def cube_grouping_id_revenue(spark, sf_dir):
             "total_cents",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Scalar-function surface round-out: strings 3, dates 2, conditionals.
+# ---------------------------------------------------------------------------
+@register(
+    "string_functions_3",
+    """
+    SELECT c_custkey,
+           translate(c_mktsegment, 'AEIOU', 'aeiou') AS seg_translated,
+           lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS key_padded,
+           rpad(c_mktsegment, 12, '.') AS seg_rpadded,
+           repeat('-', CAST(c_custkey % 4 AS INTEGER)) AS dashes,
+           left(c_name, 9) AS name_left,
+           right(c_name, 4) AS name_right
+    FROM customer WHERE c_custkey <= 200
+    """,
+)
+def string_functions_3(spark, sf_dir):
+    """String surface batch 3: translate / lpad / rpad / repeat / left /
+    right — pure codegen projections, verified character-identical across
+    engines on this ASCII corpus."""
+    c = _t(spark, sf_dir, "customer")
+    return c.where(F.col("c_custkey") <= 200).select(
+        "c_custkey",
+        F.translate("c_mktsegment", "AEIOU", "aeiou").alias("seg_translated"),
+        F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("key_padded"),
+        F.rpad("c_mktsegment", 12, ".").alias("seg_rpadded"),
+        F.repeat(F.lit("-"), (F.col("c_custkey") % 4).cast("int")).alias("dashes"),
+        F.expr("left(c_name, 9)").alias("name_left"),
+        F.expr("right(c_name, 4)").alias("name_right"),
+    )
+
+
+@register(
+    "date_functions_2",
+    """
+    SELECT o_orderkey,
+           last_day(o_orderdate) AS month_end,
+           CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) AS plus3m,
+           CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
+           CAST(dayofyear(o_orderdate) AS BIGINT) AS doy,
+           CAST(date_diff('day', DATE '1995-01-01', o_orderdate) AS BIGINT)
+             AS days_since_95
+    FROM orders WHERE o_orderkey <= 2000
+    """,
+)
+def date_functions_2(spark, sf_dir):
+    """Date surface batch 2: last_day / add_months (≡ DuckDB + INTERVAL,
+    both clamp to month end — the recursive-CTE parity fact) / quarter /
+    dayofyear / datediff. Calendar arithmetic is integer-exact on both
+    engines."""
+    o = _t(spark, sf_dir, "orders")
+    return o.where(F.col("o_orderkey") <= 2000).select(
+        "o_orderkey",
+        F.last_day("o_orderdate").alias("month_end"),
+        F.add_months("o_orderdate", 3).alias("plus3m"),
+        F.quarter("o_orderdate").cast("long").alias("qtr"),
+        F.dayofyear("o_orderdate").cast("long").alias("doy"),
+        F.datediff("o_orderdate", F.lit("1995-01-01").cast("date"))
+        .cast("long")
+        .alias("days_since_95"),
+    )
+
+
+@register(
+    "conditional_functions_surface",
+    """
+    SELECT c_custkey,
+           NULLIF(c_mktsegment, 'BUILDING') AS seg_or_null,
+           COALESCE(NULLIF(c_mktsegment, 'BUILDING'), 'DEFAULT') AS seg_coalesced,
+           GREATEST(c_custkey % 7, c_custkey % 5, c_custkey % 3) AS g3,
+           LEAST(c_custkey % 7, c_custkey % 5, c_custkey % 3) AS l3,
+           CASE WHEN c_acctbal >= 0 THEN 'POS' ELSE 'NEG' END AS bal_sign,
+           CAST(IF(c_custkey % 2 = 0, c_custkey, -c_custkey) AS BIGINT)
+             AS signed_key
+    FROM customer WHERE c_custkey <= 300
+    """,
+)
+def conditional_functions_surface(spark, sf_dir):
+    """Conditional surface: NULLIF / COALESCE / GREATEST / LEAST / CASE /
+    IF — the null-plumbing scalar layer; integer modulo keeps every value
+    exact. (DuckDB supports IF(cond, a, b) with identical semantics.)"""
+    c = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    return c.where(k <= 300).select(
+        "c_custkey",
+        F.nullif("c_mktsegment", F.lit("BUILDING")).alias("seg_or_null"),
+        F.coalesce(
+            F.nullif("c_mktsegment", F.lit("BUILDING")), F.lit("DEFAULT")
+        ).alias("seg_coalesced"),
+        F.greatest(k % 7, k % 5, k % 3).alias("g3"),
+        F.least(k % 7, k % 5, k % 3).alias("l3"),
+        F.when(F.col("c_acctbal") >= 0, "POS").otherwise("NEG").alias("bal_sign"),
+        F.expr("CAST(IF(c_custkey % 2 = 0, c_custkey, -c_custkey) AS BIGINT)").alias(
+            "signed_key"
+        ),
+    )
