@@ -352,3 +352,55 @@ def token_gini_impurity_ppm(spark, sf_dir):
             "gini_ppm"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental-view checkpoint/restore: merge persisted partials with a delta.
+# ---------------------------------------------------------------------------
+@register(
+    "ivm_checkpoint_resume",
+    """
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS total_cents
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def ivm_checkpoint_resume(spark, sf_dir):
+    """The materialize→restore→merge loop of incremental view maintenance:
+    history (orders before 1997) aggregates once and CHECKPOINTS to
+    parquet; the delta (1997+) aggregates separately; the published view
+    is the re-aggregated union of restored partials + delta partials —
+    proven equal to a full recompute by the oracle. Integer-cents partials
+    are associative, so the merge is exact regardless of how history was
+    split. At 100 TB this is the nightly pattern: history partials are
+    metadata-sized (groups, not rows), and only the delta touches new
+    data."""
+    import os
+    import tempfile
+
+    o = _t(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    cutoff = F.lit("1997-01-01").cast("date")
+
+    def partial(df):
+        return df.groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(cents).alias("total_cents"),
+        )
+
+    ckpt = os.path.join(tempfile.mkdtemp(prefix="hpmr_ivm_"), "history_partials")
+    partial(o.where(F.col("o_orderdate") < cutoff)).write.mode("overwrite").parquet(
+        ckpt
+    )
+    restored = spark.read.parquet(ckpt)
+    delta = partial(o.where(F.col("o_orderdate") >= cutoff))
+    return (
+        restored.unionByName(delta)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum("n_orders").alias("n_orders"),
+            F.sum("total_cents").alias("total_cents"),
+        )
+    )

@@ -244,3 +244,46 @@ def topk_with_ties_prices(spark, sf_dir):
             F.col("rk").cast("long").alias("price_rank"),
         )
     )
+
+
+@register(
+    "event_lateness_profile",
+    """
+    WITH a AS (
+      SELECT event_type,
+             epoch_us(ts) AS us,
+             MAX(epoch_us(ts)) OVER (ORDER BY event_id
+                                     ROWS UNBOUNDED PRECEDING) AS frontier
+      FROM events
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(MAX(frontier - us) AS BIGINT) AS max_lateness_us,
+           CAST(SUM(CASE WHEN frontier - us > 3600000000 THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_late_1h
+    FROM a GROUP BY event_type
+    """,
+)
+def event_lateness_profile(spark, sf_dir):
+    """Out-of-orderness profiling — how you CHOOSE a watermark delay before
+    deploying the streaming jobs: in arrival order (event_id), each event's
+    lateness is the event-time frontier (running max) minus its own
+    timestamp; report the worst case and the count beyond a 1-hour
+    candidate watermark per type. Exact integer micros throughout. The
+    arrival-ordered running max is the single-sorted-pass cost (per
+    source-partition at scale, where arrival order is per-partition
+    anyway)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.orderBy("event_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    a = ev.select(
+        "event_type",
+        F.unix_micros("ts").alias("us"),
+        F.max(F.unix_micros("ts")).over(w).alias("frontier"),
+    )
+    return a.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.max(F.col("frontier") - F.col("us")).alias("max_lateness_us"),
+        F.sum(
+            F.when(F.col("frontier") - F.col("us") > 3_600_000_000, 1).otherwise(0)
+        ).alias("n_late_1h"),
+    )
