@@ -423,3 +423,107 @@ def ab_test_metrics(spark, sf_dir):
         F.expr("sum(converted) * 1000000 div count(1)").alias("conversion_ppm"),
         F.sum("purchase_cents").alias("revenue_cents"),
     )
+
+
+@register(
+    "funnel_time_to_convert",
+    """
+    WITH v AS (
+      SELECT user_id, MIN(epoch_us(ts)) AS t1
+      FROM events WHERE event_type = 'view' GROUP BY user_id
+    ),
+    p AS (
+      SELECT e.user_id, MIN(epoch_us(e.ts)) AS t3
+      FROM events e JOIN v ON e.user_id = v.user_id
+                          AND epoch_us(e.ts) >= v.t1
+      WHERE e.event_type = 'purchase' GROUP BY e.user_id
+    ),
+    d AS (
+      SELECT p.user_id, p.t3 - v.t1 AS delta_us,
+             ROW_NUMBER() OVER (ORDER BY p.t3 - v.t1, p.user_id) AS rn,
+             COUNT(*) OVER () AS n
+      FROM p JOIN v ON p.user_id = v.user_id
+    )
+    SELECT CAST(MAX(n) AS BIGINT) AS n_converted,
+           CAST(MIN(delta_us) AS BIGINT) AS min_us,
+           CAST(MAX(delta_us) AS BIGINT) AS max_us,
+           CAST(MAX(CASE WHEN rn * 2 = n + (n % 2) THEN delta_us END)
+             AS BIGINT) AS median_us
+    FROM d
+    """,
+)
+def funnel_time_to_convert(spark, sf_dir):
+    """Time-to-convert distribution (first view → first purchase at-or-
+    after it): count, min, max, and the EXACT lower median selected by
+    integer rank arithmetic (rn·2 = n + n%2 picks rank ⌈n/2⌉ — no float
+    percentile, no approx sketch; ties broken by user_id). The deltas
+    frame is converting-users-sized, so the rank window is state-bounded;
+    everything upstream keys on user_id."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    v = ev.where(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.min("us").alias("t1")
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(v, "user_id")
+        .where(F.col("us") >= F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t3"))
+    )
+    d = (
+        p.join(v, "user_id")
+        .select("user_id", (F.col("t3") - F.col("t1")).alias("delta_us"))
+        .select(
+            "delta_us",
+            F.row_number()
+            .over(Window.orderBy("delta_us", "user_id"))
+            .alias("rn"),
+            F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+        )
+    )
+    return d.agg(
+        F.max("n").alias("n_converted"),
+        F.min("delta_us").alias("min_us"),
+        F.max("delta_us").alias("max_us"),
+        F.max(
+            F.when(F.col("rn") * 2 == F.col("n") + F.col("n") % 2, F.col("delta_us"))
+        ).alias("median_us"),
+    )
+
+
+@register(
+    "debounce_events_5s",
+    """
+    WITH l AS (
+      SELECT event_type,
+             epoch_us(ts) - lag(epoch_us(ts))
+               OVER (PARTITION BY user_id, event_type
+                     ORDER BY ts, event_id) AS gap_us
+      FROM events
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN gap_us IS NULL OR gap_us > 5000000
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+    FROM l GROUP BY event_type
+    """,
+)
+def debounce_events_5s(spark, sf_dir):
+    """Debounce filter — the duplicate-click suppressor: an event survives
+    when ≥5 s (exact integer micros) passed since the SAME user's previous
+    event of the same type (lag-based, the standard stateless debounce; a
+    chained/stateful debounce is sessionize with gap=5s). One window pass
+    keyed (user, type), then a type-level rollup."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    gap = F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+    l = ev.select("event_type", gap.alias("gap_us"))
+    return l.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(
+            F.when(F.col("gap_us").isNull() | (F.col("gap_us") > 5_000_000), 1)
+            .otherwise(0)
+        ).alias("n_kept"),
+    )
