@@ -49,6 +49,7 @@ _MODULES = [
     "hpmr_spark.operators.temporal2_queries",
     "hpmr_spark.operators.stats_catalog_queries",
     "hpmr_spark.operators.embedding_prep_queries",
+    "hpmr_spark.operators.advanced2_queries",
 ]
 
 FAILED_MODULES: dict[str, str] = {}
@@ -74,11 +75,14 @@ for _m in _MODULES:
 # quantization, vocab encode) in for four family-duplicate safe entries;
 # later round-2 swaps put the corpus-quality/relational13 riskiest four
 # (bigram-LM doc score, SCD2 intervals, IGNORE-NULLS LOCF, regex scrub)
-# in for four more family-duplicate safe entries.
+# in for four more family-duplicate safe entries; the closing batch swapped
+# in substring-passage dedup, the bucketized interval-overlap join, and the
+# exact dyadic EWMA (window-list + one-final-double parity) for three safe
+# window/kv family duplicates.
 _CHECK_FIRST = [
     "mapreduce_revenue_by_order",  # flagship — keep first (entry() twin)
     "q1_pricing_summary",
-    "kv_1m_mapreduce_sum",
+    "ewma_user_value_exact",
     "reducer_keep_overwrite",
     "chained_mapreduce_histogram",
     "q21_waiting_supplier",
@@ -92,9 +96,9 @@ _CHECK_FIRST = [
     "q20_promo_suppliers",
     "correlated_scalar_select",
     "cdc_latest_events",
-    "cooccurrence_window2",
+    "dedup_substring_ngram",
     "session_window_builtin",
-    "window_value_functions",
+    "session_overlap_pairs",
     "asof_join_purchase_view",
     "scd2_user_event_history",
     "nonequi_band_join",

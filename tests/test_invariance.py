@@ -65,6 +65,12 @@ REPRESENTATIVE = [
     "ohlc_hourly_bars",
     "custom_reducer_max_qty",
     "embedding_random_projection",
+    # closing batch: corpus-wide fingerprint window, bucketized interval
+    # join, trailing window-list EWMA, rank-selected percentile clip
+    "dedup_substring_ngram",
+    "session_overlap_pairs",
+    "ewma_user_value_exact",
+    "winsorize_clip_stats",
 ]
 
 
