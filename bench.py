@@ -55,6 +55,8 @@ BENCH_EXTRA = [
     "pipeline_pretraining_report",  # composed corpus pipeline (one fused plan)
     "cooccurrence_window2",         # skip-gram pair counts + PMI ratio
     "scd2_user_event_history",      # gaps-and-islands SCD2 intervals
+    "dedup_substring_ngram",        # positional 15-gram passage dedup
+    "session_overlap_pairs",        # bucketized interval-overlap join
 ]
 
 
