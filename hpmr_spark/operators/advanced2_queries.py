@@ -404,3 +404,145 @@ def winsorize_clip_stats(spark, sf_dir):
         F.sum((F.col("cents") > F.col("hi_cents")).cast("long")).alias("n_clip_hi"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+# ---------------------------------------------------------------------------
+# DAU / WAU / MAU active-user rollup with stickiness.
+# ---------------------------------------------------------------------------
+_DAU_SQL = """
+    WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+    days AS (SELECT DISTINCT d FROM ud),
+    dau AS (SELECT d, CAST(COUNT(*) AS BIGINT) AS dau FROM ud GROUP BY d),
+    wau AS (SELECT dy.d, CAST(COUNT(DISTINCT u.user_id) AS BIGINT) AS wau
+            FROM days dy JOIN ud u ON u.d BETWEEN dy.d - 6 AND dy.d GROUP BY dy.d),
+    mau AS (SELECT dy.d, CAST(COUNT(DISTINCT u.user_id) AS BIGINT) AS mau
+            FROM days dy JOIN ud u ON u.d BETWEEN dy.d - 29 AND dy.d GROUP BY dy.d)
+    SELECT dau.d AS day, dau.dau, wau.wau, mau.mau,
+           CAST(dau.dau * 1000000 // mau.mau AS BIGINT) AS stickiness_ppm
+    FROM dau JOIN wau ON dau.d = wau.d JOIN mau ON dau.d = mau.d
+"""
+
+
+@register("dau_wau_mau_rollup", _DAU_SQL)
+def dau_wau_mau_rollup(spark, sf_dir):
+    """Daily/weekly/monthly active users + DAU/MAU stickiness (integer ppm).
+    Spark windows cannot COUNT(DISTINCT) over a RANGE frame, and a per-day
+    non-equi join is quadratic — so each (user, day) row is EXPLODED into
+    the ≤7/≤30 future days it keeps the user active in, turning the rolling
+    distinct into a plain groupBy(day) countDistinct. 30× row amplification
+    of the already-deduped (user, day) frame — the scale-correct shape (the
+    oracle runs the naive range join instead, proving equivalence)."""
+    ev = load_events(spark, sf_dir)
+    ud = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    days = ud.select("d").distinct()
+    dau = ud.groupBy(F.col("d").alias("day")).agg(
+        F.countDistinct("user_id").alias("dau")
+    )
+
+    def rolling(n_days, alias):
+        ex = ud.select(
+            "user_id",
+            F.explode(
+                F.sequence(F.col("d"), F.date_add(F.col("d"), n_days - 1))
+            ).alias("day"),
+        )
+        return (
+            ex.join(days.withColumnRenamed("d", "day"), "day")
+            .groupBy("day")
+            .agg(F.countDistinct("user_id").alias(alias))
+        )
+
+    out = (
+        dau.join(rolling(7, "wau"), "day")
+        .join(rolling(30, "mau"), "day")
+        .withColumn("stickiness_ppm", F.expr("dau * 1000000 div mau"))
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Power-of-2 inter-event latency histogram.
+# ---------------------------------------------------------------------------
+_LATENCY_SQL = """
+    WITH g AS (SELECT epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id
+                                                            ORDER BY ts, event_id)) AS gap_us
+               FROM events)
+    SELECT CAST(length(bin(gap_us)) - 1 AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_gaps,
+           CAST(MIN(gap_us) AS BIGINT) AS min_gap_us,
+           CAST(MAX(gap_us) AS BIGINT) AS max_gap_us
+    FROM g WHERE gap_us IS NOT NULL GROUP BY bucket
+"""
+
+
+@register("latency_histogram_pow2", _LATENCY_SQL)
+def latency_histogram_pow2(spark, sf_dir):
+    """Log₂-scale histogram of inter-event gaps: bucket = ⌊log₂(gap_µs)⌋
+    computed EXACTLY as length(bin(gap)) − 1 (minimal binary representation
+    — identical across engines, no float log). One user_id window shuffle +
+    a ~64-group agg; the standard latency-profile operator shape."""
+    ev = load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = (F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))).alias(
+        "gap_us"
+    )
+    g = ev.select(gap).where(F.col("gap_us").isNotNull())
+    return g.groupBy(
+        (F.length(F.bin(F.col("gap_us"))) - 1).cast("long").alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.min("gap_us").alias("min_gap_us"),
+        F.max("gap_us").alias("max_gap_us"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Last-touch attribution: purchases credited to the most recent prior
+# non-purchase event of the same user.
+# ---------------------------------------------------------------------------
+_ATTR_SQL = """
+    WITH e AS (SELECT user_id, ts, event_id, event_type,
+                      CAST(ROUND(value * 100) AS BIGINT) AS cents FROM events),
+    w AS (SELECT *,
+                 COALESCE(last_value(CASE WHEN event_type <> 'purchase'
+                                     THEN event_type END IGNORE NULLS)
+                          OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                          '(none)') AS touch
+          FROM e)
+    SELECT touch, CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           CAST(SUM(cents) AS BIGINT) AS attributed_cents
+    FROM w WHERE event_type = 'purchase' GROUP BY touch
+"""
+
+
+@register("attribution_last_touch", _ATTR_SQL)
+def attribution_last_touch(spark, sf_dir):
+    """Last-touch revenue attribution: each purchase credits the user's most
+    recent preceding non-purchase event type (IGNORE NULLS last over a
+    1-PRECEDING rows frame — the verified cross-engine LOCF idiom), '(none)'
+    when the purchase is the user's first event. Integer-cents sums."""
+    ev = load_events(spark, sf_dir)
+    cents = F.round(F.col("value") * 100).cast("long")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.coalesce(
+        F.last(
+            F.when(F.col("event_type") != "purchase", F.col("event_type")),
+            ignorenulls=True,
+        ).over(w),
+        F.lit("(none)"),
+    )
+    return (
+        ev.select("user_id", "ts", "event_id", "event_type", cents.alias("cents"))
+        .withColumn("touch", touch)
+        .where(F.col("event_type") == "purchase")
+        .groupBy("touch")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.sum("cents").alias("attributed_cents"),
+        )
+    )
