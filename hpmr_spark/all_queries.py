@@ -50,6 +50,7 @@ _MODULES = [
     "hpmr_spark.operators.stats_catalog_queries",
     "hpmr_spark.operators.embedding_prep_queries",
     "hpmr_spark.operators.advanced2_queries",
+    "hpmr_spark.operators.advanced3_queries",
 ]
 
 FAILED_MODULES: dict[str, str] = {}

@@ -1,0 +1,238 @@
+"""Behavioral-analytics batch: association rules, user-similarity cosine,
+active-day streaks, week-over-week growth.
+
+Reference parity: keyed combine workloads (/root/reference/src/dist_map.h:
+147-210) over derived keys (baskets, user pairs, streak anchors, weeks).
+
+Determinism: counts/cents as BIGINT; ratios as integer ppm with floor
+division on positive operands; cosine/lift/growth as ONE final double
+expression over exact integer moments (identical SQL text on both engines,
+so IEEE evaluation is bit-equal)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from hpmr_spark.catalog import register
+from hpmr_spark.sources.tables import load_events
+
+# ---------------------------------------------------------------------------
+# Association rules over daily event-type baskets: support / confidence /
+# lift (market-basket analysis).
+# ---------------------------------------------------------------------------
+_ASSOC_SQL = """
+    WITH b AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d, event_type
+               FROM events),
+    nb AS (SELECT CAST(COUNT(DISTINCT (user_id, d)) AS BIGINT) AS n_baskets FROM b),
+    item AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM b
+             GROUP BY event_type),
+    pair AS (SELECT x.event_type AS a, y.event_type AS b,
+                    CAST(COUNT(*) AS BIGINT) AS n_ab
+             FROM b x JOIN b y
+               ON x.user_id = y.user_id AND x.d = y.d AND x.event_type < y.event_type
+             GROUP BY a, b)
+    SELECT a, b, n_ab,
+           CAST(n_ab * 1000000 // n_baskets AS BIGINT) AS support_ppm,
+           CAST(n_ab * 1000000 // ia.n AS BIGINT) AS conf_a_to_b_ppm,
+           CAST(n_ab * 1000000 // ib.n AS BIGINT) AS conf_b_to_a_ppm,
+           CAST(n_ab * n_baskets AS DOUBLE) / CAST(ia.n * ib.n AS DOUBLE) AS lift
+    FROM pair JOIN item ia ON pair.a = ia.event_type
+              JOIN item ib ON pair.b = ib.event_type
+              CROSS JOIN nb
+"""
+
+
+@register("assoc_rules_support_ppm", _ASSOC_SQL)
+def assoc_rules_support_ppm(spark, sf_dir):
+    """Market-basket association rules where a basket is one user-day's set
+    of event types: pair support/confidence as integer ppm, lift as one
+    final double over exact counts (n_ab·N / n_a·n_b). The pair join is an
+    equi-join on (user, day) — the classic co-occurrence shuffle; item
+    counts and the basket total are broadcast 1-row/5-row frames. At scale
+    baskets are bounded (|event types| per user-day), so the pair explosion
+    is |basket|²-bounded per key, not corpus-quadratic."""
+    ev = load_events(spark, sf_dir)
+    b = ev.select(
+        "user_id", F.to_date("ts").alias("d"), "event_type"
+    ).distinct()
+    nb = b.select("user_id", "d").distinct().agg(
+        F.count(F.lit(1)).alias("n_baskets")
+    )
+    item = b.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    x, y = b.alias("x"), b.alias("y")
+    pair = (
+        x.join(
+            y,
+            [
+                F.col("x.user_id") == F.col("y.user_id"),
+                F.col("x.d") == F.col("y.d"),
+                F.col("x.event_type") < F.col("y.event_type"),
+            ],
+        )
+        .select(F.col("x.event_type").alias("a"), F.col("y.event_type").alias("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    ia = item.select(F.col("event_type").alias("a"), F.col("n").alias("na"))
+    ib = item.select(F.col("event_type").alias("b"), F.col("n").alias("nb"))
+    return (
+        pair.join(F.broadcast(ia), "a")
+        .join(F.broadcast(ib), "b")
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "a",
+            "b",
+            "n_ab",
+            F.expr("n_ab * 1000000 div n_baskets").alias("support_ppm"),
+            F.expr("n_ab * 1000000 div na").alias("conf_a_to_b_ppm"),
+            F.expr("n_ab * 1000000 div nb").alias("conf_b_to_a_ppm"),
+            F.expr(
+                "CAST(n_ab * n_baskets AS DOUBLE) / CAST(na * nb AS DOUBLE)"
+            ).alias("lift"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# User behavioral similarity: cosine between event-type count vectors.
+# ---------------------------------------------------------------------------
+_BCOS_SQL = """
+    WITH v AS (SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n
+               FROM events GROUP BY user_id, event_type),
+    nrm AS (SELECT user_id, CAST(SUM(n * n) AS BIGINT) AS nn FROM v
+            GROUP BY user_id),
+    dot AS (SELECT a.user_id AS u1, b.user_id AS u2,
+                   CAST(SUM(a.n * b.n) AS BIGINT) AS dp
+            FROM v a JOIN v b
+              ON a.event_type = b.event_type AND a.user_id < b.user_id
+            GROUP BY u1, u2)
+    SELECT u1, u2, dp,
+           CAST(dp AS DOUBLE) / sqrt(CAST(na.nn * nb.nn AS DOUBLE)) AS cosine
+    FROM dot JOIN nrm na ON dot.u1 = na.user_id
+             JOIN nrm nb ON dot.u2 = nb.user_id
+"""
+
+
+@register("user_behavior_cosine", _BCOS_SQL)
+def user_behavior_cosine(spark, sf_dir):
+    """Pairwise cosine similarity between users' event-type count vectors.
+    Dot products and squared norms are exact BIGINT moments accumulated by
+    an equi-join on the (tiny-cardinality) vector component key; the cosine
+    is ONE final double expression (dp / √(nn₁·nn₂)) — identical text on
+    both engines. The pair space is |users|² over the POST-aggregation
+    frame (users, not events) — at 100 TB this pairs via LSH/IVF blocking
+    (similarity/lsh.py) instead of the exact component join."""
+    ev = load_events(spark, sf_dir)
+    v = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    nrm = v.groupBy("user_id").agg(F.sum(F.col("n") * F.col("n")).alias("nn"))
+    a, b = v.alias("a"), v.alias("b")
+    dot = (
+        a.join(
+            b,
+            [
+                F.col("a.event_type") == F.col("b.event_type"),
+                F.col("a.user_id") < F.col("b.user_id"),
+            ],
+        )
+        .select(
+            F.col("a.user_id").alias("u1"),
+            F.col("b.user_id").alias("u2"),
+            (F.col("a.n") * F.col("b.n")).alias("p"),
+        )
+        .groupBy("u1", "u2")
+        .agg(F.sum("p").alias("dp"))
+    )
+    na = nrm.select(F.col("user_id").alias("u1"), F.col("nn").alias("nn1"))
+    nb = nrm.select(F.col("user_id").alias("u2"), F.col("nn").alias("nn2"))
+    return (
+        dot.join(F.broadcast(na), "u1")
+        .join(F.broadcast(nb), "u2")
+        .select(
+            "u1",
+            "u2",
+            "dp",
+            F.expr("CAST(dp AS DOUBLE) / sqrt(CAST(nn1 * nn2 AS DOUBLE))").alias(
+                "cosine"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gaps-and-islands: longest consecutive-active-day streak per user.
+# ---------------------------------------------------------------------------
+_STREAK_SQL = """
+    WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+    g AS (SELECT user_id, d,
+                 d - CAST(row_number() OVER (PARTITION BY user_id ORDER BY d)
+                          AS INTEGER) AS anchor
+          FROM ud),
+    s AS (SELECT user_id, anchor, CAST(COUNT(*) AS BIGINT) AS len
+          FROM g GROUP BY user_id, anchor)
+    SELECT user_id,
+           CAST(SUM(len) AS BIGINT) AS n_active_days,
+           CAST(MAX(len) AS BIGINT) AS longest_streak,
+           CAST(COUNT(*) AS BIGINT) AS n_streaks
+    FROM s GROUP BY user_id
+"""
+
+
+@register("user_active_streaks", _STREAK_SQL)
+def user_active_streaks(spark, sf_dir):
+    """Longest consecutive-day activity streak per user via the
+    gaps-and-islands anchor trick (d − row_number is constant within a run
+    of consecutive dates). Pure integer/date arithmetic, one user_id window
+    + two cheap aggs; no self-join."""
+    ev = load_events(spark, sf_dir)
+    ud = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    g = ud.withColumn("anchor", F.date_sub(F.col("d"), F.row_number().over(w)))
+    s = g.groupBy("user_id", "anchor").agg(F.count(F.lit(1)).alias("len"))
+    return s.groupBy("user_id").agg(
+        F.sum("len").alias("n_active_days"),
+        F.max("len").alias("longest_streak"),
+        F.count(F.lit(1)).alias("n_streaks"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Week-over-week revenue growth.
+# ---------------------------------------------------------------------------
+_WOW_SQL = """
+    WITH wk AS (SELECT CAST(date_trunc('week', ts) AS DATE) AS week,
+                       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+                         AS revenue_cents
+                FROM events WHERE event_type = 'purchase' GROUP BY week)
+    SELECT week, revenue_cents,
+           lag(revenue_cents) OVER (ORDER BY week) AS prev_cents,
+           CAST(revenue_cents - lag(revenue_cents) OVER (ORDER BY week) AS DOUBLE)
+             / CAST(lag(revenue_cents) OVER (ORDER BY week) AS DOUBLE) AS wow_growth
+    FROM wk
+"""
+
+
+@register("wow_growth_revenue", _WOW_SQL)
+def wow_growth_revenue(spark, sf_dir):
+    """Week-over-week purchase-revenue growth: exact integer cents per ISO
+    week (date_trunc('week') starts Monday on both engines), lag window over
+    the tiny post-agg weekly frame, growth as ONE final double expression
+    (Δ/prev — may be negative, so no integer floor division). First week's
+    growth is NULL by construction."""
+    ev = load_events(spark, sf_dir)
+    cents = F.round(F.col("value") * 100).cast("long")
+    wk = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy(F.date_trunc("week", F.col("ts")).cast("date").alias("week"))
+        .agg(F.sum(cents).alias("revenue_cents"))
+    )
+    w = Window.orderBy("week")
+    prev = F.lag("revenue_cents").over(w)
+    return wk.select(
+        "week",
+        "revenue_cents",
+        prev.alias("prev_cents"),
+        (
+            (F.col("revenue_cents") - prev).cast("double") / prev.cast("double")
+        ).alias("wow_growth"),
+    )
