@@ -101,3 +101,50 @@ def pipe_syntax_top_nations(spark, sf_dir):
         |> LIMIT 5
         """
     )
+
+
+@register(
+    "pydatasource_sink_roundtrip",
+    """
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS total_cents,
+           CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+           CAST(MAX(o_orderkey) AS BIGINT) AS max_key
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def pydatasource_sink_roundtrip(spark, sf_dir):
+    """Full custom-connector loop: orders projected to integer cents, written
+    through the Python DataSourceWriter (one JSON-lines shard per partition,
+    written BY EXECUTORS — the write() contract), read back with Spark's
+    native JSON reader under an explicit schema, then aggregated. The oracle
+    recomputes from the source table, so a lost/duplicated/corrupted row in
+    the custom sink fails the value hash. At scale the same writer surface
+    wraps any internal service; shard-per-partition is the parallelism
+    contract."""
+    import shutil
+    import tempfile
+
+    from hpmr_spark.sources.pydatasource import register_jsonlines_sink
+
+    register_jsonlines_sink(spark)
+    d = tempfile.mkdtemp(prefix="hpmr_jsonl_")
+    shutil.rmtree(d, ignore_errors=True)
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    o.write.format("hpmr_jsonlines").option("path", d).mode("append").save()
+    back = spark.read.schema(
+        "o_orderkey bigint, o_orderpriority string, cents bigint"
+    ).json(d)
+    return back.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("cents").alias("total_cents"),
+        F.min("o_orderkey").alias("min_key"),
+        F.max("o_orderkey").alias("max_key"),
+    )

@@ -69,3 +69,54 @@ class SeqDataSource(DataSource):
 
 def register_seq_source(spark) -> None:
     spark.dataSource.register(SeqDataSource)
+
+
+# ---------------------------------------------------------------------------
+# Batch WRITER half of the connector surface (Spark 4 DataSourceWriter):
+# executors write JSON-lines shards in parallel, one file per partition.
+# ---------------------------------------------------------------------------
+from pyspark.sql.datasource import DataSourceWriter, WriterCommitMessage  # noqa: E402
+
+
+class JsonLinesWriter(DataSourceWriter):
+    """Runs ON EXECUTORS: each write() call streams one partition to its own
+    shard file — the 1-task-per-partition parallelism contract, mirrored
+    from the reader's partitions() planning."""
+
+    def __init__(self, options, overwrite: bool):
+        self.path = options["path"]
+
+    def write(self, iterator):
+        import json as _json
+        import os as _os
+
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        _os.makedirs(self.path, exist_ok=True)
+        out = _os.path.join(self.path, f"part-{pid:05d}.jsonl")
+        with open(out, "w") as fh:
+            for row in iterator:
+                fh.write(_json.dumps(row.asDict()) + "\n")
+        return WriterCommitMessage()
+
+    def commit(self, messages):
+        return None
+
+    def abort(self, messages):
+        return None
+
+
+class JsonLinesDataSource(DataSource):
+    """df.write.format("hpmr_jsonlines").option("path", dir).save()"""
+
+    @classmethod
+    def name(cls) -> str:
+        return "hpmr_jsonlines"
+
+    def writer(self, schema, overwrite: bool) -> JsonLinesWriter:
+        return JsonLinesWriter(self.options, overwrite)
+
+
+def register_jsonlines_sink(spark) -> None:
+    spark.dataSource.register(JsonLinesDataSource)

@@ -24,3 +24,23 @@ def test_seq_source_options(spark):
     df = spark.read.format("hpmr_seq").option("n", 1000).option("parts", 3).load()
     assert df.rdd.getNumPartitions() == 3
     assert df.count() == 1000
+
+
+def test_jsonlines_writer_shard_per_partition(spark, tmp_path):
+    from hpmr_spark.sources.pydatasource import register_jsonlines_sink
+
+    register_jsonlines_sink(spark)
+    d = str(tmp_path / "out")
+    df = spark.range(0, 100).repartition(4).selectExpr(
+        "id AS o_orderkey", "'X' AS o_orderpriority", "id * 7 AS cents"
+    )
+    df.write.format("hpmr_jsonlines").option("path", d).mode("append").save()
+    import glob
+
+    shards = sorted(glob.glob(d + "/part-*.jsonl"))
+    assert len(shards) == 4  # one shard per partition, written by executors
+    back = spark.read.schema(
+        "o_orderkey bigint, o_orderpriority string, cents bigint"
+    ).json(d)
+    assert back.count() == 100
+    assert back.selectExpr("sum(cents)").collect()[0][0] == sum(i * 7 for i in range(100))

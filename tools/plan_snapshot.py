@@ -39,6 +39,7 @@ SKIP = {
     "sink_xml_roundtrip",
     "sink_text_roundtrip",
     "sink_dynamic_partition_overwrite",
+    "pydatasource_sink_roundtrip",  # writes the JSON-lines shards at build
     "ivm_checkpoint_resume",  # writes the history checkpoint at build
     "sink_partitioned_pruned",
     "streaming_session_windows",
