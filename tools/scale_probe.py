@@ -152,6 +152,61 @@ def corpus_probe(spark, n: int):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+
+def closing_probe(spark, n: int):
+    """Synthesize a full-schema events table (+ the synth docs corpus) and
+    run the round-2 closing-batch queries exactly as registered."""
+    import shutil
+    import tempfile
+
+    from __spark_entry__ import queries
+
+    qs = queries()
+    tmp = tempfile.mkdtemp(prefix="scale_closing_")
+    try:
+        docs = synth_docs(spark, n).select(
+            "doc_id",
+            "text",
+            F.concat(F.lit("l"), (F.col("doc_id") % 5).cast("string")).alias("lang"),
+            F.concat(F.lit("src"), (F.col("doc_id") % 20).cast("string")).alias("source"),
+            F.length("text").alias("n_chars"),
+        )
+        docs.write.mode("overwrite").parquet(f"{tmp}/documents.parquet")
+        n_ev = n * 30
+        types = F.array(*[F.lit(t) for t in ("view", "click", "purchase", "signup", "error")])
+        ev = spark.range(n_ev).select(
+            F.col("id").alias("event_id"),
+            F.timestamp_micros(
+                F.lit(1700000000000000)
+                + ((F.xxhash64(F.col("id") + 7) % 2592000000000 + 2592000000000) % 2592000000000)
+            ).alias("ts"),
+            ((F.xxhash64("id") % 1000 + 1000) % 1000).alias("user_id"),
+            F.element_at(types, ((F.xxhash64(F.col("id") + 3) % 5 + 5) % 5 + 1).cast("int")).alias("event_type"),
+            (((F.xxhash64(F.col("id") + 11) % 49000 + 49000) % 49000 + 100) / 100.0).alias("value"),
+            F.lit('{"k": 1}').alias("props"),
+        )
+        ev.write.mode("overwrite").parquet(f"{tmp}/events.parquet")
+
+        for name in [
+            "dedup_substring_ngram",
+            "session_overlap_pairs",
+            "dau_wau_mau_rollup",
+            "assoc_rules_support_ppm",
+            "user_behavior_cosine",
+            "ewma_user_value_exact",
+            "latency_histogram_pow2",
+            "markov_transitions_ppm",
+            "attribution_last_touch",
+            "user_active_streaks",
+            "wow_growth_revenue",
+        ]:
+            t0 = time.time()
+            cnt = qs[name](spark, tmp).count()
+            print(f"{name}: {cnt} rows in {time.time()-t0:.1f}s")
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
     from hpmr_spark.engine import get_spark
@@ -203,6 +258,8 @@ def main():
     print(f"pagerank: {m} nodes x3 iters, mass {total} ppb in {time.time()-t0:.1f}s")
 
     corpus_probe(spark, n)
+
+    closing_probe(spark, n)
 
     spark.stop()
 
