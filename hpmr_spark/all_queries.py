@@ -51,6 +51,7 @@ _MODULES = [
     "hpmr_spark.operators.embedding_prep_queries",
     "hpmr_spark.operators.advanced2_queries",
     "hpmr_spark.operators.advanced3_queries",
+    "hpmr_spark.operators.llm_extras_queries",
 ]
 
 FAILED_MODULES: dict[str, str] = {}
