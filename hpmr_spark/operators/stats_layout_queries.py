@@ -404,3 +404,68 @@ def ivm_checkpoint_resume(spark, sf_dir):
             F.sum("total_cents").alias("total_cents"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental JOIN maintenance: ΔFact ⋈ Dims merged with materialized state.
+# ---------------------------------------------------------------------------
+@register(
+    "ivm_join_delta_merge",
+    """
+    SELECT n_name,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS revenue_cents
+    FROM orders JOIN customer ON o_custkey = c_custkey
+                JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def ivm_join_delta_merge(spark, sf_dir):
+    """Incremental maintenance of a JOIN view (revenue per nation over
+    orders ⋈ customer ⋈ nation). With unchanged dimensions the bilinear
+    delta rule Δ(F ⋈ D) = ΔF ⋈ D means only the fact delta re-joins:
+    history partials (orders < 1997 joined + pre-aggregated) are
+    materialized to parquet, restored, and merged with the delta join's
+    partials via re-aggregation — the oracle's full recompute proves
+    equality. At 100 TB: the delta join broadcasts the dims exactly like
+    the full join, history state is group-sized metadata, and no historical
+    fact row is ever re-read."""
+    import os
+    import tempfile
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    dims = F.broadcast(
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).select(
+            "c_custkey", "n_name"
+        )
+    )
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    cutoff = F.lit("1997-01-01").cast("date")
+
+    def partial(fact):
+        return (
+            fact.join(dims, fact.o_custkey == dims.c_custkey)
+            .groupBy("n_name")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.sum(cents).alias("revenue_cents"),
+            )
+        )
+
+    ckpt = os.path.join(tempfile.mkdtemp(prefix="hpmr_ivmj_"), "history_join")
+    partial(o.where(F.col("o_orderdate") < cutoff)).write.mode("overwrite").parquet(
+        ckpt
+    )
+    restored = spark.read.parquet(ckpt)
+    delta = partial(o.where(F.col("o_orderdate") >= cutoff))
+    return (
+        restored.unionByName(delta)
+        .groupBy("n_name")
+        .agg(
+            F.sum("n_orders").alias("n_orders"),
+            F.sum("revenue_cents").alias("revenue_cents"),
+        )
+    )

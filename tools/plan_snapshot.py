@@ -41,6 +41,7 @@ SKIP = {
     "sink_dynamic_partition_overwrite",
     "pydatasource_sink_roundtrip",  # writes the JSON-lines shards at build
     "ivm_checkpoint_resume",  # writes the history checkpoint at build
+    "ivm_join_delta_merge",  # writes the history join partials at build
     "sink_partitioned_pruned",
     "streaming_session_windows",
     "streaming_foreachbatch_sink",
