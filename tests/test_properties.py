@@ -68,6 +68,7 @@ def test_merge_upsert_partitions_keyspace(spark, sf_dir):
     """Statuses partition the output: every customer key appears exactly once
     as kept/updated; exactly 10 synthetic keys (offset +1e6) are inserted."""
     import hpmr_spark.all_queries  # noqa: F401
+    import hpmr_spark.all_queries  # noqa: F401
     from hpmr_spark.catalog import QUERIES
 
     rows = QUERIES["merge_upsert_customers"](spark, sf_dir).collect()
@@ -87,6 +88,7 @@ def test_pagerank_mass_bounds(spark, sf_dir):
     node retains at least the teleport floor 6000, and sparsified out-degrees
     produce non-uniform ranks."""
     import hpmr_spark.all_queries  # noqa: F401
+    import hpmr_spark.all_queries  # noqa: F401
     from hpmr_spark.catalog import QUERIES
 
     rows = QUERIES["graph_pagerank_trade"](spark, sf_dir).collect()
@@ -101,6 +103,7 @@ def test_session_windows_disjoint_per_user(spark, sf_dir):
     """Gap sessions of one user never overlap: sorted by start, each
     session's start is ≥ the previous session's end (end = last event +
     gap, so equality can't occur either — strictly greater)."""
+    import hpmr_spark.all_queries  # noqa: F401
     import hpmr_spark.all_queries  # noqa: F401
     from hpmr_spark.catalog import QUERIES
 
@@ -117,6 +120,7 @@ def test_session_windows_disjoint_per_user(spark, sf_dir):
 def test_curriculum_shards_balanced(spark, sf_dir):
     """Round-robin dealing invariant: shard sizes differ by at most 1 and
     ranks partition exactly (Σ n_docs = n_raw, min/max ranks interleave)."""
+    import hpmr_spark.all_queries  # noqa: F401
     from hpmr_spark.catalog import QUERIES
 
     rows = QUERIES["curriculum_shards"](spark, sf_dir).collect()
@@ -157,6 +161,7 @@ def test_twa_convexity_bounds(spark):
 def test_bfs_distances_are_metric(spark, sf_dir):
     """BFS invariants: source at distance 0; every reached node's distance
     is ≤ 3; distances are tight (no node at d without a neighbor at d−1)."""
+    import hpmr_spark.all_queries  # noqa: F401
     from hpmr_spark.catalog import QUERIES
 
     rows = {r.nationkey: r.dist for r in QUERIES["graph_bfs_3hop"](spark, sf_dir).collect()}
@@ -170,6 +175,7 @@ def test_jl_projection_linearity(spark, sf_dir):
     bound any correct sign-matrix application must satisfy."""
     import pyspark.sql.functions as F
 
+    import hpmr_spark.all_queries  # noqa: F401
     from hpmr_spark.catalog import QUERIES
 
     proj = QUERIES["embedding_random_projection"](spark, sf_dir)
@@ -183,3 +189,104 @@ def test_jl_projection_linearity(spark, sf_dir):
         .collect()[0][0]
     )
     assert tot_out <= 16 * tot_in
+
+
+def test_ewma_within_minmax_bounds(spark, sf_dir):
+    """EWMA is a convex combination of the trailing values, so it must lie
+    within each user's [min, max] cents over ALL events (superset of the
+    trailing window)."""
+    import hpmr_spark.all_queries  # noqa: F401
+    from hpmr_spark.catalog import QUERIES
+    from hpmr_spark.sources.tables import load_events
+    from pyspark.sql import functions as F
+
+    ew = QUERIES["ewma_user_value_exact"](spark, sf_dir)
+    ev = load_events(spark, sf_dir)
+    bounds = ev.groupBy("user_id").agg(
+        F.min(F.round(F.col("value") * 100).cast("long")).alias("lo"),
+        F.max(F.round(F.col("value") * 100).cast("long")).alias("hi"),
+    )
+    bad = (
+        ew.join(bounds, "user_id")
+        .where((F.col("ewma_cents") < F.col("lo")) | (F.col("ewma_cents") > F.col("hi")))
+        .count()
+    )
+    assert bad == 0
+
+
+def test_nucleus_covers_90pct_mass(spark, sf_dir):
+    """The kept nucleus tokens must cover ≥90% of total token mass, and
+    dropping the least-frequent kept token must fall below 90%."""
+    import hpmr_spark.all_queries  # noqa: F401
+    from hpmr_spark.catalog import QUERIES
+    from pyspark.sql import functions as F
+
+    kept = QUERIES["vocab_nucleus_topp"](spark, sf_dir)
+    docs = QUERIES["text_token_stats"]  # noqa: F841 — registry warm only
+    rows = kept.agg(F.sum("n").alias("kept"), F.max("rnk").alias("k")).collect()[0]
+    from hpmr_spark.sources.tables import load_table
+
+    toks = F.regexp_extract_all(
+        F.lower(F.col("text")), F.lit("[a-z0-9]+"), F.lit(0)
+    )
+    total = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.explode(toks).alias("t"))
+        .count()
+    )
+    assert 10 * rows["kept"] >= 9 * total
+    # minimality: the prefix before the last kept token is under 90%
+    last_n = kept.orderBy(F.col("rnk").desc()).limit(1).collect()[0]["n"]
+    assert 10 * (rows["kept"] - last_n) < 9 * total
+
+
+def test_streaks_bounds(spark, sf_dir):
+    """longest_streak ≤ n_active_days, n_streaks ≥ 1, and
+    sum over users of n_active_days equals |distinct (user, day)|."""
+    import hpmr_spark.all_queries  # noqa: F401
+    from hpmr_spark.catalog import QUERIES
+    from hpmr_spark.sources.tables import load_events
+    from pyspark.sql import functions as F
+
+    s = QUERIES["user_active_streaks"](spark, sf_dir)
+    bad = s.where(
+        (F.col("longest_streak") > F.col("n_active_days")) | (F.col("n_streaks") < 1)
+    ).count()
+    assert bad == 0
+    total = s.agg(F.sum("n_active_days")).collect()[0][0]
+    expect = (
+        load_events(spark, sf_dir)
+        .select("user_id", F.to_date("ts").alias("d"))
+        .distinct()
+        .count()
+    )
+    assert total == expect
+
+
+def test_overlap_join_bounds(spark, sf_dir):
+    """Every overlap duration is non-negative and bounded by the longer
+    party's total session time; u1 < u2 strictly (no self/dup pairs)."""
+    import hpmr_spark.all_queries  # noqa: F401
+    from hpmr_spark.catalog import QUERIES
+    from pyspark.sql import functions as F
+
+    p = QUERIES["session_overlap_pairs"](spark, sf_dir)
+    assert p.where(F.col("u1") >= F.col("u2")).count() == 0
+    assert p.where(F.col("overlap_us") < 0).count() == 0
+    assert p.where(F.col("n_overlaps") < 1).count() == 0
+
+
+def test_markov_rows_sum_to_unit_ppm(spark, sf_dir):
+    """Per prev state: Σ floor-ppm ∈ (1e6 − n_transitions, 1e6]."""
+    import hpmr_spark.all_queries  # noqa: F401
+    from hpmr_spark.catalog import QUERIES
+    from pyspark.sql import functions as F
+
+    m = QUERIES["markov_transitions_ppm"](spark, sf_dir)
+    agg = m.groupBy("prev").agg(
+        F.sum("p_ppm").alias("s"), F.count(F.lit(1)).alias("k")
+    )
+    bad = agg.where(
+        (F.col("s") > 1000000) | (F.col("s") <= 1000000 - F.col("k"))
+    ).count()
+    assert bad == 0
