@@ -168,3 +168,46 @@ def custom_reducer_max_qty(spark, sf_dir):
         reducer=Reducer.custom(lambda a, b: a if a >= b else b, "pymax"),
     )
     return km.to_df("key", "value")
+
+
+@register(
+    "custom_partitioner_buckets",
+    """
+    SELECT (o_custkey * 2654435761 % 4294967296) % 16 AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_keys
+    FROM orders GROUP BY bucket
+    """,
+)
+def custom_partitioner_buckets(spark, sf_dir):
+    """The reference's user-supplied hasher H (template param routing keys to
+    shards — /root/reference/src/dist_hasher.h:15, src/dist_map.h:14,59) as a
+    real RDD partitioner: orders are partitionBy'd with a Python
+    Knuth-multiplicative hash, and the output counts each PHYSICAL partition's
+    rows via mapPartitionsWithIndex — so the value hash proves physical
+    placement ≡ the oracle's arithmetic bucket assignment, not just the
+    counts. Co-hashing two datasets with the same H is the reference's
+    join-readiness-by-construction; in Spark the declarative twin is
+    repartition(n, col)/bucketing (operators/bucketing.py) — this RDD path
+    exists for arbitrary user hash functions Catalyst can't express."""
+    from hpmr_spark.sources.tables import load_table
+
+    n, mult = 16, 2654435761
+
+    o = load_table(spark, sf_dir, "orders").select("o_custkey")
+    rdd = o.rdd.map(lambda r: (r[0], 1)).partitionBy(
+        n, lambda k: (k * mult % 4294967296) % n
+    )
+
+    def per_part(idx, it):
+        keys = set()
+        rows = 0
+        for k, _ in it:
+            rows += 1
+            keys.add(k)
+        yield (idx, rows, len(keys))
+
+    counts = rdd.mapPartitionsWithIndex(per_part, preservesPartitioning=True)
+    return spark.createDataFrame(
+        counts, "bucket long, n_rows long, n_keys long"
+    ).where(F.col("n_rows") > 0)

@@ -153,3 +153,21 @@ def test_keyed_set_bulk_membership(spark):
     s = KeyedSet.from_keys(spark, [2, 4, 6])
     assert s.filter_members(df, "k").count() == 3
     assert s.filter_non_members(df, "k").count() == 7
+
+
+def test_custom_partitioner_placement(spark, sf_dir):
+    """Every key lands in the partition its hash says — the DistHasher
+    contract (placement, not just counts)."""
+    from hpmr_spark.sources.tables import load_table
+
+    n, mult = 8, 2654435761
+    o = load_table(spark, sf_dir, "orders").select("o_custkey").limit(2000)
+    rdd = o.rdd.map(lambda r: (r[0], 1)).partitionBy(
+        n, lambda k: (k * mult % 4294967296) % n
+    )
+
+    def misplaced(idx, it):
+        bad = sum(1 for k, _ in it if (k * mult % 4294967296) % n != idx)
+        yield bad
+
+    assert sum(rdd.mapPartitionsWithIndex(misplaced).collect()) == 0
