@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from hpmr_spark.catalog import register
+from hpmr_spark.catalog import _t, register
 from hpmr_spark.sources.tables import load_events
 
 # ---------------------------------------------------------------------------
@@ -235,4 +235,89 @@ def wow_growth_revenue(spark, sf_dir):
         (
             (F.col("revenue_cents") - prev).cast("double") / prev.cast("double")
         ).alias("wow_growth"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Robust statistics: exact median absolute deviation and exact mode.
+# ---------------------------------------------------------------------------
+_MAD_SQL = """
+    WITH c AS (SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+    t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM c),
+    d AS (SELECT cents, CAST(COUNT(*) AS BIGINT) AS cnt FROM c GROUP BY cents),
+    cum AS (SELECT cents,
+                   CAST(SUM(cnt) OVER (ORDER BY cents ROWS UNBOUNDED PRECEDING)
+                        AS BIGINT) AS cm
+            FROM d),
+    med AS (SELECT MIN(cents) AS m FROM cum, t WHERE cm >= (n + 1) // 2),
+    dev AS (SELECT abs(cents - m) AS dv FROM c, med),
+    dd AS (SELECT dv, CAST(COUNT(*) AS BIGINT) AS cnt FROM dev GROUP BY dv),
+    dcum AS (SELECT dv,
+                    CAST(SUM(cnt) OVER (ORDER BY dv ROWS UNBOUNDED PRECEDING)
+                         AS BIGINT) AS cm
+             FROM dd)
+    SELECT t.n, med.m AS median_cents,
+           (SELECT MIN(dv) FROM dcum, t WHERE cm >= (n + 1) // 2) AS mad_cents
+    FROM t, med
+"""
+
+
+@register("median_absolute_deviation", _MAD_SQL)
+def median_absolute_deviation(spark, sf_dir):
+    """Exact MAD in two rank-selection passes (lower median = least value
+    whose cumulative count reaches ⌈n/2⌉, over the GROUPED distinct-value
+    frame both times). Pure integer cents — the robust-statistics twin of
+    winsorize_clip_stats, same scale contract (distinct-value windows;
+    range-partitioned prefix sums at 100 TB)."""
+    o = _t(spark, sf_dir, "orders")
+    c = o.select(F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"))
+    t = c.agg(F.count(F.lit(1)).alias("n"))
+
+    def rank_select(vals, col):
+        d = vals.groupBy(col).agg(F.count(F.lit(1)).alias("cnt"))
+        cum = d.withColumn(
+            "cm",
+            F.sum("cnt").over(
+                Window.orderBy(col).rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        return (
+            cum.crossJoin(F.broadcast(t))
+            .where(F.expr("cm >= (n + 1) div 2"))
+            .agg(F.min(col).alias("sel"))
+        )
+
+    med = rank_select(c, "cents")
+    dev = c.crossJoin(F.broadcast(med)).select(
+        F.abs(F.col("cents") - F.col("sel")).alias("dv")
+    )
+    mad = rank_select(dev, "dv")
+    return (
+        t.crossJoin(med.select(F.col("sel").alias("median_cents")))
+        .crossJoin(mad.select(F.col("sel").alias("mad_cents")))
+        .select("n", "median_cents", "mad_cents")
+    )
+
+
+_MODE_SQL = """
+    WITH c AS (SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+    d AS (SELECT cents, CAST(COUNT(*) AS BIGINT) AS cnt FROM c GROUP BY cents)
+    SELECT cents AS mode_cents, cnt AS n_occurrences
+    FROM d ORDER BY cnt DESC, cents LIMIT 1
+"""
+
+
+@register("mode_most_frequent_price", _MODE_SQL)
+def mode_most_frequent_price(spark, sf_dir):
+    """Exact mode with a full tie-break (highest count, then lowest value):
+    a grouped count and a 1-row global top — the final sort runs over the
+    distinct-value frame and TakeOrdered keeps only one row per partition
+    in flight."""
+    o = _t(spark, sf_dir, "orders")
+    c = o.select(F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"))
+    d = c.groupBy("cents").agg(F.count(F.lit(1)).alias("cnt"))
+    return (
+        d.orderBy(F.col("cnt").desc(), F.col("cents"))
+        .limit(1)
+        .select(F.col("cents").alias("mode_cents"), F.col("cnt").alias("n_occurrences"))
     )
