@@ -80,7 +80,11 @@ for _m in _MODULES:
 # in for four more family-duplicate safe entries; the closing batch swapped
 # in substring-passage dedup, the bucketized interval-overlap join, and the
 # exact dyadic EWMA (window-list + one-final-double parity) for three safe
-# window/kv family duplicates.
+# window/kv family duplicates; then the RDD custom partitioner (physical
+# placement — the one entry that depends on the Python-worker path end to
+# end) and the DAU/WAU/MAU rollup (date arithmetic + explode) for two more
+# family duplicates (cdc_latest_events, q20_promo_suppliers — both remain
+# selfcheck-covered).
 _CHECK_FIRST = [
     "mapreduce_revenue_by_order",  # flagship — keep first (entry() twin)
     "q1_pricing_summary",
@@ -95,9 +99,9 @@ _CHECK_FIRST = [
     "variant_events_extract",
     "graph_pagerank_trade",
     "dedup_levenshtein_fuzzy",
-    "q20_promo_suppliers",
+    "dau_wau_mau_rollup",
     "correlated_scalar_select",
-    "cdc_latest_events",
+    "custom_partitioner_buckets",
     "dedup_substring_ngram",
     "session_window_builtin",
     "session_overlap_pairs",
