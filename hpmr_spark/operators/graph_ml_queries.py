@@ -281,3 +281,61 @@ def graph_bfs_3hop(spark, sf_dir):
         F.col("node").cast("long").alias("nationkey"),
         F.col("dist").cast("long").alias("dist"),
     )
+
+
+# ---------------------------------------------------------------------------
+# k-core decomposition (k=2) by iterative peeling.
+# ---------------------------------------------------------------------------
+@register("graph_kcore_2", None)  # iterative fixpoint — no SQL oracle
+def graph_kcore_2(spark, sf_dir):
+    """2-core of the committed trade graph: iteratively peel nodes whose
+    degree drops below k until the fixpoint (degeneracy peel — the standard
+    k-core algorithm). Non-monotone deletion has no recursive-CTE oracle, so
+    this registers rows-only (like the other honest-iterative entries);
+    tests/test_properties.py pins it against an in-Python reference peel and
+    the min-degree invariant. Per round: one degree agg + one semi-join
+    filter over the (persisted) edge list, localCheckpoint caps lineage; at
+    real scale each round shuffles O(|E|) by node id — same discipline as
+    BFS/pagerank above."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+
+    pe = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .groupBy(F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst"))
+        .agg(F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias("v"))
+    )
+    tot = pe.agg(F.sum("v").cast("long").alias("t"))
+    und = (
+        pe.crossJoin(F.broadcast(tot))
+        .where((F.col("v") * 625 > F.col("t")) & (F.col("src") != F.col("dst")))
+        .select(F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("w"))
+        .distinct()
+    )
+    k = 2
+    sym = (
+        und.select(F.col("u").alias("a"), F.col("w").alias("b"))
+        .unionAll(und.select(F.col("w").alias("a"), F.col("u").alias("b")))
+        .coalesce(1)
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(25):
+        deg = sym.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
+        bad = deg.where(F.col("deg") < k).select("a")
+        if bad.limit(1).count() == 0:
+            break
+        sym = (
+            sym.join(bad, "a", "left_anti")
+            .join(bad.select(F.col("a").alias("b")), "b", "left_anti")
+            .coalesce(1)
+            .localCheckpoint(eager=True)
+        )
+    return (
+        sym.groupBy(F.col("a").alias("nationkey"))
+        .agg(F.count(F.lit(1)).alias("core_degree"))
+        .orderBy("nationkey")
+    )

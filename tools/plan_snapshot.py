@@ -50,6 +50,7 @@ SKIP = {
     "streaming_funnel_stages",
     "doc_lm_score_ppm",  # persists the pairs frame at build
     "graph_bfs_3hop",  # persists the edge frame at build (iterative)
+    "graph_kcore_2",  # iterative peel: checkpoints at build
     "custom_reducer_max_qty",  # RDD reduceByKey path — plan is a LogicalRDD
 }
 
