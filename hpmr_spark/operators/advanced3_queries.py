@@ -321,3 +321,86 @@ def mode_most_frequent_price(spark, sf_dir):
         .limit(1)
         .select(F.col("cents").alias("mode_cents"), F.col("cnt").alias("n_occurrences"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Data quality: gaps in a dense key sequence, Benford first-digit profile.
+# ---------------------------------------------------------------------------
+_GAPS_SQL = """
+    WITH k AS (SELECT DISTINCT o_orderkey AS key FROM orders),
+    l AS (SELECT key, lag(key) OVER (ORDER BY key) AS pk FROM k)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(MIN(key) AS BIGINT) AS min_key,
+           CAST(MAX(key) AS BIGINT) AS max_key,
+           CAST(MAX(key) - MIN(key) + 1 - COUNT(*) AS BIGINT) AS n_missing,
+           CAST(SUM(CASE WHEN pk IS NOT NULL AND key - pk > 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_gaps,
+           CAST(MAX(CASE WHEN pk IS NOT NULL THEN key - pk - 1 ELSE 0 END)
+                AS BIGINT) AS widest_gap
+    FROM l
+"""
+
+
+@register("sequence_gap_detection", _GAPS_SQL)
+def sequence_gap_detection(spark, sf_dir):
+    """Key-sequence completeness audit (gaps-and-islands over the DISTINCT
+    key frame): one row with total missing ids, gap count, and the widest
+    gap, from a lag over the sorted keys. Always non-empty, so the value
+    hash pins the audit even on dense data. The global-order window runs
+    over distinct keys; at 100 TB the same query range-partitions by key
+    (window within range partitions + boundary fix-up)."""
+    o = _t(spark, sf_dir, "orders")
+    k = o.select(F.col("o_orderkey").alias("key")).distinct()
+    w = Window.orderBy("key")
+    l = k.withColumn("pk", F.lag("key").over(w))
+    gap = F.when(
+        F.col("pk").isNotNull() & (F.col("key") - F.col("pk") > 1), F.lit(1)
+    ).otherwise(F.lit(0))
+    width = F.when(
+        F.col("pk").isNotNull(), F.col("key") - F.col("pk") - 1
+    ).otherwise(F.lit(0))
+    return l.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.min("key").alias("min_key"),
+        F.max("key").alias("max_key"),
+        (F.max("key") - F.min("key") + 1 - F.count(F.lit(1))).alias("n_missing"),
+        F.sum(gap).alias("n_gaps"),
+        F.max(width).alias("widest_gap"),
+    )
+
+
+_BENFORD_SQL = """
+    WITH c AS (SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents FROM orders
+               WHERE o_totalprice > 0),
+    d AS (SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS BIGINT) AS digit FROM c),
+    t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM d)
+    SELECT digit, CAST(COUNT(*) AS BIGINT) AS n_values,
+           CAST(COUNT(*) * 1000000 // n AS BIGINT) AS share_ppm
+    FROM d, t GROUP BY digit, n
+"""
+
+
+@register("benford_first_digit_ppm", _BENFORD_SQL)
+def benford_first_digit_ppm(spark, sf_dir):
+    """Benford's-law first-digit profile of order totals (the classic fraud
+    / synthetic-data screen): leading digit extracted from the decimal
+    string of exact integer cents (no float log10 — identical text both
+    engines), shares as integer ppm against a broadcast 1-row total."""
+    o = _t(spark, sf_dir, "orders")
+    c = o.where(F.col("o_totalprice") > 0).select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents")
+    )
+    d = c.select(
+        F.substring(F.col("cents").cast("string"), 1, 1).cast("long").alias("digit")
+    )
+    t = d.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        d.crossJoin(F.broadcast(t))
+        .groupBy("digit", "n")
+        .agg(F.count(F.lit(1)).alias("n_values"))
+        .select(
+            "digit",
+            "n_values",
+            F.expr("n_values * 1000000 div n").alias("share_ppm"),
+        )
+    )
