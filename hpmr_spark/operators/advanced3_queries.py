@@ -404,3 +404,100 @@ def benford_first_digit_ppm(spark, sf_dir):
             F.expr("n_values * 1000000 div n").alias("share_ppm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# RFM scoring and Pareto (80/20) revenue concentration.
+# ---------------------------------------------------------------------------
+_RFM_SQL = """
+    WITH m AS (SELECT user_id,
+                      CAST(epoch_us(MAX(ts)) AS BIGINT) AS last_us,
+                      CAST(COUNT(*) AS BIGINT) AS freq,
+                      CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS cents
+               FROM events WHERE event_type = 'purchase' GROUP BY user_id)
+    SELECT user_id,
+           CAST(ntile(5) OVER (ORDER BY last_us, user_id) AS BIGINT) AS r_score,
+           CAST(ntile(5) OVER (ORDER BY freq, user_id) AS BIGINT) AS f_score,
+           CAST(ntile(5) OVER (ORDER BY cents, user_id) AS BIGINT) AS m_score
+    FROM m
+"""
+
+
+@register("rfm_user_scores", _RFM_SQL)
+def rfm_user_scores(spark, sf_dir):
+    """Recency/frequency/monetary quintiles per purchasing user — ntile(5)
+    over each exact-integer metric with user_id as the total-order
+    tie-break (ntile is only deterministic under a TOTAL order). Windows
+    run over the post-aggregation user frame; 5 = best in every dimension."""
+    ev = load_events(spark, sf_dir)
+    m = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.unix_micros(F.max("ts")).alias("last_us"),
+            F.count(F.lit(1)).alias("freq"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
+        )
+    )
+    return m.select(
+        "user_id",
+        F.ntile(5).over(Window.orderBy("last_us", "user_id")).cast("long").alias("r_score"),
+        F.ntile(5).over(Window.orderBy("freq", "user_id")).cast("long").alias("f_score"),
+        F.ntile(5).over(Window.orderBy("cents", "user_id")).cast("long").alias("m_score"),
+    )
+
+
+_PARETO_SQL = """
+    WITH r AS (SELECT o_custkey,
+                      CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                        AS cents
+               FROM orders GROUP BY o_custkey),
+    t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_cust,
+                 CAST(SUM(cents) AS BIGINT) AS total FROM r),
+    rk AS (SELECT cents,
+                  row_number() OVER (ORDER BY cents DESC, o_custkey) AS rn,
+                  CAST(SUM(cents) OVER (ORDER BY cents DESC, o_custkey
+                                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+           FROM r)
+    SELECT t.n_cust, t.total AS total_cents,
+           CAST((SELECT MAX(cum) FROM rk, t WHERE 5 * rn <= t.n_cust)
+                * 1000000 // t.total AS BIGINT) AS top20pct_share_ppm,
+           CAST((SELECT MIN(rn) FROM rk, t WHERE 5 * cum >= 4 * t.total)
+                * 1000000 // t.n_cust AS BIGINT) AS custs_for_80pct_ppm
+    FROM t
+"""
+
+
+@register("pareto_revenue_concentration", _PARETO_SQL)
+def pareto_revenue_concentration(spark, sf_dir):
+    """80/20 analysis: the revenue share of the top-20% customers and the
+    customer fraction needed for 80% of revenue — both from one descending
+    cumulative window over the post-agg per-customer frame, thresholds as
+    integer cross-multiplications (5·rn ≤ n, 5·cum ≥ 4·total), shares as
+    integer ppm. One scan, one post-agg sort window, 1-row output."""
+    o = _t(spark, sf_dir, "orders")
+    r = o.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents")
+    )
+    t = r.agg(
+        F.count(F.lit(1)).alias("n_cust"), F.sum("cents").alias("total")
+    )
+    w = Window.orderBy(F.col("cents").desc(), F.col("o_custkey"))
+    rk = r.select(
+        "cents",
+        F.row_number().over(w).alias("rn"),
+        F.sum("cents").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
+    )
+    rt = rk.crossJoin(F.broadcast(t))
+    top20 = rt.where(F.expr("5 * rn <= n_cust")).agg(F.max("cum").alias("c20"))
+    need80 = rt.where(F.expr("5 * cum >= 4 * total")).agg(F.min("rn").alias("r80"))
+    return (
+        t.crossJoin(F.broadcast(top20))
+        .crossJoin(F.broadcast(need80))
+        .select(
+            "n_cust",
+            F.col("total").alias("total_cents"),
+            F.expr("c20 * 1000000 div total").alias("top20pct_share_ppm"),
+            F.expr("r80 * 1000000 div n_cust").alias("custs_for_80pct_ppm"),
+        )
+    )
