@@ -52,6 +52,11 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.types import LongType
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # The NTZ→TIMESTAMP cast (and every to_date/date_trunc downstream) is
+    # only oracle-correct under a UTC session zone. The engine's own
+    # sessions pin it, but the DRIVER's session may not — pin it here so
+    # every events query is timezone-independent of the host environment.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
     ts_type = df.schema["ts"].dataType
     if isinstance(ts_type, LongType):

@@ -49,6 +49,9 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.symlink(path, os.path.join(d, "events.parquet"))
         _stream_dirs[sf_dir] = d
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # pin UTC like sources/tables.py:load_events — the NTZ cast below (and
+    # window/date bucketing downstream) must not depend on the host zone
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     schema = spark.read.parquet(path).schema
     stream = spark.readStream.schema(schema).parquet(_stream_dirs[sf_dir])
     # ts has shipped as both TIMESTAMP(NANOS) (read as long under the legacy
