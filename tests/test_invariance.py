@@ -71,6 +71,13 @@ REPRESENTATIVE = [
     "session_overlap_pairs",
     "ewma_user_value_exact",
     "winsorize_clip_stats",
+    # final additions: rolling-distinct explode, basket pair join, rank
+    # selections, digit profile, RDD custom partitioner physical placement
+    "dau_wau_mau_rollup",
+    "assoc_rules_support_ppm",
+    "pareto_revenue_concentration",
+    "benford_first_digit_ppm",
+    "custom_partitioner_buckets",
 ]
 
 
