@@ -52,6 +52,7 @@ _MODULES = [
     "hpmr_spark.operators.advanced2_queries",
     "hpmr_spark.operators.advanced3_queries",
     "hpmr_spark.operators.llm_extras_queries",
+    "hpmr_spark.operators.mleval_queries",
 ]
 
 FAILED_MODULES: dict[str, str] = {}

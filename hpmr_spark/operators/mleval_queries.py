@@ -1,0 +1,220 @@
+"""Model-evaluation batch: exact AUC (tie-corrected rank-sum), confusion
+matrix + per-class metrics, calibration (reliability) bins.
+
+These are the metrics a training-data pipeline computes after a quality
+classifier or dedup-scoring model runs over a corpus shard — a first-class
+LLM-pipeline family (the reference's keyed combine, src/dist_map.h:147-210,
+applied to (threshold-cell / class-pair / score-bin) keys).
+
+Determinism discipline:
+- "scores" and "predictions" derive from committed md5-based hash60 over
+  vec_id (cross-engine identical), correlated with the label so the metrics
+  are non-degenerate.
+- AUC uses the Mann-Whitney rank-sum with tie correction kept in integers:
+  2*avg_rank = 2*rank + (n_ties - 1) is always an integer, so the positive
+  rank sum R2 = sum(2*avg_rank) is exact; AUC_ppm = (R2 - n1*(n1+1)) * 1e6
+  // (2*n1*n0) with all operands positive (div == //).
+- precision/recall/F1/accuracy/pos-rate are integer ppm floor divisions.
+No float ever decides an output value.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from hpmr_spark.catalog import _t, register
+from hpmr_spark.functions.hashing import hash60, sql_hash60
+
+# Committed deterministic score: hash noise in [0, 700000) plus a 300000
+# bump for positives -> overlapping but separable score distributions.
+_H = "CAST(vec_id AS STRING)"
+_H_SQL = sql_hash60("CAST(vec_id AS VARCHAR)")
+
+
+def _scored(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id",
+        (F.col("label") % 2).cast("long").alias("y"),
+        (
+            hash60(F.expr(_H)) % F.lit(700000)
+            + (F.col("label") % 2).cast("long") * F.lit(300000)
+        ).alias("score_ppm"),
+    )
+
+
+_SCORED_SQL = f"""
+    SELECT vec_id,
+           CAST(label % 2 AS BIGINT) AS y,
+           ({_H_SQL} % 700000) + CAST(label % 2 AS BIGINT) * 300000 AS score_ppm
+    FROM embeddings
+"""
+
+
+# ---------------------------------------------------------------------------
+# Exact AUC + thresholded confusion counts, one row.
+# ---------------------------------------------------------------------------
+@register(
+    "binary_classifier_eval_auc",
+    f"""
+    WITH s AS ({_SCORED_SQL}),
+    r AS (
+      SELECT y, score_ppm,
+             2 * RANK() OVER (ORDER BY score_ppm)
+               + COUNT(*) OVER (PARTITION BY score_ppm) - 1 AS rank2
+      FROM s
+    ),
+    agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(y) AS BIGINT) AS n_pos,
+             CAST(SUM(CASE WHEN y = 1 THEN rank2 ELSE 0 END) AS BIGINT) AS r2_pos,
+             CAST(SUM(CASE WHEN y = 1 AND score_ppm >= 500000 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+             CAST(SUM(CASE WHEN y = 0 AND score_ppm >= 500000 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+             CAST(SUM(CASE WHEN y = 1 AND score_ppm < 500000 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+             CAST(SUM(CASE WHEN y = 0 AND score_ppm < 500000 THEN 1 ELSE 0 END) AS BIGINT) AS tn
+      FROM r
+    )
+    SELECT n, n_pos, tp, fp, fn, tn,
+           CAST((r2_pos - n_pos * (n_pos + 1)) * 1000000
+                // (2 * n_pos * (n - n_pos)) AS BIGINT) AS auc_ppm,
+           CAST(tp * 1000000 // (tp + fp) AS BIGINT) AS precision_ppm,
+           CAST(tp * 1000000 // (tp + fn) AS BIGINT) AS recall_ppm,
+           CAST(2 * tp * 1000000 // (2 * tp + fp + fn) AS BIGINT) AS f1_ppm,
+           CAST((tp + tn) * 1000000 // n AS BIGINT) AS accuracy_ppm
+    FROM agg
+    """,
+)
+def binary_classifier_eval_auc(spark, sf_dir):
+    """Exact AUC via the tie-corrected Mann-Whitney rank-sum plus a full
+    thresholded confusion row (precision/recall/F1/accuracy in ppm).
+
+    Plan shape: one scan -> one global sort for the rank window (ORDER BY
+    score) -> one conditional aggregate. At 100 TB the global rank is the
+    only total-order step; with ppm-bucketed scores it can be replaced by a
+    histogram rank-sum (counts per score bucket, prefix sums), which is the
+    same integer arithmetic this query commits to — the window form is the
+    exact reference semantics. All divisions are positive-integer floor
+    (Spark div ≡ DuckDB //)."""
+    s = _scored(spark, sf_dir)
+    r = s.select(
+        "y",
+        "score_ppm",
+        (
+            F.lit(2) * F.rank().over(Window.orderBy("score_ppm"))
+            + F.count(F.lit(1)).over(Window.partitionBy("score_ppm"))
+            - F.lit(1)
+        ).cast("long").alias("rank2"),
+    )
+    agg = r.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("n_pos"),
+        F.sum(F.when(F.col("y") == 1, F.col("rank2")).otherwise(0)).cast("long").alias("r2_pos"),
+        F.sum(F.when((F.col("y") == 1) & (F.col("score_ppm") >= 500000), 1).otherwise(0))
+        .cast("long").alias("tp"),
+        F.sum(F.when((F.col("y") == 0) & (F.col("score_ppm") >= 500000), 1).otherwise(0))
+        .cast("long").alias("fp"),
+        F.sum(F.when((F.col("y") == 1) & (F.col("score_ppm") < 500000), 1).otherwise(0))
+        .cast("long").alias("fn"),
+        F.sum(F.when((F.col("y") == 0) & (F.col("score_ppm") < 500000), 1).otherwise(0))
+        .cast("long").alias("tn"),
+    )
+    return agg.select(
+        "n",
+        "n_pos",
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        F.expr(
+            "(r2_pos - n_pos * (n_pos + 1)) * 1000000 div (2 * n_pos * (n - n_pos))"
+        ).cast("long").alias("auc_ppm"),
+        F.expr("tp * 1000000 div (tp + fp)").cast("long").alias("precision_ppm"),
+        F.expr("tp * 1000000 div (tp + fn)").cast("long").alias("recall_ppm"),
+        F.expr("2 * tp * 1000000 div (2 * tp + fp + fn)").cast("long").alias("f1_ppm"),
+        F.expr("(tp + tn) * 1000000 div n").cast("long").alias("accuracy_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multiclass confusion matrix with per-true-class recall.
+# ---------------------------------------------------------------------------
+@register(
+    "confusion_multiclass_ppm",
+    f"""
+    WITH p AS (
+      SELECT CAST(label AS BIGINT) AS true_label,
+             CAST((label + CASE WHEN {_H_SQL} % 10 < 3 THEN 1 ELSE 0 END) % 10
+                  AS BIGINT) AS pred_label
+      FROM embeddings
+    ),
+    c AS (
+      SELECT true_label, pred_label, CAST(COUNT(*) AS BIGINT) AS n
+      FROM p GROUP BY true_label, pred_label
+    )
+    SELECT true_label, pred_label, n,
+           CAST(n * 1000000 // SUM(n) OVER (PARTITION BY true_label) AS BIGINT)
+             AS share_of_true_ppm
+    FROM c
+    """,
+)
+def confusion_multiclass_ppm(spark, sf_dir):
+    """Confusion matrix for a deterministic hash-perturbed predictor (30% of
+    rows predict the next class mod 10): per (true, pred) counts plus each
+    cell's share of its true-class row in ppm. One groupBy shuffle on the
+    (true, pred) pair; the per-class total is a window over the already
+    k²-bounded matrix, not the corpus."""
+    e = _t(spark, sf_dir, "embeddings")
+    p = e.select(
+        F.col("label").cast("long").alias("true_label"),
+        (
+            (
+                F.col("label")
+                + F.when(hash60(F.expr(_H)) % 10 < 3, F.lit(1)).otherwise(F.lit(0))
+            )
+            % 10
+        ).cast("long").alias("pred_label"),
+    )
+    c = p.groupBy("true_label", "pred_label").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    return c.withColumn(
+        "share_of_true_ppm",
+        F.expr("n * 1000000 div sum(n) over (partition by true_label)").cast("long"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Calibration (reliability) bins: predicted-probability decile vs outcome.
+# ---------------------------------------------------------------------------
+@register(
+    "calibration_bins_ppm",
+    f"""
+    WITH s AS ({_SCORED_SQL})
+    SELECT CAST(score_ppm // 100000 AS BIGINT) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(y) AS BIGINT) AS n_pos,
+           CAST(SUM(score_ppm) // COUNT(*) AS BIGINT) AS mean_score_ppm,
+           CAST(SUM(y) * 1000000 // COUNT(*) AS BIGINT) AS pos_rate_ppm,
+           CAST(ABS(SUM(score_ppm) // COUNT(*) - SUM(y) * 1000000 // COUNT(*))
+                AS BIGINT) AS gap_ppm
+    FROM s
+    GROUP BY bin
+    """,
+)
+def calibration_bins_ppm(spark, sf_dir):
+    """Reliability diagram: scores bucketed into deciles, each bin's mean
+    predicted probability vs realized positive rate and the absolute gap —
+    all integer ppm. One partial-aggregated groupBy on the 10-value bin key
+    (map-side combine collapses the corpus before the shuffle)."""
+    s = _scored(spark, sf_dir)
+    return (
+        s.groupBy(F.expr("score_ppm div 100000").cast("long").alias("bin"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("y").cast("long").alias("n_pos"),
+            F.expr("sum(score_ppm) div count(1)").cast("long").alias("mean_score_ppm"),
+            F.expr("sum(y) * 1000000 div count(1)").cast("long").alias("pos_rate_ppm"),
+        )
+        .withColumn(
+            "gap_ppm", F.expr("abs(mean_score_ppm - pos_rate_ppm)").cast("long")
+        )
+    )
