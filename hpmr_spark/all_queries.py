@@ -53,6 +53,7 @@ _MODULES = [
     "hpmr_spark.operators.advanced3_queries",
     "hpmr_spark.operators.llm_extras_queries",
     "hpmr_spark.operators.mleval_queries",
+    "hpmr_spark.operators.scale_sketch_queries",
 ]
 
 FAILED_MODULES: dict[str, str] = {}
