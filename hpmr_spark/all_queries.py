@@ -54,6 +54,7 @@ _MODULES = [
     "hpmr_spark.operators.llm_extras_queries",
     "hpmr_spark.operators.mleval_queries",
     "hpmr_spark.operators.scale_sketch_queries",
+    "hpmr_spark.operators.ir_stats_queries",
 ]
 
 FAILED_MODULES: dict[str, str] = {}
