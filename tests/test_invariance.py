@@ -78,6 +78,17 @@ REPRESENTATIVE = [
     "pareto_revenue_concentration",
     "benford_first_digit_ppm",
     "custom_partitioner_buckets",
+    # mleval/scale-sketch/IR batches: global rank window, sketch+recount
+    # two-pass, broadcast bitset probe, bit_or rollup, LN-commitment
+    # scoring, sweep-line islands, rank-selected quartile fences
+    "binary_classifier_eval_auc",
+    "heavy_hitters_mg",
+    "bloom_semi_prune",
+    "bitmap_daily_activity",
+    "bm25_topk_docs",
+    "token_entropy_by_lang",
+    "interval_coverage_union",
+    "iqr_fences_outliers",
 ]
 
 
