@@ -75,7 +75,13 @@ for _m in _MODULES:
 # embedding, multimodal, skew, sinks) inside that window; everything else
 # keeps its original relative order behind it. Queries dropped from the
 # round-1 window were all driver-green there and stay covered by
-# tools/selfcheck.py (the full registry) every round. Round 2 swapped the
+# tools/selfcheck.py (the full registry) every round. Latest swaps: the
+# Misra-Gries two-pass sketch (mapInPandas state machine), the exact-AUC
+# global rank window (new mleval family), and BM25 (the LN-parity
+# commitment's riskiest user) in; pandas_udf_token_count,
+# dedup_incremental_epochs, similarity_topk_numpy out (their families stay
+# represented by grouped_map_lang_stats/pandas_udaf_median_qty, five other
+# dedup entries, and mapinarrow_embedding_norms). Round 2 swapped the
 # corpus-pipeline batch's riskiest four (packing, contamination,
 # quantization, vocab encode) in for four family-duplicate safe entries;
 # later round-2 swaps put the corpus-quality/relational13 riskiest four
@@ -116,11 +122,11 @@ _CHECK_FIRST = [
     "grouped_map_lang_stats",
     "mapinarrow_embedding_norms",
     "pandas_udaf_median_qty",
-    "pandas_udf_token_count",
+    "heavy_hitters_mg",
     "bucketed_join_revenue",
     "stratified_sample_per_lang",
-    "dedup_incremental_epochs",
-    "similarity_topk_numpy",
+    "binary_classifier_eval_auc",
+    "bm25_topk_docs",
     "text_repetition_stats",
     "pack_sequences_ctx512",
     "embedding_quantize_int8",
