@@ -55,6 +55,7 @@ _MODULES = [
     "hpmr_spark.operators.mleval_queries",
     "hpmr_spark.operators.scale_sketch_queries",
     "hpmr_spark.operators.ir_stats_queries",
+    "hpmr_spark.operators.lm_scale_queries",
 ]
 
 FAILED_MODULES: dict[str, str] = {}
