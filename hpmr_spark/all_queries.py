@@ -56,6 +56,7 @@ _MODULES = [
     "hpmr_spark.operators.scale_sketch_queries",
     "hpmr_spark.operators.ir_stats_queries",
     "hpmr_spark.operators.lm_scale_queries",
+    "hpmr_spark.operators.profiling_queries",
 ]
 
 FAILED_MODULES: dict[str, str] = {}
