@@ -57,6 +57,7 @@ _MODULES = [
     "hpmr_spark.operators.ir_stats_queries",
     "hpmr_spark.operators.lm_scale_queries",
     "hpmr_spark.operators.profiling_queries",
+    "hpmr_spark.operators.stats_tests_queries",
 ]
 
 FAILED_MODULES: dict[str, str] = {}
