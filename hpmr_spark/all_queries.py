@@ -58,6 +58,7 @@ _MODULES = [
     "hpmr_spark.operators.lm_scale_queries",
     "hpmr_spark.operators.profiling_queries",
     "hpmr_spark.operators.stats_tests_queries",
+    "hpmr_spark.operators.analytics2_queries",
 ]
 
 FAILED_MODULES: dict[str, str] = {}
