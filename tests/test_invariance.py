@@ -89,6 +89,19 @@ REPRESENTATIVE = [
     "token_entropy_by_lang",
     "interval_coverage_union",
     "iqr_fences_outliers",
+    # log-domain LM batch (persisted pair frame, LN commitment), profiling
+    # (stack one-pass), hypothesis tests (tiny-cell rollups), dominance
+    # sweep + tie-broken ntile
+    "doc_perplexity_avg_nll",
+    "weighted_sample_topk_es",
+    "softmax_temperature_mixture",
+    "column_profile_orders",
+    "percentile_grid_exact",
+    "chi_square_independence",
+    "ab_test_z2_gate",
+    "skyline_price_date",
+    "histogram_equidepth_cents",
+    "zipf_fit_slope",
 ]
 
 

@@ -31,6 +31,8 @@ SKIP = {
     "sink_csv_roundtrip",
     "sink_json_roundtrip",
     "dedup_cluster_components",  # iterative: checkpoints at build
+    "doc_perplexity_avg_nll",  # persisted pair frame: plan shape flips to InMemoryTableScan once any earlier test materializes it
+    "chi_square_independence",  # persisted cell frame, same reason
     "dedup_incremental_epochs",
     "sketch_countmin_status",  # driver-side sketch build + collect
     "streaming_dedup_against_corpus",
