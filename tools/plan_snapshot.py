@@ -38,6 +38,8 @@ SKIP = {
     "streaming_dedup_against_corpus",
     "text_tfidf_scaled",  # driver-side count during build
     "sink_orc_roundtrip",
+    "source_binaryfile_fingerprints",  # writes payload files at build
+    "partition_pruning_proof",  # writes partitioned parquet + inputFiles()
     "sink_xml_roundtrip",
     "sink_text_roundtrip",
     "sink_dynamic_partition_overwrite",
