@@ -60,6 +60,7 @@ _MODULES = [
     "hpmr_spark.operators.stats_tests_queries",
     "hpmr_spark.operators.analytics2_queries",
     "hpmr_spark.operators.sources2_queries",
+    "hpmr_spark.operators.cep_quant_queries",
 ]
 
 FAILED_MODULES: dict[str, str] = {}
