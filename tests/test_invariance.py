@@ -102,6 +102,9 @@ REPRESENTATIVE = [
     "skyline_price_date",
     "histogram_equidepth_cents",
     "zipf_fit_slope",
+    # CEP string-pattern rollup, broadcast int8 GEMM top-k
+    "match_recognize_vcp",
+    "similarity_topk_int8",
 ]
 
 
