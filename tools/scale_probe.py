@@ -207,6 +207,75 @@ def closing_probe(spark, n: int):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def continuation_probe(spark, n: int):
+    """Full-schema synth (docs + events + embeddings) for the continuation
+    batches: sketches, IR/log-domain, CEP, eval — empirical linearity
+    backing for SCALE.md."""
+    import shutil
+    import tempfile
+
+    from __spark_entry__ import queries
+
+    qs = queries()
+    tmp = tempfile.mkdtemp(prefix="scale_cont_")
+    try:
+        docs = synth_docs(spark, n).select(
+            "doc_id",
+            "text",
+            F.concat(F.lit("l"), (F.col("doc_id") % 5).cast("string")).alias("lang"),
+            F.concat(F.lit("src"), (F.col("doc_id") % 20).cast("string")).alias("source"),
+            F.length("text").alias("n_chars"),
+        )
+        docs.write.mode("overwrite").parquet(f"{tmp}/documents.parquet")
+        n_ev = n * 30
+        types = F.array(*[F.lit(t) for t in ("view", "click", "purchase", "signup", "error")])
+        ev = spark.range(n_ev).select(
+            F.col("id").alias("event_id"),
+            F.timestamp_micros(
+                F.lit(1700000000000000)
+                + ((F.xxhash64(F.col("id") + 7) % 2592000000000 + 2592000000000) % 2592000000000)
+            ).alias("ts"),
+            ((F.xxhash64("id") % 1000 + 1000) % 1000).alias("user_id"),
+            F.element_at(types, ((F.xxhash64(F.col("id") + 3) % 5 + 5) % 5 + 1).cast("int")).alias("event_type"),
+            (((F.xxhash64(F.col("id") + 11) % 49000 + 49000) % 49000 + 100) / 100.0).alias("value"),
+            F.lit('{"k": 1}').alias("props"),
+        )
+        ev.write.mode("overwrite").parquet(f"{tmp}/events.parquet")
+        emb = spark.range(max(n // 5, 1000)).select(
+            F.col("id").alias("vec_id"),
+            F.transform(
+                F.sequence(F.lit(1), F.lit(64)),
+                lambda i: (
+                    ((F.xxhash64(F.col("id") * 100 + i) % 1000 + 1000) % 1000).cast("double") / 1000.0 - 0.5
+                ).cast("float"),
+            ).alias("embedding"),
+            (F.col("id") % 10).cast("int").alias("label"),
+        )
+        emb.write.mode("overwrite").parquet(f"{tmp}/embeddings.parquet")
+
+        for name in [
+            "heavy_hitters_mg",
+            "bm25_topk_docs",
+            "token_entropy_by_lang",
+            "zipf_fit_slope",
+            "doc_perplexity_avg_nll",
+            "softmax_temperature_mixture",
+            "weighted_sample_topk_es",
+            "interval_coverage_union",
+            "match_recognize_vcp",
+            "bitmap_daily_activity",
+            "chi_square_independence",
+            "ab_test_z2_gate",
+            "binary_classifier_eval_auc",
+            "similarity_topk_int8",
+        ]:
+            t0 = time.time()
+            cnt = qs[name](spark, tmp).count()
+            print(f"{name}: {cnt} rows in {time.time()-t0:.1f}s")
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
     from hpmr_spark.engine import get_spark
@@ -260,6 +329,8 @@ def main():
     corpus_probe(spark, n)
 
     closing_probe(spark, n)
+
+    continuation_probe(spark, n)
 
     spark.stop()
 
