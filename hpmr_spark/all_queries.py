@@ -61,6 +61,7 @@ _MODULES = [
     "hpmr_spark.operators.analytics2_queries",
     "hpmr_spark.operators.sources2_queries",
     "hpmr_spark.operators.cep_quant_queries",
+    "hpmr_spark.operators.mr_patterns_queries",
 ]
 
 FAILED_MODULES: dict[str, str] = {}
