@@ -62,6 +62,7 @@ _MODULES = [
     "hpmr_spark.operators.sources2_queries",
     "hpmr_spark.operators.cep_quant_queries",
     "hpmr_spark.operators.mr_patterns_queries",
+    "hpmr_spark.operators.sketch2_queries",
 ]
 
 FAILED_MODULES: dict[str, str] = {}
