@@ -105,6 +105,11 @@ REPRESENTATIVE = [
     # CEP string-pattern rollup, broadcast int8 GEMM top-k
     "match_recognize_vcp",
     "similarity_topk_int8",
+    # MR physical patterns + second sketch batch
+    "secondary_sort_fold",
+    "pca_power_iteration_int",
+    "linear_counting_distinct",
+    "clustering_coefficient_ppm",
 ]
 
 
