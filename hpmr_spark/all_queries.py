@@ -63,6 +63,7 @@ _MODULES = [
     "hpmr_spark.operators.cep_quant_queries",
     "hpmr_spark.operators.mr_patterns_queries",
     "hpmr_spark.operators.sketch2_queries",
+    "hpmr_spark.operators.physical_attr_queries",
 ]
 
 FAILED_MODULES: dict[str, str] = {}
