@@ -57,6 +57,15 @@ BENCH_EXTRA = [
     "scd2_user_event_history",      # gaps-and-islands SCD2 intervals
     "dedup_substring_ngram",        # positional 15-gram passage dedup
     "session_overlap_pairs",        # bucketized interval-overlap join
+    # continuation-session additions (same rule: extras only, headline fixed)
+    "heavy_hitters_mg",             # MG sketch + broadcast exact recount
+    "bm25_topk_docs",               # BM25 ranking (LN-commitment scoring)
+    "doc_perplexity_avg_nll",       # add-1 bigram NLL (persisted pairs)
+    "binary_classifier_eval_auc",   # exact AUC global rank window
+    "interval_coverage_union",      # sweep-line interval union
+    "match_recognize_vcp",          # CEP sequence-pattern rollup
+    "similarity_topk_int8",         # quantized integer dot top-k
+    "secondary_sort_fold",          # repartition+sortWithinPartitions fold
 ]
 
 
