@@ -64,6 +64,7 @@ _MODULES = [
     "hpmr_spark.operators.mr_patterns_queries",
     "hpmr_spark.operators.sketch2_queries",
     "hpmr_spark.operators.physical_attr_queries",
+    "hpmr_spark.operators.versioned_queries",
 ]
 
 FAILED_MODULES: dict[str, str] = {}

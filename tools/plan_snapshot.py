@@ -41,6 +41,8 @@ SKIP = {
     "source_binaryfile_fingerprints",  # writes payload files at build
     "partition_pruning_proof",  # writes partitioned parquet + inputFiles()
     "pca_power_iteration_int",  # collects the 64x64 Gram at build
+    "sink_versioned_snapshots",  # writes snapshot dirs at build
+    "accumulator_row_audit",  # foreachPartition action at build
     "sink_xml_roundtrip",
     "sink_text_roundtrip",
     "sink_dynamic_partition_overwrite",
