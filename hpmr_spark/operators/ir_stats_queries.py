@@ -192,7 +192,7 @@ def token_entropy_by_lang(spark, sf_dir):
       FROM events
     ),
     sw AS (
-      SELECT user_id, s_us, e_us,
+      SELECT user_id, event_id, s_us, e_us,
              CASE WHEN s_us > MAX(e_us) OVER (PARTITION BY user_id
                     ORDER BY s_us, event_id
                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
@@ -200,9 +200,12 @@ def token_entropy_by_lang(spark, sf_dir):
       FROM iv
     ),
     isl AS (
+      -- island numbering MUST use the same full tie-break as the flag
+      -- window: under (s_us) ties an order-mismatched running sum could
+      -- split identical intervals into different islands
       SELECT user_id, e_us, s_us,
              SUM(new_island) OVER (PARTITION BY user_id
-               ORDER BY s_us, e_us
+               ORDER BY s_us, event_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island_id
       FROM sw
     ),
@@ -240,15 +243,17 @@ def interval_coverage_union(spark, sf_dir):
     )
     sw = iv.select(
         "user_id",
+        "event_id",
         "s_us",
         "e_us",
         F.when(F.col("s_us") > F.max("e_us").over(w_prev), 1).otherwise(0).alias(
             "new_island"
         ),
     )
+    # same full tie-break as the flag window (see oracle comment)
     w_run = (
         Window.partitionBy("user_id")
-        .orderBy("s_us", "e_us")
+        .orderBy("s_us", "event_id")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     isl = sw.select(
