@@ -226,8 +226,11 @@ def softmax_temperature_mixture(spark, sf_dir):
 # ---------------------------------------------------------------------------
 # Deterministic Efraimidis-Spirakis weighted sampling without replacement.
 # ---------------------------------------------------------------------------
+# GREATEST(...,1) guards a zero-length doc (weight must stay positive even
+# if the corpus is ever regenerated with empty texts)
 _ES_KEY = (
-    "CAST(FLOOR(LN(CAST(u AS DOUBLE) / 1000000.0) / CAST(n_chars AS DOUBLE)"
+    "CAST(FLOOR(LN(CAST(u AS DOUBLE) / 1000000.0)"
+    " / CAST(GREATEST(n_chars, 1) AS DOUBLE)"
     " * 1000000000000.0) AS BIGINT)"
 )
 
