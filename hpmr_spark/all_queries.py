@@ -65,6 +65,7 @@ _MODULES = [
     "hpmr_spark.operators.sketch2_queries",
     "hpmr_spark.operators.physical_attr_queries",
     "hpmr_spark.operators.versioned_queries",
+    "hpmr_spark.operators.lm_decode_queries",
 ]
 
 FAILED_MODULES: dict[str, str] = {}

@@ -42,6 +42,7 @@ SKIP = {
     "partition_pruning_proof",  # writes partitioned parquet + inputFiles()
     "pca_power_iteration_int",  # collects the 64x64 Gram at build
     "sink_versioned_snapshots",  # writes snapshot dirs at build
+    "lm_greedy_decode_steps",  # persisted bigram frame (InMemoryTableScan flake)
     "accumulator_row_audit",  # foreachPartition action at build
     "sink_xml_roundtrip",
     "sink_text_roundtrip",
