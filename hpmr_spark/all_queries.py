@@ -92,7 +92,10 @@ for _m in _MODULES:
 # commitment's riskiest user) in; pandas_udf_token_count,
 # dedup_incremental_epochs, similarity_topk_numpy out (their families stay
 # represented by grouped_map_lang_stats/pandas_udaf_median_qty, five other
-# dedup entries, and mapinarrow_embedding_norms). Round 2 swapped the
+# dedup entries, and mapinarrow_embedding_norms); later, the secondary-sort
+# mapInPandas fold and the Gram-collect PCA path in for
+# dedup_levenshtein_fuzzy and grouped_map_lang_stats (dedup and pandas
+# families keep 5 and 2 window representatives respectively). Round 2 swapped the
 # corpus-pipeline batch's riskiest four (packing, contamination,
 # quantization, vocab encode) in for four family-duplicate safe entries;
 # later round-2 swaps put the corpus-quality/relational13 riskiest four
@@ -118,7 +121,7 @@ _CHECK_FIRST = [
     "udtf_chunk_documents",
     "variant_events_extract",
     "graph_pagerank_trade",
-    "dedup_levenshtein_fuzzy",
+    "secondary_sort_fold",
     "dau_wau_mau_rollup",
     "correlated_scalar_select",
     "custom_partitioner_buckets",
@@ -130,7 +133,7 @@ _CHECK_FIRST = [
     "nonequi_band_join",
     "kmeans_assign_step",
     "sketch_countmin_status",
-    "grouped_map_lang_stats",
+    "pca_power_iteration_int",
     "mapinarrow_embedding_norms",
     "pandas_udaf_median_qty",
     "heavy_hitters_mg",

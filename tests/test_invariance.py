@@ -110,6 +110,11 @@ REPRESENTATIVE = [
     "pca_power_iteration_int",
     "linear_counting_distinct",
     "clustering_coefficient_ppm",
+    # physical control, exact allocation, versioned snapshots, accumulator
+    "join_hint_smj_revenue",
+    "attribution_position_based",
+    "sink_versioned_snapshots",
+    "accumulator_row_audit",
 ]
 
 
