@@ -66,6 +66,7 @@ _MODULES = [
     "hpmr_spark.operators.physical_attr_queries",
     "hpmr_spark.operators.versioned_queries",
     "hpmr_spark.operators.lm_decode_queries",
+    "hpmr_spark.operators.bootstrap_queries",
 ]
 
 FAILED_MODULES: dict[str, str] = {}

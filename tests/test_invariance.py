@@ -115,6 +115,8 @@ REPRESENTATIVE = [
     "attribution_position_based",
     "sink_versioned_snapshots",
     "accumulator_row_audit",
+    # deterministic Poisson bootstrap (explode x32 + 32-cell combine)
+    "bootstrap_ci_poisson",
 ]
 
 

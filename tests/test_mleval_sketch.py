@@ -213,3 +213,9 @@ def test_bitmap_identities(spark, sf_dir):
         assert r.first_active_day == (r.days_bitmap & -r.days_bitmap).bit_length()
         assert r.last_active_day == r.days_bitmap.bit_length()
         assert 1 <= r.first_active_day <= r.last_active_day <= 31
+
+
+def test_bootstrap_ci_brackets_point(spark, sf_dir):
+    r = QUERIES["bootstrap_ci_poisson"](spark, sf_dir).collect()[0]
+    assert r.ci_lo_cents <= r.point_mean_cents <= r.ci_hi_cents
+    assert r.ci_lo_cents < r.ci_hi_cents and r.n > 0
