@@ -78,6 +78,10 @@ def graph_triangle_count(spark, sf_dir):
         .groupBy(F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst"))
         .agg(F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias("v"))
     )
+    # pe and und are tiny post-agg frames consumed by multiple subtrees
+    # (tot+und; e1/e2/e3) — persist both or Catalyst re-derives the whole
+    # 4-table join per consumer (was 37 shuffles; see CLAUDE.md CSE note)
+    pe = pe.persist()
     tot = pe.agg(F.sum("v").cast("long").alias("t"))
     und = (
         pe.crossJoin(F.broadcast(tot))
@@ -86,6 +90,7 @@ def graph_triangle_count(spark, sf_dir):
             F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("w")
         )
         .distinct()
+        .persist()
     )
     e1 = und.select(F.col("u").alias("a"), F.col("w").alias("b"))
     e2 = und.select(F.col("u").alias("b"), F.col("w").alias("c"))

@@ -141,12 +141,17 @@ def clustering_coefficient_ppm(spark, sf_dir):
         .groupBy(F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst"))
         .agg(F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias("v"))
     )
+    # persist the tiny aggregated frames: pe feeds tot+und, und feeds
+    # deg/e1/e2/e3 — without caching Catalyst re-derives the 4-table join
+    # per consumer (46 shuffles observed; same fix as graph_triangle_count)
+    pe = pe.persist()
     tot = pe.agg(F.sum("v").cast("long").alias("t"))
     und = (
         pe.crossJoin(F.broadcast(tot))
         .where((F.col("v") * 625 > F.col("t")) & (F.col("src") != F.col("dst")))
         .select(F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("w"))
         .distinct()
+        .persist()
     )
     deg = (
         und.select(F.col("u").alias("node"))

@@ -43,6 +43,8 @@ SKIP = {
     "pca_power_iteration_int",  # collects the 64x64 Gram at build
     "sink_versioned_snapshots",  # writes snapshot dirs at build
     "lm_greedy_decode_steps",  # persisted bigram frame (InMemoryTableScan flake)
+    "graph_triangle_count",  # persisted edge frames, same flake
+    "clustering_coefficient_ppm",  # persisted edge frames, same flake
     "accumulator_row_audit",  # foreachPartition action at build
     "sink_xml_roundtrip",
     "sink_text_roundtrip",
