@@ -67,6 +67,7 @@ _MODULES = [
     "hpmr_spark.operators.versioned_queries",
     "hpmr_spark.operators.lm_decode_queries",
     "hpmr_spark.operators.bootstrap_queries",
+    "hpmr_spark.operators.policy_queries",
 ]
 
 FAILED_MODULES: dict[str, str] = {}
