@@ -117,6 +117,9 @@ REPRESENTATIVE = [
     "accumulator_row_audit",
     # deterministic Poisson bootstrap (explode x32 + 32-cell combine)
     "bootstrap_ci_poisson",
+    # policy evaluation + time-anchored funnel
+    "bandit_replay_ctr",
+    "funnel_time_bounded",
 ]
 
 
