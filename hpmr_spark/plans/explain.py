@@ -64,6 +64,11 @@ def has_partial_aggregate(df: DataFrame) -> bool:
 
 
 def whole_stage_codegen_spans(df: DataFrame) -> int:
+    """Distinct whole-stage-codegen subtrees. NOTE: with AQE enabled the
+    formatted plan of an unexecuted AdaptiveSparkPlan carries NO codegen
+    markers (always 0) — measure on a plan built with
+    spark.sql.adaptive.enabled=false, where nodes carry
+    `[codegen id : N]` annotations."""
     plan = formatted_plan(df)
-    ids = re.findall(r"WholeStageCodegen \((\d+)\)", plan)
-    return len(set(ids))
+    ids = re.findall(r"WholeStageCodegen \((\d+)\)|codegen id : (\d+)", plan)
+    return len({a or b for a, b in ids})

@@ -38,3 +38,23 @@ def test_no_shuffle_regressions(spark, sf_dir, golden):
         if expect["broadcast_join"] and not has_broadcast_join(df):
             worse[name] = ("broadcast", "lost")
     assert not worse, f"plan regressions: {worse}"
+
+
+def test_no_codegen_span_loss(spark, sf_dir, golden):
+    """Whole-stage codegen must not disappear from any pinned plan (spans
+    are measured AQE-off, where the formatted plan carries codegen ids)."""
+    from hpmr_spark.plans.explain import whole_stage_codegen_spans
+
+    worse = {}
+    orig = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        for name, expect in golden.items():
+            if "error" in expect or expect.get("codegen_spans", 0) == 0:
+                continue
+            got = whole_stage_codegen_spans(QUERIES[name](spark, sf_dir))
+            if got < expect["codegen_spans"]:
+                worse[name] = (expect["codegen_spans"], got)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", orig)
+    assert not worse, f"codegen span loss: {worse}"

@@ -88,8 +88,16 @@ def snapshot() -> dict:
             out[name] = {
                 "n_shuffles": n_shuffles(df),
                 "broadcast_join": has_broadcast_join(df),
-                "codegen_spans": whole_stage_codegen_spans(df),
             }
+            # codegen markers only appear on non-adaptive plans; a fresh
+            # build is required (queryExecution caches the planned conf)
+            spark.conf.set("spark.sql.adaptive.enabled", "false")
+            try:
+                out[name]["codegen_spans"] = whole_stage_codegen_spans(
+                    fn(spark, SF_DIR)
+                )
+            finally:
+                spark.conf.set("spark.sql.adaptive.enabled", "true")
         except Exception as e:  # noqa: BLE001
             out[name] = {"error": str(e)[:120]}
     spark.stop()
