@@ -88,7 +88,11 @@ def doc_perplexity_avg_nll(spark, sf_dir):
             )
         ).alias("p"),
     ).select("doc_id", "p.w1", "p.w2")
-    pairs = pairs.persist()
+    from pyspark import StorageLevel
+
+    # corpus-sized frame: spill-tolerant persist (same discipline as the
+    # minhash shingle frame) — memory-only showed pressure at the 3x probe
+    pairs = pairs.persist(StorageLevel.MEMORY_AND_DISK)
     c12 = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("long").alias("n12"))
     c1 = pairs.groupBy("w1").agg(F.count(F.lit(1)).cast("long").alias("n1"))
     toks = d.select(F.explode("a").alias("w"))
