@@ -68,6 +68,7 @@ _MODULES = [
     "hpmr_spark.operators.lm_decode_queries",
     "hpmr_spark.operators.bootstrap_queries",
     "hpmr_spark.operators.policy_queries",
+    "hpmr_spark.operators.api_surface_queries",
 ]
 
 FAILED_MODULES: dict[str, str] = {}

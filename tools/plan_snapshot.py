@@ -46,6 +46,7 @@ SKIP = {
     "graph_triangle_count",  # persisted edge frames, same flake
     "clustering_coefficient_ppm",  # persisted edge frames, same flake
     "accumulator_row_audit",  # foreachPartition action at build
+    "observe_metrics_audit",  # collect at build (Observation materialization)
     "sink_xml_roundtrip",
     "sink_text_roundtrip",
     "sink_dynamic_partition_overwrite",
