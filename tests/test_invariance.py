@@ -120,6 +120,9 @@ REPRESENTATIVE = [
     # policy evaluation + time-anchored funnel
     "bandit_replay_ctr",
     "funnel_time_bounded",
+    # observation metrics + grouped applyInArrow
+    "observe_metrics_audit",
+    "applyinarrow_lang_stats",
 ]
 
 
