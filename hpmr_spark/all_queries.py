@@ -69,6 +69,7 @@ _MODULES = [
     "hpmr_spark.operators.bootstrap_queries",
     "hpmr_spark.operators.policy_queries",
     "hpmr_spark.operators.api_surface_queries",
+    "hpmr_spark.operators.stream_source2_queries",
 ]
 
 FAILED_MODULES: dict[str, str] = {}

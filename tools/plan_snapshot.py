@@ -47,6 +47,8 @@ SKIP = {
     "clustering_coefficient_ppm",  # persisted edge frames, same flake
     "accumulator_row_audit",  # foreachPartition action at build
     "observe_metrics_audit",  # collect at build (Observation materialization)
+    "streaming_bloom_prune_counts",  # runs the stream at build
+    "source_csv_permissive_quarantine",  # writes CSV shards + cache at build
     "sink_xml_roundtrip",
     "sink_text_roundtrip",
     "sink_dynamic_partition_overwrite",
