@@ -123,6 +123,9 @@ REPRESENTATIVE = [
     # observation metrics + grouped applyInArrow
     "observe_metrics_audit",
     "applyinarrow_lang_stats",
+    # bloom-gated stream (complete-mode rerun) + permissive CSV quarantine
+    "streaming_bloom_prune_counts",
+    "source_csv_permissive_quarantine",
 ]
 
 
