@@ -71,6 +71,7 @@ _MODULES = [
     "hpmr_spark.operators.api_surface_queries",
     "hpmr_spark.operators.stream_source2_queries",
     "hpmr_spark.operators.crossmodal_queries",
+    "hpmr_spark.operators.matryoshka_queries",
 ]
 
 FAILED_MODULES: dict[str, str] = {}
