@@ -274,3 +274,53 @@ def dq_expectations_orders(spark, sf_dir):
             (viol(bad_price) == 0) & (viol(bad_status) == 0) & (viol(null_ck) == 0)
         ).alias("suite_pass"),
     )
+
+
+@register(
+    "l_diversity_audit",
+    """
+    WITH g AS (
+      SELECT c_mktsegment, c_nationkey,
+             CAST(COUNT(*) AS BIGINT) AS grp_n,
+             CAST(COUNT(DISTINCT CASE WHEN c_acctbal < 0 THEN 'neg'
+                                      WHEN c_acctbal < 5000 THEN 'mid'
+                                      ELSE 'high' END) AS BIGINT) AS l_div
+      FROM customer GROUP BY c_mktsegment, c_nationkey
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(MIN(l_div) AS BIGINT) AS min_l,
+           CAST(SUM(CASE WHEN l_div < 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_homogeneous_groups,
+           CAST(SUM(CASE WHEN l_div < 2 THEN grp_n ELSE 0 END) AS BIGINT)
+             AS n_exposed_rows
+    FROM g
+    """,
+)
+def l_diversity_audit(spark, sf_dir):
+    """The l-diversity companion to k_anonymity_audit: within each
+    quasi-identifier group, count DISTINCT sensitive-attribute classes
+    (balance bucketed neg/mid/high); groups with l < 2 are homogeneous —
+    an attacker who locates the group learns the sensitive value exactly,
+    which k-anonymity alone never detects. Reports worst-case l,
+    homogeneous group count, and exposed-row cost. Same one-shuffle
+    shape as the k audit."""
+    c = _t(spark, sf_dir, "customer")
+    sens = (
+        F.when(F.col("c_acctbal") < 0, F.lit("neg"))
+        .when(F.col("c_acctbal") < 5000, F.lit("mid"))
+        .otherwise(F.lit("high"))
+    )
+    g = c.groupBy("c_mktsegment", "c_nationkey").agg(
+        F.count(F.lit(1)).cast("long").alias("grp_n"),
+        F.countDistinct(sens).cast("long").alias("l_div"),
+    )
+    return g.agg(
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.min("l_div").cast("long").alias("min_l"),
+        F.sum(F.when(F.col("l_div") < 2, 1).otherwise(0)).cast("long").alias(
+            "n_homogeneous_groups"
+        ),
+        F.sum(F.when(F.col("l_div") < 2, F.col("grp_n")).otherwise(0))
+        .cast("long")
+        .alias("n_exposed_rows"),
+    )
