@@ -126,6 +126,10 @@ REPRESENTATIVE = [
     # bloom-gated stream (complete-mode rerun) + permissive CSV quarantine
     "streaming_bloom_prune_counts",
     "source_csv_permissive_quarantine",
+    # crossmodal encoder + matryoshka eval + l-diversity
+    "crossmodal_text_to_vec_topk",
+    "matryoshka_truncation_recall",
+    "l_diversity_audit",
 ]
 
 
