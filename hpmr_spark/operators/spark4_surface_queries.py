@@ -148,3 +148,45 @@ def pydatasource_sink_roundtrip(spark, sf_dir):
         F.min("o_orderkey").alias("min_key"),
         F.max("o_orderkey").alias("max_key"),
     )
+
+
+@register(
+    "sql_sugar_group_by_all",
+    """
+    WITH base AS (
+      SELECT * EXCLUDE (o_orderdate, o_totalprice),
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    )
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(cents) AS BIGINT) AS total_cents
+    FROM base
+    GROUP BY ALL
+    ORDER BY ALL
+    """,
+)
+def sql_sugar_group_by_all(spark, sf_dir):
+    """Modern SQL sugar parity: SELECT * EXCEPT (Spark) / EXCLUDE (DuckDB)
+    star-pruning plus GROUP BY ALL + ORDER BY ALL — both engines infer the
+    grouping and ordering keys from the select list, and Catalyst plans
+    the same partial-aggregated shuffle as the explicit form (column
+    pruning still reaches the scan: the excluded columns never load). The
+    analyst-facing dialect a migrating user writes on day one."""
+    o = _t(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("orders_sugar")
+    return spark.sql(
+        """
+        WITH base AS (
+          SELECT * EXCEPT (o_orderdate, o_totalprice),
+                 CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+          FROM orders_sugar
+        )
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(cents) AS BIGINT) AS total_cents
+        FROM base
+        GROUP BY ALL
+        ORDER BY ALL
+        """
+    )
