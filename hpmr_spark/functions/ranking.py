@@ -1,0 +1,193 @@
+"""Scale-safe global ordering primitives — the two-pass bucketed rank
+pattern.
+
+A `Window.orderBy(...)` with no partitionBy moves EVERY row to a single
+partition ("No Partition Defined for Window operation" in the Spark log) —
+correct, but the one shape that cannot survive a 100 TB input. The scalable
+equivalent is the classic two-pass total order (the same discipline as the
+reference's two-level hash routing, /root/reference/src/dist_map.h:121-124 —
+work distributes by key range, never collapses to one worker):
+
+  1. Assign every row an ordered BUCKET as a pure function of its leading
+     sort-key value: equal-width cut of [min, max] from a broadcast 1-row
+     exact min/max aggregate. Because the bucket derives from row VALUES
+     (not physical placement), every consumer of the frame computes the
+     same assignment — `repartitionByRange` + `spark_partition_id()` is
+     NOT usable here: RangePartitioner samples with an RDD-id-derived
+     seed, so two evaluations of the same logical plan can pick different
+     boundaries and corrupt the offsets (observed live; see
+     tests/test_ranking.py::test_deterministic_across_actions).
+  2. A window PARTITIONED by bucket computes the local row_number /
+     running aggregate — parallel across buckets (one hash shuffle).
+  3. Per-bucket totals (≤ num_buckets rows) are combined into exclusive
+     prefix offsets with a tiny broadcast non-equi self-join
+     (bucket' < bucket) — num_buckets² ≤ 1024 comparisons, fully
+     declarative, and deliberately NOT a window so the resulting plans
+     carry ZERO partition-less WindowExec nodes
+     (tests/test_plan_regression.py greps for the signature).
+  4. global value = local value ⊕ prefix offset (⊕ = +, max, min).
+
+Skew note: equal-width buckets keep correctness under ANY distribution
+(ranks never depend on bucket balance) but lose parallelism if the leading
+key is pathologically concentrated; for such keys swap step 1 for sampled
+cut-points (deterministic literals) — same algebra. The leading key must be
+numeric and non-null; ties on it always land in one bucket, so prefix
+offsets stay exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# Ordered-bucket count. At cluster scale, raise to O(cores) — each bucket is
+# one window task after the hash exchange.
+DEFAULT_BUCKETS = 16
+
+_BKT = "_rk_bkt"
+_LOCAL = "_rk_local"
+_OFF = "_rk_off"
+_MN = "_rk_mn"
+_MX = "_rk_mx"
+
+
+def _as_col(c) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def _with_bucket(
+    df: DataFrame, first_key: Column, descending: bool, num_buckets: int
+) -> DataFrame:
+    """Tag rows with their ordered bucket id (0 = first in sort order):
+    equal-width cut of the leading key's exact [min, max], broadcast as a
+    1-row aggregate. Pure row-value function — identical on every
+    evaluation of the plan."""
+    bounds = df.agg(
+        F.min(first_key).cast("double").alias(_MN),
+        F.max(first_key).cast("double").alias(_MX),
+    )
+    k = first_key.cast("double")
+    span = F.col(_MX) - F.col(_MN)
+    pos = (F.col(_MX) - k) if descending else (k - F.col(_MN))
+    raw = F.floor(pos * num_buckets / span).cast("int")
+    bkt = F.when(span <= 0, F.lit(0)).otherwise(
+        F.least(F.lit(num_buckets - 1), F.greatest(F.lit(0), raw))
+    )
+    return (
+        df.crossJoin(F.broadcast(bounds))
+        .withColumn(_BKT, bkt)
+        .drop(_MN, _MX)
+    )
+
+
+def _exclusive_prefix(per_bucket: DataFrame, value_col: str, kind: str) -> DataFrame:
+    """(bucket, value) -> (bucket, offset) where offset aggregates values of
+    all STRICTLY EARLIER buckets (NULL for the first / empty prefix).
+    Broadcast non-equi self-join over ≤ num_buckets rows — no window, no
+    collect."""
+    agg = {"sum": F.sum, "max": F.max, "min": F.min}[kind]
+    a = per_bucket.select(F.col(_BKT).alias("_a_bkt"))
+    b = per_bucket.select(F.col(_BKT).alias("_b_bkt"), F.col(value_col).alias("_b_val"))
+    return (
+        a.join(F.broadcast(b), F.col("_b_bkt") < F.col("_a_bkt"), "left")
+        .groupBy(F.col("_a_bkt").alias(_BKT))
+        .agg(agg("_b_val").alias(_OFF))
+    )
+
+
+def _order_exprs(order_cols, descending: bool) -> list[Column]:
+    cols = [_as_col(c) for c in order_cols]
+    return [c.desc() for c in cols] if descending else cols
+
+
+def global_row_number(
+    df: DataFrame,
+    order_cols,
+    out: str = "rn",
+    descending: bool = False,
+    num_buckets: int = DEFAULT_BUCKETS,
+) -> DataFrame:
+    """Total-order row_number over `order_cols` (must be a full tie-break
+    for determinism; the FIRST column must be numeric non-null — it drives
+    the bucketing) without a single-partition window: per-bucket row_number
+    + broadcast exclusive prefix counts."""
+    first = _as_col(order_cols[0])
+    p = _with_bucket(df, first, descending, num_buckets)
+    w = Window.partitionBy(_BKT).orderBy(*_order_exprs(order_cols, descending))
+    local = p.withColumn(_LOCAL, F.row_number().over(w))
+    counts = local.groupBy(_BKT).agg(F.count(F.lit(1)).alias("_c"))
+    offs = _exclusive_prefix(counts, "_c", "sum")
+    return (
+        local.join(F.broadcast(offs), _BKT)
+        .withColumn(
+            out, (F.coalesce(F.col(_OFF), F.lit(0)) + F.col(_LOCAL)).cast("long")
+        )
+        .drop(_BKT, _LOCAL, _OFF)
+    )
+
+
+def global_running(
+    df: DataFrame,
+    order_cols,
+    value_col: str | Column,
+    kind: str = "sum",
+    out: str = "running",
+    strict: bool = False,
+    descending: bool = False,
+    num_buckets: int = DEFAULT_BUCKETS,
+) -> DataFrame:
+    """Running aggregate (sum/max/min) in total `order_cols` order, two-pass
+    bucketed. `strict=True` excludes the current row (ROWS UNBOUNDED
+    PRECEDING TO 1 PRECEDING) — the "all strictly earlier rows" frame; the
+    first global row gets NULL, matching the window form. Suffix aggregates
+    = `descending=True`."""
+    agg = {"sum": F.sum, "max": F.max, "min": F.min}[kind]
+    val = _as_col(value_col)
+    first = _as_col(order_cols[0])
+    p = _with_bucket(df, first, descending, num_buckets)
+    end = -1 if strict else Window.currentRow
+    w = (
+        Window.partitionBy(_BKT)
+        .orderBy(*_order_exprs(order_cols, descending))
+        .rowsBetween(Window.unboundedPreceding, end)
+    )
+    local = p.withColumn(_LOCAL, agg(val).over(w))
+    totals = p.groupBy(_BKT).agg(agg(val).alias("_t"))
+    offs = _exclusive_prefix(totals, "_t", kind)
+    joined = local.join(F.broadcast(offs), _BKT)
+    if kind == "sum":
+        # NULL iff both sides empty (global first row under strict frames)
+        combined = F.when(
+            F.col(_LOCAL).isNull() & F.col(_OFF).isNull(), F.lit(None)
+        ).otherwise(
+            F.coalesce(F.col(_LOCAL), F.lit(0)) + F.coalesce(F.col(_OFF), F.lit(0))
+        )
+    elif kind == "max":
+        combined = F.greatest(F.col(_LOCAL), F.col(_OFF))  # null-skipping
+    else:
+        combined = F.least(F.col(_LOCAL), F.col(_OFF))
+    return joined.withColumn(out, combined).drop(_BKT, _LOCAL, _OFF)
+
+
+def _idiv(a: Column, b: Column) -> Column:
+    """Exact ⌊a/b⌋ for non-negative longs below 2^52: double division of
+    longs in that range is correctly rounded and cannot cross an integer
+    boundary (|a − k·b| ≥ 1 > a·2⁻⁵² for a < 2^52), so floor is exact —
+    the Column-API stand-in for SQL `div` on row-count magnitudes."""
+    return F.floor(a / b).cast("long")
+
+
+def exact_ntile(rn: Column, n: Column, buckets: int) -> Column:
+    """SQL NTILE(buckets) from a 1-based global row_number `rn` and total
+    count `n`, as exact non-negative integer arithmetic: the first
+    n % buckets tiles take ⌈n/buckets⌉ rows, the rest ⌊n/buckets⌋ —
+    identical to Spark's and DuckDB's NTILE given a fully tie-broken order."""
+    b = F.lit(buckets).cast("long")
+    n = n.cast("long")
+    rn = rn.cast("long")
+    size = _idiv(n, b)
+    rem = n % b
+    cut = rem * (size + 1)
+    big = _idiv(rn - 1, size + 1) + 1
+    small = rem + _idiv(rn - cut - 1, size) + 1
+    return F.when(rn <= cut, big).otherwise(small).cast("long")

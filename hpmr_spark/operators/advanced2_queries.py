@@ -371,10 +371,13 @@ def winsorize_clip_stats(spark, sf_dir):
     """Winsorized per-priority totals: exact p01/p99 as rank-selected values
     (k-th smallest = least cents whose cumulative count ≥ k, k = ⌈n/100⌉ /
     ⌈99n/100⌉ via integer ceil division), clip every row into [p01, p99],
-    aggregate in integer cents. The rank-selection window runs over the
-    GROUPED distinct-value frame, not the raw rows; at 100 TB the exact path
-    would swap in a range-partitioned prefix-sum (or sketch_bounded_checks'
-    approx percentile with bounded-error gating) — documented trade-off."""
+    aggregate in integer cents. The cumulative count over the GROUPED
+    distinct-value frame is the two-pass range-partitioned prefix sum
+    (functions/ranking.global_running) — near-unique prices make that frame
+    row-scale, so the scale-safe form matters; no single-partition window
+    (sketch_bounded_checks holds the approx-percentile alternative)."""
+    from hpmr_spark.functions.ranking import global_running
+
     o = _t(spark, sf_dir, "orders")
     c = o.select(
         "o_orderpriority",
@@ -382,12 +385,7 @@ def winsorize_clip_stats(spark, sf_dir):
     )
     t = c.agg(F.count(F.lit(1)).alias("n"))
     d = c.groupBy("cents").agg(F.count(F.lit(1)).alias("cnt"))
-    cum = d.withColumn(
-        "cm",
-        F.sum("cnt").over(
-            Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, 0)
-        ),
-    )
+    cum = global_running(d, ["cents"], "cnt", kind="sum", strict=False, out="cm")
     cum_t = cum.crossJoin(F.broadcast(t))
     lo = cum_t.where(F.expr("cm >= (n + 99) div 100")).agg(
         F.min("cents").alias("lo_cents")

@@ -14,6 +14,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from hpmr_spark.catalog import _t, register
+from hpmr_spark.functions.ranking import exact_ntile, global_row_number, global_running
 
 # ---------------------------------------------------------------------------
 # Skyline / Pareto front of orders: high price, early date.
@@ -40,27 +41,27 @@ from hpmr_spark.catalog import _t, register
     """,
 )
 def skyline_price_date(spark, sf_dir):
-    """Pareto front over (maximize price, minimize order date) with two
-    windows instead of the quadratic NOT EXISTS: min_d_gt — the earliest
-    date among all STRICTLY more expensive orders (a value-RANGE frame, so
-    price ties are excluded exactly) — kills any row it reaches; min_d_eq
-    resolves ties within a price level. One sort by cents; no self-join.
-    At 100 TB skyline via windows is a single range-partitioned sort pass,
-    where the naive anti-join is corpus × corpus."""
+    """Pareto front over (maximize price, minimize order date) without the
+    quadratic NOT EXISTS and without a single-partition window: min_d_gt —
+    the earliest date among all STRICTLY more expensive orders — is a
+    two-pass range-partitioned suffix-min over the per-cents aggregated
+    frame (functions/ranking.global_running, cents DESC, strict frame);
+    min_d_eq resolves ties within a price level. Every stage parallel;
+    oracle keeps the value-RANGE window form, proving equivalence."""
     o = _t(spark, sf_dir, "orders").select(
         "o_orderkey",
         F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
         F.unix_date(F.col("o_orderdate").cast("date")).cast("long").alias("d_days"),
     )
-    w_gt = Window.orderBy("cents").rangeBetween(1, Window.unboundedFollowing)
-    w_eq = Window.partitionBy("cents")
-    w = o.select(
-        "o_orderkey",
-        "cents",
-        "d_days",
-        F.min("d_days").over(w_gt).alias("min_d_gt"),
-        F.min("d_days").over(w_eq).alias("min_d_eq"),
+    # per-price minimum date (keyed agg), then the strictly-greater-price
+    # suffix-min as a two-pass running min in cents-DESC order over the
+    # aggregated per-cents frame — no single-partition window anywhere
+    per = o.groupBy("cents").agg(F.min("d_days").alias("min_d_eq"))
+    suf = global_running(
+        per, ["cents"], "min_d_eq", kind="min", strict=True, descending=True,
+        out="min_d_gt",
     )
+    w = o.join(suf, "cents")
     return w.where(
         (F.col("min_d_gt").isNull() | (F.col("d_days") < F.col("min_d_gt")))
         & (F.col("d_days") == F.col("min_d_eq"))
@@ -97,14 +98,18 @@ def histogram_equidepth_cents(spark, sf_dir):
     equal values straddling a bucket boundary would land nondeterministically
     and flake any comparison. Complements the existing equi-WIDTH histogram;
     equi-depth boundaries are what optimizers and drift monitors actually
-    want. One global sort (range-partitioned at scale) + one tiny groupBy."""
+    want. Bucketing = two-pass range-partitioned row_number + the exact
+    integer NTILE formula (functions/ranking.py) — no single-partition
+    window; the oracle keeps the NTILE window form, proving equivalence."""
     c = _t(spark, sf_dir, "orders").select(
         "o_orderkey",
         F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
     )
-    b = c.select(
+    r = global_row_number(c, ["cents", "o_orderkey"], out="rn")
+    t = c.agg(F.count(F.lit(1)).alias("n"))
+    b = r.crossJoin(F.broadcast(t)).select(
         "cents",
-        F.ntile(10).over(Window.orderBy("cents", "o_orderkey")).alias("bucket"),
+        exact_ntile(F.col("rn"), F.col("n"), 10).alias("bucket"),
     )
     return b.groupBy(F.col("bucket").cast("long").alias("bucket")).agg(
         F.count(F.lit(1)).cast("long").alias("n"),

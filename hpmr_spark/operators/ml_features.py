@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 
 from hpmr_spark.catalog import register, _t
 from hpmr_spark.functions.hashing import hash60, sql_hash60
+from hpmr_spark.functions.ranking import exact_ntile, global_row_number
 from hpmr_spark.functions.text import tokens
 from hpmr_spark.functions.vectors import sql_dot
 
@@ -206,14 +207,19 @@ def unpivot_quantity_metrics(spark, sf_dir):
     """,
 )
 def ntile_price_deciles(spark, sf_dir):
-    """Decile bucketing via ntile (deterministic full ordering). Note: a
-    global ORDER BY — fine for bucket statistics, but at 100 TB prefer
-    approx quantile cutpoints + bucket-by-range instead."""
-    o = _t(spark, sf_dir, "orders")
-    w = Window.orderBy("o_totalprice", "o_orderkey")
+    """Decile bucketing with NTILE semantics but NO single-partition window:
+    two-pass range-partitioned global row_number (functions/ranking.py) + the
+    exact integer NTILE formula against a broadcast total count. Identical
+    output to `NTILE(10) OVER (ORDER BY o_totalprice, o_orderkey)` (full
+    tie-break), but every stage is parallel — the 100 TB shape."""
+    o = _t(spark, sf_dir, "orders").select("o_totalprice", "o_orderkey")
+    r = global_row_number(o, ["o_totalprice", "o_orderkey"], out="rn")
+    t = o.agg(F.count(F.lit(1)).alias("n"))
     return (
-        o.select(
-            "o_totalprice", F.ntile(10).over(w).alias("decile")
+        r.crossJoin(F.broadcast(t))
+        .select(
+            "o_totalprice",
+            exact_ntile(F.col("rn"), F.col("n"), 10).alias("decile"),
         )
         .groupBy("decile")
         .agg(

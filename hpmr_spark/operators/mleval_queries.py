@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 
 from hpmr_spark.catalog import _t, register
 from hpmr_spark.functions.hashing import hash60, sql_hash60
+from hpmr_spark.functions.ranking import global_running
 
 # Committed deterministic score: hash noise in [0, 700000) plus a 300000
 # bump for positives -> overlapping but separable score distributions.
@@ -89,35 +90,40 @@ def binary_classifier_eval_auc(spark, sf_dir):
     """Exact AUC via the tie-corrected Mann-Whitney rank-sum plus a full
     thresholded confusion row (precision/recall/F1/accuracy in ppm).
 
-    Plan shape: one scan -> one global sort for the rank window (ORDER BY
-    score) -> one conditional aggregate. At 100 TB the global rank is the
-    only total-order step; with ppm-bucketed scores it can be replaced by a
-    histogram rank-sum (counts per score bucket, prefix sums), which is the
-    same integer arithmetic this query commits to — the window form is the
-    exact reference semantics. All divisions are positive-integer floor
-    (Spark div ≡ DuckDB //)."""
+    Plan shape (the 100 TB form — no global rank window): one scan -> a
+    keyed histogram per score_ppm (cnt, pos) -> two-pass range-partitioned
+    STRICT prefix sum of cnt (functions/ranking.global_running) over the
+    bucketed frame -> one aggregate. For a row at score s with c ties,
+    min-rank = prefix_lt + 1, so the tie-averaged doubled rank is
+    rank2 = 2*prefix_lt + c + 1 and the positive rank-sum is
+    Σ pos(s)·rank2(s) — identical integers to the window form the oracle
+    keeps (RANK() + per-score COUNT). All divisions are positive-integer
+    floor (Spark div ≡ DuckDB //)."""
     s = _scored(spark, sf_dir)
-    r = s.select(
-        "y",
-        "score_ppm",
-        (
-            F.lit(2) * F.rank().over(Window.orderBy("score_ppm"))
-            + F.count(F.lit(1)).over(Window.partitionBy("score_ppm"))
-            - F.lit(1)
-        ).cast("long").alias("rank2"),
+    g = s.groupBy("score_ppm").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+        F.sum("y").cast("long").alias("pos"),
+    )
+    cum = global_running(
+        g, ["score_ppm"], "cnt", kind="sum", strict=True, out="prefix_lt"
+    ).withColumn("prefix_lt", F.coalesce(F.col("prefix_lt"), F.lit(0)))
+    r = cum.withColumn(
+        "rank2", (F.lit(2) * F.col("prefix_lt") + F.col("cnt") + 1).cast("long")
     )
     agg = r.agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum("y").cast("long").alias("n_pos"),
-        F.sum(F.when(F.col("y") == 1, F.col("rank2")).otherwise(0)).cast("long").alias("r2_pos"),
-        F.sum(F.when((F.col("y") == 1) & (F.col("score_ppm") >= 500000), 1).otherwise(0))
+        F.sum("cnt").cast("long").alias("n"),
+        F.sum("pos").cast("long").alias("n_pos"),
+        F.sum(F.col("pos") * F.col("rank2")).cast("long").alias("r2_pos"),
+        F.sum(F.when(F.col("score_ppm") >= 500000, F.col("pos")).otherwise(0))
         .cast("long").alias("tp"),
-        F.sum(F.when((F.col("y") == 0) & (F.col("score_ppm") >= 500000), 1).otherwise(0))
-        .cast("long").alias("fp"),
-        F.sum(F.when((F.col("y") == 1) & (F.col("score_ppm") < 500000), 1).otherwise(0))
+        F.sum(
+            F.when(F.col("score_ppm") >= 500000, F.col("cnt") - F.col("pos")).otherwise(0)
+        ).cast("long").alias("fp"),
+        F.sum(F.when(F.col("score_ppm") < 500000, F.col("pos")).otherwise(0))
         .cast("long").alias("fn"),
-        F.sum(F.when((F.col("y") == 0) & (F.col("score_ppm") < 500000), 1).otherwise(0))
-        .cast("long").alias("tn"),
+        F.sum(
+            F.when(F.col("score_ppm") < 500000, F.col("cnt") - F.col("pos")).otherwise(0)
+        ).cast("long").alias("tn"),
     )
     return agg.select(
         "n",

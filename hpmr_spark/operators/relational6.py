@@ -190,15 +190,22 @@ def calendar_gap_fill(spark, sf_dir):
 )
 def percent_rank_prices(spark, sf_dir):
     """percent_rank/cume_dist — rank ratios of exact ints, rounded the same
-    on both sides."""
-    from pyspark.sql import Window
+    on both sides. The ordering (o_totalprice, o_orderkey) is UNIQUE, so
+    rank ≡ row_number and cume_dist ≡ rn/n: both come from the two-pass
+    range-partitioned row_number (functions/ranking.py) + a broadcast total,
+    with the same double divisions as the window built-ins —
+    (rn−1)/(n−1) and rn/n — so values are bit-identical, and there is no
+    single-partition window."""
+    from hpmr_spark.functions.ranking import global_row_number
 
     o = _t(spark, sf_dir, "orders").where(F.col("o_orderkey") % 20 == 0)
-    w = Window.orderBy("o_totalprice", "o_orderkey")
-    return o.select(
+    o = o.select("o_orderkey", "o_totalprice")
+    r = global_row_number(o, ["o_totalprice", "o_orderkey"], out="rn")
+    t = o.agg(F.count(F.lit(1)).alias("n"))
+    return r.crossJoin(F.broadcast(t)).select(
         "o_orderkey",
-        F.round(F.percent_rank().over(w), 6).alias("pr"),
-        F.round(F.cume_dist().over(w), 6).alias("cd"),
+        F.round((F.col("rn") - 1) / (F.col("n") - 1), 6).alias("pr"),
+        F.round(F.col("rn") / F.col("n"), 6).alias("cd"),
     )
 
 

@@ -17,6 +17,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from hpmr_spark.catalog import register, _t
+from hpmr_spark.functions.ranking import global_row_number
 
 
 @register(
@@ -41,21 +42,18 @@ def equi_depth_histogram_bounds(spark, sf_dir):
     order value, selected where the integer quotient rn·10 div n
     increments — pure rank cross-multiplication, no float quantile math,
     fully tie-broken (cents, orderkey). This is the stats structure a CBO
-    range-prunes and estimates selectivity with. The global row_number is
-    the documented holistic cost at test scale; the cluster variant is
-    rank-within-range via RangePartitioner + per-partition offsets (the
-    ordered_export_january two-pass pattern), with the boundary predicate
-    unchanged."""
-    o = _t(spark, sf_dir, "orders")
-    cents = F.round(F.col("o_totalprice") * 100).cast("long")
-    w = Window.orderBy(F.round(F.col("o_totalprice") * 100), "o_orderkey")
-    r = o.select(
-        cents.alias("cents"),
-        F.row_number().over(w).alias("rn"),
-        F.count(F.lit(1)).over(
-            Window.partitionBy()
-        ).alias("n"),
+    range-prunes and estimates selectivity with. The rank is the two-pass
+    range-partitioned row_number (functions/ranking.global_row_number — the
+    RangePartitioner + per-partition-offset pattern), the total a broadcast
+    1-row count; the boundary predicate is unchanged and every stage is
+    parallel."""
+    o = _t(spark, sf_dir, "orders").select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        "o_orderkey",
     )
+    rn = global_row_number(o, ["cents", "o_orderkey"], out="rn")
+    t = o.agg(F.count(F.lit(1)).alias("n"))
+    r = rn.crossJoin(F.broadcast(t))
     return r.where(
         F.expr("rn * 10 div n > (rn - 1) * 10 div n")
     ).select(

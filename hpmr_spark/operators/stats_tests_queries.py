@@ -127,13 +127,17 @@ def chi_square_independence(spark, sf_dir):
            CAST(n2 AS BIGINT) AS n2, CAST(x2 AS BIGINT) AS x2,
            CAST(x1 * 1000000 // n1 AS BIGINT) AS p1_ppm,
            CAST(x2 * 1000000 // n2 AS BIGINT) AS p2_ppm,
-           -- z² > 3.8416  <=>  10000·(x1·n2 - x2·n1)²·n1·n2 >
-           --                   38416·(x1+x2)·(n1+n2-x1-x2)·(n1+n2)·n1·n2 / ...
-           -- rearranged with pooled p = (x1+x2)/(n1+n2):
-           -- (p1-p2)² > 3.8416·p·(1-p)·(1/n1+1/n2)
-           -- cross-multiplied to integers (all operands non-negative):
-           (10000 * (x1 * n2 - x2 * n1) * (x1 * n2 - x2 * n1) * (n1 + n2)
-            > 38416 * (x1 + x2) * (n1 + n2 - x1 - x2) * n1 * n2)
+           -- z² > 3.8416  <=>  (p1-p2)² > 3.8416·p·(1-p)·(1/n1+1/n2)
+           -- with pooled p = (x1+x2)/(n1+n2), cross-multiplied to integers
+           -- (all operands non-negative). Computed in int128 (HUGEINT /
+           -- Spark DECIMAL(38,0)) so the ~N⁴·10⁴ magnitude is exact for
+           -- cohorts up to ~1e7 users (BIGINT overflowed at ~1e5).
+           (10000 * CAST(x1 * n2 - x2 * n1 AS HUGEINT)
+                  * CAST(x1 * n2 - x2 * n1 AS HUGEINT)
+                  * CAST(n1 + n2 AS HUGEINT)
+            > 38416 * CAST(x1 + x2 AS HUGEINT)
+                    * CAST(n1 + n2 - x1 - x2 AS HUGEINT)
+                    * CAST(n1 AS HUGEINT) * CAST(n2 AS HUGEINT))
              AS significant_95
     FROM w
     """,
@@ -143,10 +147,12 @@ def ab_test_z2_gate(spark, sf_dir):
     users (conversion = any purchase event): the 95% significance decision
     is made entirely in integers by cross-multiplying the pooled-variance
     z² inequality — (p1-p2)² > 3.8416·p̄(1-p̄)(1/n1+1/n2) becomes
-    10000·(x1n2-x2n1)²·(n1+n2) > 38416·(x1+x2)(N-x1-x2)·n1·n2 (both sides
-    exact BIGINTs; magnitudes bounded by N⁴·10⁴ — fine for per-experiment
-    cohort sizes; at larger N divide both sides by a common power of ten
-    first). One groupBy(user) for assignment+conversion, one 2-row rollup."""
+    10000·(x1n2-x2n1)²·(n1+n2) > 38416·(x1+x2)(N-x1-x2)·n1·n2, with both
+    sides in exact int128 (Spark DECIMAL(38,0) ≡ DuckDB HUGEINT): the
+    ~N⁴·10⁴ magnitude stays exact to cohorts of ~1e7 users, and ANSI mode
+    fails loudly (not wrongly) beyond — pre-scale by a common power of ten
+    if experiments ever exceed that. One groupBy(user) for
+    assignment+conversion, one 2-row rollup."""
     ev = load_events(spark, sf_dir)
     assign = ev.groupBy("user_id").agg(
         F.max(
@@ -177,7 +183,11 @@ def ab_test_z2_gate(spark, sf_dir):
         F.expr("x1 * 1000000 div n1").cast("long").alias("p1_ppm"),
         F.expr("x2 * 1000000 div n2").cast("long").alias("p2_ppm"),
         F.expr(
-            "10000 * (x1 * n2 - x2 * n1) * (x1 * n2 - x2 * n1) * (n1 + n2)"
-            " > 38416 * (x1 + x2) * (n1 + n2 - x1 - x2) * n1 * n2"
+            "10000 * CAST(x1 * n2 - x2 * n1 AS DECIMAL(38,0))"
+            "      * CAST(x1 * n2 - x2 * n1 AS DECIMAL(38,0))"
+            "      * CAST(n1 + n2 AS DECIMAL(38,0))"
+            " > 38416 * CAST(x1 + x2 AS DECIMAL(38,0))"
+            "         * CAST(n1 + n2 - x1 - x2 AS DECIMAL(38,0))"
+            "         * CAST(n1 AS DECIMAL(38,0)) * CAST(n2 AS DECIMAL(38,0))"
         ).alias("significant_95"),
     )

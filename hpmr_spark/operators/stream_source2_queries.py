@@ -78,7 +78,14 @@ def streaming_bloom_prune_counts(spark, sf_dir):
         ).alias("p")
     )
     bits = [r.p for r in pos.distinct().collect()]  # KB-sized committed bitset
-    bits_arr = F.array(*[F.lit(int(b)) for b in sorted(bits)])
+    # empty build side at some future SF would make F.array() an ARRAY<NULL>
+    # literal (DATATYPE_MISMATCH on array_contains) — a one-element sentinel
+    # that no bloom position can equal keeps the filter well-typed and false
+    bits_arr = (
+        F.array(*[F.lit(int(b)) for b in sorted(bits)])
+        if bits
+        else F.array(F.lit(-1).cast("long"))
+    )
 
     key = f"ostream_{os.path.basename(str(sf_dir).rstrip('/'))}"
     d = _tmp(key)
@@ -124,18 +131,25 @@ def source_csv_permissive_quarantine(spark, sf_dir):
     table. This is the raw-log ingestion contract at 100 TB: bad records
     are data, not exceptions. Lines are written executor-side
     (foreachPartition), one shard per upstream partition."""
+    import shutil
+
     key = f"csvq_{os.path.basename(str(sf_dir).rstrip('/'))}"
     out = os.path.join(_tmp(key), "lines")
+    # rebuildable in-process: recreate the shard dir each build and name
+    # shards by partition index (overwriting), so building the query twice
+    # can never duplicate rows
+    shutil.rmtree(out, ignore_errors=True)
     os.makedirs(out, exist_ok=True)
     docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
 
     def write_partition(rows):
-        import uuid
+        from pyspark import TaskContext
 
         rows = list(rows)
         if not rows:
             return
-        p = os.path.join(out, f"part-{uuid.uuid4().hex}.csv")
+        pid = TaskContext.get().partitionId()
+        p = os.path.join(out, f"part-{pid:05d}.csv")
         with open(p, "w") as f:
             for r in rows:
                 if r.doc_id % 97 == 0:

@@ -270,15 +270,19 @@ def event_lateness_profile(spark, sf_dir):
     lateness is the event-time frontier (running max) minus its own
     timestamp; report the worst case and the count beyond a 1-hour
     candidate watermark per type. Exact integer micros throughout. The
-    arrival-ordered running max is the single-sorted-pass cost (per
-    source-partition at scale, where arrival order is per-partition
-    anyway)."""
+    arrival-ordered running max is the two-pass range-partitioned running
+    max (functions/ranking.global_running over event_id) — parallel across
+    range partitions, no single-partition window; at cluster scale arrival
+    order is per-source-partition anyway and the same helper applies
+    within each."""
+    from hpmr_spark.functions.ranking import global_running
+
     ev = _t(spark, sf_dir, "events")
-    w = Window.orderBy("event_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    a = ev.select(
-        "event_type",
-        F.unix_micros("ts").alias("us"),
-        F.max(F.unix_micros("ts")).over(w).alias("frontier"),
+    base = ev.select(
+        "event_type", "event_id", F.unix_micros("ts").alias("us")
+    )
+    a = global_running(
+        base, ["event_id"], "us", kind="max", strict=False, out="frontier"
     )
     return a.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_events"),

@@ -63,6 +63,31 @@ def has_partial_aggregate(df: DataFrame) -> bool:
     )
 
 
+def simple_plan(df: DataFrame) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
+        df._jdf.queryExecution(), "simple"
+    )
+
+
+def n_single_partition_windows(df: DataFrame) -> int:
+    """Count Window operators whose input collapses to ONE partition — the
+    `Window.orderBy(...)` with no partitionBy shape ("No Partition Defined
+    for Window operation" at runtime), THE scale-killer at 100 TB. Detected
+    in the simple plan as a Window node whose child chain (Sort) feeds from
+    an `Exchange SinglePartition`. Scale-safe replacements live in
+    functions/ranking.py; tests/test_plan_regression.py pins this to 0 for
+    fact-scale frames (a small allowlist covers tiny aggregated frames)."""
+    lines = simple_plan(df).splitlines()
+    n = 0
+    for i, line in enumerate(lines):
+        if re.search(r"\bWindow(GroupLimit)? \[", line):
+            for nxt in lines[i + 1 : i + 3]:
+                if "Exchange SinglePartition" in nxt:
+                    n += 1
+                    break
+    return n
+
+
 def whole_stage_codegen_spans(df: DataFrame) -> int:
     """Distinct whole-stage-codegen subtrees. NOTE: with AQE enabled the
     formatted plan of an unexecuted AdaptiveSparkPlan carries NO codegen

@@ -143,6 +143,69 @@ def test_ivf_recall_clustered(spark):
     assert recall >= 0.9, f"IVF recall on clustered embeddings: {recall}"
 
 
+def test_gemm_block_pruning_clustered(spark):
+    """Angular block-pair pruning (the spherical DIMSUM analogue in
+    threshold_pairs_gemm): on a corpus whose clusters spread ALONG the
+    committed pivot direction, provably-sub-threshold block pairs must be
+    SKIPPED (allowed < full grid) and the pruned GEMM must still equal the
+    exact brute force. On the isotropic random parquet corpus no exact
+    low-rank bound can fire (residual Cauchy-Schwarz ≈ 1) — that regime is
+    covered by dedup_embedding_cosine's oracle equality with zero skips."""
+    import math
+    import random
+
+    from hpmr_spark.similarity.vectorized import (
+        _angular_block,
+        allowed_block_pairs,
+        threshold_pairs_gemm,
+    )
+
+    rng = random.Random(0xA7)
+    dim = 16
+    ones = [1.0 / math.sqrt(dim)] * dim
+    rows = []
+    vid = 0
+    # three clusters at alpha ≈ +1, 0, −1 relative to the all-ones pivot
+    for sign in (1.0, 0.0, -1.0):
+        for _ in range(60):
+            vec = [
+                sign * c + rng.gauss(0.0, 0.03) + (0.5 if sign == 0.0 else 0.0) * (i == 0)
+                for i, c in enumerate(ones)
+            ]
+            rows.append((vid, vec))
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    tau, n_blocks = 0.6, 8
+    alpha, blk = _angular_block(F.col("vec"), n_blocks)
+    v = (
+        df.select(F.col("vec_id").alias("id"), F.col("embedding").alias("vec"))
+        .withColumn("alpha", alpha)
+        .withColumn("blk", blk)
+    )
+    nonempty = v.select("blk").distinct().count()
+    full_grid = nonempty * (nonempty + 1) // 2
+    allowed = allowed_block_pairs(v, tau, n_blocks).count()
+    assert allowed < full_grid, (
+        f"expected block-pair skips on the clustered corpus: {allowed}/{full_grid}"
+    )
+
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in threshold_pairs_gemm(df, tau, n_blocks=n_blocks).collect()
+    }
+    # exact brute force in python doubles
+    vecs = [r[1] for r in rows]
+    norms = [math.sqrt(sum(x * x for x in w)) for w in vecs]
+    exp = set()
+    for i in range(len(vecs)):
+        for j in range(i + 1, len(vecs)):
+            d = sum(a * b for a, b in zip(vecs[i], vecs[j]))
+            if d >= tau * norms[i] * norms[j]:
+                exp.add((i, j))
+    assert got == exp
+
+
 def test_connected_components_chain(spark):
     """A 64-node path graph forces multi-round convergence (diameter 63 —
     plain label propagation would need ~63 rounds; large-star/small-star must

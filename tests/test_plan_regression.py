@@ -1,9 +1,14 @@
 """Plan-shape regression gate: every query's shuffle count must not exceed
-its golden snapshot (plans_golden.json), and broadcast joins must not
-silently degrade to shuffle joins. Catches 'correct but 10× more shuffle'
-regressions that result-hash checks can't see.
+its golden snapshot (plans_golden.json), broadcast joins must not silently
+degrade to shuffle joins, whole-stage codegen must not disappear, and the
+single-partition-window count is pinned (0 for every fact-scale frame).
+Catches 'correct but 10× more shuffle' regressions that result-hash checks
+can't see.
 
 Regenerate intentionally with: python tools/plan_snapshot.py
+(all metrics are measured on ONE AQE-off build per query — codegen markers
+only exist on non-adaptive plans, and a single build means side-effecting
+queries missing from SKIP can't double-execute).
 """
 
 import json
@@ -13,10 +18,14 @@ import pytest
 
 import hpmr_spark.all_queries  # noqa: F401
 from hpmr_spark.catalog import QUERIES
-from hpmr_spark.plans.explain import has_broadcast_join, n_shuffles
+from hpmr_spark.plans.explain import (
+    has_broadcast_join,
+    n_shuffles,
+    n_single_partition_windows,
+    whole_stage_codegen_spans,
+)
 
 GOLDEN_PATH = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans_golden.json")
-
 
 @pytest.fixture(scope="module")
 def golden():
@@ -26,12 +35,26 @@ def golden():
         return json.load(f)
 
 
-def test_no_shuffle_regressions(spark, sf_dir, golden):
+@pytest.fixture(scope="module")
+def built(spark, sf_dir, golden):
+    """One AQE-off build per golden query, shared by every gate below."""
+    orig = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    dfs = {}
+    try:
+        for name, expect in golden.items():
+            if "error" in expect:
+                continue
+            dfs[name] = QUERIES[name](spark, sf_dir)
+        yield dfs
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", orig)
+
+
+def test_no_shuffle_regressions(built, golden):
     worse = {}
-    for name, expect in golden.items():
-        if "error" in expect:
-            continue
-        df = QUERIES[name](spark, sf_dir)
+    for name, df in built.items():
+        expect = golden[name]
         got_shuffles = n_shuffles(df)
         if got_shuffles > expect["n_shuffles"]:
             worse[name] = (expect["n_shuffles"], got_shuffles)
@@ -40,21 +63,53 @@ def test_no_shuffle_regressions(spark, sf_dir, golden):
     assert not worse, f"plan regressions: {worse}"
 
 
-def test_no_codegen_span_loss(spark, sf_dir, golden):
+def test_no_codegen_span_loss(built, golden):
     """Whole-stage codegen must not disappear from any pinned plan (spans
     are measured AQE-off, where the formatted plan carries codegen ids)."""
-    from hpmr_spark.plans.explain import whole_stage_codegen_spans
-
     worse = {}
-    orig = spark.conf.get("spark.sql.adaptive.enabled")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    try:
-        for name, expect in golden.items():
-            if "error" in expect or expect.get("codegen_spans", 0) == 0:
-                continue
-            got = whole_stage_codegen_spans(QUERIES[name](spark, sf_dir))
-            if got < expect["codegen_spans"]:
-                worse[name] = (expect["codegen_spans"], got)
-    finally:
-        spark.conf.set("spark.sql.adaptive.enabled", orig)
+    for name, df in built.items():
+        expect = golden[name]
+        if expect.get("codegen_spans", 0) == 0:
+            continue
+        got = whole_stage_codegen_spans(df)
+        if got < expect["codegen_spans"]:
+            worse[name] = (expect["codegen_spans"], got)
     assert not worse, f"codegen span loss: {worse}"
+
+
+# The eight round-2 offenders — pinned to ZERO single-partition windows
+# forever (the driver bench log flagged these live: "No Partition Defined
+# for Window operation! Moving all data to a single partition").
+MIGRATED_FACT_QUERIES = [
+    "ntile_price_deciles",
+    "histogram_equidepth_cents",
+    "skyline_price_date",
+    "equi_depth_histogram_bounds",
+    "percent_rank_prices",
+    "binary_classifier_eval_auc",
+    "event_lateness_profile",
+    "winsorize_clip_stats",
+]
+
+
+def test_no_global_window_on_fact(built, golden):
+    """No query may GROW single-partition windows beyond its golden pin, and
+    the eight migrated fact-scale queries must stay at zero."""
+    worse = {}
+    for name, df in built.items():
+        expect = golden[name]
+        pinned = expect.get("n_global_windows")
+        if pinned is None:
+            continue
+        got = n_single_partition_windows(df)
+        if got > pinned:
+            worse[name] = (pinned, got)
+    assert not worse, f"single-partition window growth: {worse}"
+    for name in MIGRATED_FACT_QUERIES:
+        if name in built:
+            assert golden[name].get("n_global_windows") == 0, (
+                f"{name} must pin 0 single-partition windows in golden"
+            )
+            assert n_single_partition_windows(built[name]) == 0, (
+                f"{name} regrew a single-partition window"
+            )

@@ -75,34 +75,37 @@ def snapshot() -> dict:
 
     from hpmr_spark.engine import get_spark
     from hpmr_spark.plans.explain import (
-        formatted_plan,
         has_broadcast_join,
         n_shuffles,
+        n_single_partition_windows,
         whole_stage_codegen_spans,
     )
 
     spark = get_spark("plan-snapshot")
+    # ONE build per query, with AQE off for the whole measurement: codegen
+    # markers only exist on non-adaptive plans (queryExecution caches the
+    # planning conf), and a single fn() invocation means a side-effecting
+    # query that was forgotten in SKIP executes its build-time effects once,
+    # not twice — the snapshot is polluted either way (add it to SKIP), but
+    # it can no longer double-append state.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
     out = {}
-    for name, fn in sorted(queries().items()):
-        if name in SKIP:
-            continue
-        try:
-            df = fn(spark, SF_DIR)
-            out[name] = {
-                "n_shuffles": n_shuffles(df),
-                "broadcast_join": has_broadcast_join(df),
-            }
-            # codegen markers only appear on non-adaptive plans; a fresh
-            # build is required (queryExecution caches the planned conf)
-            spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        for name, fn in sorted(queries().items()):
+            if name in SKIP:
+                continue
             try:
-                out[name]["codegen_spans"] = whole_stage_codegen_spans(
-                    fn(spark, SF_DIR)
-                )
-            finally:
-                spark.conf.set("spark.sql.adaptive.enabled", "true")
-        except Exception as e:  # noqa: BLE001
-            out[name] = {"error": str(e)[:120]}
+                df = fn(spark, SF_DIR)
+                out[name] = {
+                    "n_shuffles": n_shuffles(df),
+                    "broadcast_join": has_broadcast_join(df),
+                    "codegen_spans": whole_stage_codegen_spans(df),
+                    "n_global_windows": n_single_partition_windows(df),
+                }
+            except Exception as e:  # noqa: BLE001
+                out[name] = {"error": str(e)[:120]}
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.stop()
     return out
 

@@ -276,6 +276,75 @@ def continuation_probe(spark, n: int):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def ranking_probe(spark, n: int):
+    """Round-3 migration check: the eight queries that used to run a
+    partition-less Window.orderBy (single-partition global sort) now go
+    through functions/ranking.py's two-pass bucketed form — this probe
+    proves they stay near-linear where the window form was a one-worker
+    chokepoint. Synthesizes orders at n rows (plus events n·3 and
+    embeddings n/5) and runs the REGISTERED queries unchanged."""
+    import shutil
+    import tempfile
+
+    from __spark_entry__ import queries
+
+    qs = queries()
+    tmp = tempfile.mkdtemp(prefix="scale_rank_")
+    try:
+        prio = F.array(*[F.lit(p) for p in ("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT", "5-LOW")])
+        orders = spark.range(n).select(
+            F.col("id").alias("o_orderkey"),
+            (((F.xxhash64("id") % 49000000 + 49000000) % 49000000 + 100000) / 100.0).alias("o_totalprice"),
+            F.timestamp_micros(
+                F.lit(820454400000000)
+                + ((F.xxhash64(F.col("id") + 13) % 63072000000000 + 63072000000000) % 63072000000000)
+            ).alias("o_orderdate"),
+            F.element_at(prio, ((F.xxhash64(F.col("id") + 3) % 5 + 5) % 5 + 1).cast("int")).alias("o_orderpriority"),
+        )
+        orders.write.mode("overwrite").parquet(f"{tmp}/orders.parquet")
+        n_ev = n * 3
+        types = F.array(*[F.lit(t) for t in ("view", "click", "purchase", "signup", "error")])
+        ev = spark.range(n_ev).select(
+            F.col("id").alias("event_id"),
+            F.timestamp_micros(
+                F.lit(1700000000000000)
+                + ((F.xxhash64(F.col("id") + 7) % 2592000000000 + 2592000000000) % 2592000000000)
+            ).alias("ts"),
+            ((F.xxhash64("id") % 1000 + 1000) % 1000).alias("user_id"),
+            F.element_at(types, ((F.xxhash64(F.col("id") + 3) % 5 + 5) % 5 + 1).cast("int")).alias("event_type"),
+            (((F.xxhash64(F.col("id") + 11) % 49000 + 49000) % 49000 + 100) / 100.0).alias("value"),
+            F.lit('{"k": 1}').alias("props"),
+        )
+        ev.write.mode("overwrite").parquet(f"{tmp}/events.parquet")
+        emb = spark.range(max(n // 5, 1000)).select(
+            F.col("id").alias("vec_id"),
+            F.transform(
+                F.sequence(F.lit(1), F.lit(8)),
+                lambda i: (
+                    ((F.xxhash64(F.col("id") * 100 + i) % 1000 + 1000) % 1000).cast("double") / 1000.0 - 0.5
+                ).cast("float"),
+            ).alias("embedding"),
+            (F.col("id") % 10).cast("int").alias("label"),
+        )
+        emb.write.mode("overwrite").parquet(f"{tmp}/embeddings.parquet")
+
+        for name in [
+            "ntile_price_deciles",
+            "histogram_equidepth_cents",
+            "equi_depth_histogram_bounds",
+            "percent_rank_prices",
+            "winsorize_clip_stats",
+            "skyline_price_date",
+            "event_lateness_profile",
+            "binary_classifier_eval_auc",
+        ]:
+            t0 = time.time()
+            cnt = qs[name](spark, tmp).count()
+            print(f"{name}: {cnt} rows in {time.time()-t0:.1f}s")
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
     from hpmr_spark.engine import get_spark
@@ -331,6 +400,8 @@ def main():
     closing_probe(spark, n)
 
     continuation_probe(spark, n)
+
+    ranking_probe(spark, n * 10)
 
     spark.stop()
 
