@@ -61,11 +61,20 @@ BENCH_EXTRA = [
     "heavy_hitters_mg",             # MG sketch + broadcast exact recount
     "bm25_topk_docs",               # BM25 ranking (LN-commitment scoring)
     "doc_perplexity_avg_nll",       # add-1 bigram NLL (persisted pairs)
-    "binary_classifier_eval_auc",   # exact AUC global rank window
+    "binary_classifier_eval_auc",   # exact AUC (histogram rank-sum since r3)
     "interval_coverage_union",      # sweep-line interval union
     "match_recognize_vcp",          # CEP sequence-pattern rollup
     "similarity_topk_int8",         # quantized integer dot top-k
     "secondary_sort_fold",          # repartition+sortWithinPartitions fold
+    # round-3 additions: queries migrated OFF single-partition windows onto
+    # functions/ranking.py two-pass bucketed ranking — tracked so round 4
+    # can see the before/after (pack_sequences + AUC above were migrated too)
+    "ntile_price_deciles",          # two-pass bucketed NTILE
+    "histogram_equidepth_cents",    # two-pass equi-depth histogram
+    "rfm_user_scores",              # 3x bucketed quintiles over users
+    "pareto_revenue_concentration", # descending bucketed rank + prefix sum
+    "event_lateness_profile",       # two-pass running-max frontier
+    "winsorize_clip_stats",         # bucketed prefix-sum rank selection
 ]
 
 

@@ -228,6 +228,47 @@ class KeyedMap:
         projected = self._df.select(key_expr.alias(KEY), value_expr.alias(VALUE))
         return KeyedMap(projected, _unique=False).sync(reducer)
 
+    # ------------------------------------------------------- ordered analytics
+    def top_k(self, k: int, by_value: bool = True, descending: bool = True) -> DataFrame:
+        """Top-k entries with a deterministic (value, key) total order and a
+        1-based `rank` column. The scale-safe default a user should reach
+        instead of `Window.orderBy(...)`: selection plans as
+        TakeOrderedAndProject (per-partition heaps + a k-row merge — no
+        global sort, no single-partition window); the rank window runs on
+        the already-selected k-row frame only."""
+        from pyspark.sql import Window
+
+        order = (
+            [F.col(VALUE).desc(), F.col(KEY)] if descending else [F.col(VALUE), F.col(KEY)]
+        ) if by_value else (
+            [F.col(KEY).desc()] if descending else [F.col(KEY)]
+        )
+        top = self._df.select(KEY, VALUE).orderBy(*order).limit(k)
+        return top.withColumn(
+            "rank", F.row_number().over(Window.orderBy(*order)).cast("long")
+        )
+
+    def quantiles(self, buckets: int) -> DataFrame:
+        """Exact equi-depth bucketing of values: every entry tagged with its
+        NTILE(buckets) over (value, key) — deterministic under the full
+        tie-break — via the two-pass bucketed global row_number
+        (functions/ranking.py), never a single-partition window. Returns
+        (key, value, bucket); derive boundaries with a groupBy(bucket)
+        min/max. The numeric leading key requirement is VALUE's type."""
+        from hpmr_spark.functions.ranking import exact_ntile, global_row_number
+
+        base = self._df.select(KEY, VALUE)
+        r = global_row_number(base, [VALUE, KEY], out="_rn")
+        t = base.agg(F.count(F.lit(1)).alias("_n"))
+        return (
+            r.crossJoin(F.broadcast(t))
+            .select(
+                KEY,
+                VALUE,
+                exact_ntile(F.col("_rn"), F.col("_n"), buckets).alias("bucket"),
+            )
+        )
+
     # ------------------------------------------------------------------ export
     def to_df(self, key_name: str = KEY, value_name: str = VALUE) -> DataFrame:
         return self._df.select(F.col(KEY).alias(key_name), F.col(VALUE).alias(value_name))

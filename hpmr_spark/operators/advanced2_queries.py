@@ -255,9 +255,12 @@ def vocab_nucleus_topp(spark, sf_dir):
     """Top-p (p=0.9) nucleus truncation of the corpus vocabulary: keep a
     token iff the mass strictly before it (cum − n) is under 90% of total —
     integer cross-multiplication 10·(cum−n) < 9·total, no float threshold.
-    The global-order window runs over the POST-aggregation vocabulary
-    (|distinct tokens|, not corpus size), so the single-partition sort is
-    bounded by vocab cardinality — the same contract as vocab_topn_encode."""
+    The rank and running mass over the vocabulary frame (Heaps-law large at
+    100 TB) are the two-pass bucketed forms (functions/ranking.py,
+    negated-count leading key) — no single-partition window; the oracle
+    keeps the window form."""
+    from hpmr_spark.functions.ranking import global_row_number, global_running
+
     docs = _t(spark, sf_dir, "documents")
     toks = F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z0-9]+"), F.lit(0))
     c = (
@@ -266,10 +269,9 @@ def vocab_nucleus_topp(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n"))
     )
     t = c.agg(F.sum("n").alias("total"))
-    w = Window.orderBy(F.col("n").desc(), F.col("token"))
-    r = c.withColumn("rnk", F.row_number().over(w)).withColumn(
-        "cum", F.sum("n").over(w.rowsBetween(Window.unboundedPreceding, 0))
-    )
+    neg = c.withColumn("neg_n", -F.col("n"))
+    r = global_row_number(neg, ["neg_n", "token"], out="rnk")
+    r = global_running(r, ["neg_n", "token"], "n", kind="sum", out="cum")
     return (
         r.crossJoin(F.broadcast(t))
         .where(F.expr("10 * (cum - n) < 9 * total"))

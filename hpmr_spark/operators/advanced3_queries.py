@@ -267,20 +267,18 @@ def median_absolute_deviation(spark, sf_dir):
     """Exact MAD in two rank-selection passes (lower median = least value
     whose cumulative count reaches ⌈n/2⌉, over the GROUPED distinct-value
     frame both times). Pure integer cents — the robust-statistics twin of
-    winsorize_clip_stats, same scale contract (distinct-value windows;
-    range-partitioned prefix sums at 100 TB)."""
+    winsorize_clip_stats. Near-unique prices make the distinct-value frame
+    row-scale, so each cumulative count is the two-pass bucketed prefix sum
+    (functions/ranking.py) — no single-partition window."""
+    from hpmr_spark.functions.ranking import global_running
+
     o = _t(spark, sf_dir, "orders")
     c = o.select(F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"))
     t = c.agg(F.count(F.lit(1)).alias("n"))
 
     def rank_select(vals, col):
         d = vals.groupBy(col).agg(F.count(F.lit(1)).alias("cnt"))
-        cum = d.withColumn(
-            "cm",
-            F.sum("cnt").over(
-                Window.orderBy(col).rowsBetween(Window.unboundedPreceding, 0)
-            ),
-        )
+        cum = global_running(d, [col], "cnt", kind="sum", out="cm")
         return (
             cum.crossJoin(F.broadcast(t))
             .where(F.expr("cm >= (n + 1) div 2"))
@@ -345,14 +343,17 @@ _GAPS_SQL = """
 def sequence_gap_detection(spark, sf_dir):
     """Key-sequence completeness audit (gaps-and-islands over the DISTINCT
     key frame): one row with total missing ids, gap count, and the widest
-    gap, from a lag over the sorted keys. Always non-empty, so the value
-    hash pins the audit even on dense data. The global-order window runs
-    over distinct keys; at 100 TB the same query range-partitions by key
-    (window within range partitions + boundary fix-up)."""
+    gap, from each key's predecessor. Always non-empty, so the value hash
+    pins the audit even on dense data. The predecessor of a key in a sorted
+    UNIQUE sequence is the running max over all strictly-earlier rows, so
+    lag() becomes the two-pass bucketed strict running max
+    (functions/ranking.py) — parallel over the fact-scale distinct-key
+    frame, no single-partition window."""
+    from hpmr_spark.functions.ranking import global_running
+
     o = _t(spark, sf_dir, "orders")
     k = o.select(F.col("o_orderkey").alias("key")).distinct()
-    w = Window.orderBy("key")
-    l = k.withColumn("pk", F.lag("key").over(w))
+    l = global_running(k, ["key"], "key", kind="max", strict=True, out="pk")
     gap = F.when(
         F.col("pk").isNotNull() & (F.col("key") - F.col("pk") > 1), F.lit(1)
     ).otherwise(F.lit(0))
@@ -425,10 +426,14 @@ _RFM_SQL = """
 
 @register("rfm_user_scores", _RFM_SQL)
 def rfm_user_scores(spark, sf_dir):
-    """Recency/frequency/monetary quintiles per purchasing user — ntile(5)
+    """Recency/frequency/monetary quintiles per purchasing user — NTILE(5)
     over each exact-integer metric with user_id as the total-order
-    tie-break (ntile is only deterministic under a TOTAL order). Windows
-    run over the post-aggregation user frame; 5 = best in every dimension."""
+    tie-break (ntile is only deterministic under a TOTAL order). The user
+    frame is fact-scale at 100 TB, so each quintile is the two-pass bucketed
+    row_number + exact integer NTILE (functions/ranking.py) — no
+    single-partition window; the oracle keeps the NTILE window form."""
+    from hpmr_spark.functions.ranking import exact_ntile, global_row_number
+
     ev = load_events(spark, sf_dir)
     m = (
         ev.where(F.col("event_type") == "purchase")
@@ -439,11 +444,17 @@ def rfm_user_scores(spark, sf_dir):
             F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
         )
     )
-    return m.select(
+    t = m.agg(F.count(F.lit(1)).alias("n"))
+    out = m
+    for metric, score in (("last_us", "r_score"), ("freq", "f_score"), ("cents", "m_score")):
+        out = global_row_number(out, [metric, "user_id"], out="_rn_" + score)
+    out = out.crossJoin(F.broadcast(t))
+    return out.select(
         "user_id",
-        F.ntile(5).over(Window.orderBy("last_us", "user_id")).cast("long").alias("r_score"),
-        F.ntile(5).over(Window.orderBy("freq", "user_id")).cast("long").alias("f_score"),
-        F.ntile(5).over(Window.orderBy("cents", "user_id")).cast("long").alias("m_score"),
+        *[
+            exact_ntile(F.col("_rn_" + s), F.col("n"), 5).alias(s)
+            for s in ("r_score", "f_score", "m_score")
+        ],
     )
 
 
@@ -471,10 +482,15 @@ _PARETO_SQL = """
 @register("pareto_revenue_concentration", _PARETO_SQL)
 def pareto_revenue_concentration(spark, sf_dir):
     """80/20 analysis: the revenue share of the top-20% customers and the
-    customer fraction needed for 80% of revenue — both from one descending
-    cumulative window over the post-agg per-customer frame, thresholds as
-    integer cross-multiplications (5·rn ≤ n, 5·cum ≥ 4·total), shares as
-    integer ppm. One scan, one post-agg sort window, 1-row output."""
+    customer fraction needed for 80% of revenue — thresholds as integer
+    cross-multiplications (5·rn ≤ n, 5·cum ≥ 4·total), shares as integer
+    ppm. The per-customer frame is fact-scale, so the descending cumulative
+    rank is the two-pass bucketed form (functions/ranking.py) on the
+    NEGATED cents leading key (mixed-direction order (cents DESC, custkey
+    ASC) ≡ ascending (−cents, custkey) — cents are positive); the oracle
+    keeps the window form."""
+    from hpmr_spark.functions.ranking import global_row_number, global_running
+
     o = _t(spark, sf_dir, "orders")
     r = o.groupBy("o_custkey").agg(
         F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents")
@@ -482,12 +498,11 @@ def pareto_revenue_concentration(spark, sf_dir):
     t = r.agg(
         F.count(F.lit(1)).alias("n_cust"), F.sum("cents").alias("total")
     )
-    w = Window.orderBy(F.col("cents").desc(), F.col("o_custkey"))
-    rk = r.select(
-        "cents",
-        F.row_number().over(w).alias("rn"),
-        F.sum("cents").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
-    )
+    r2 = r.withColumn("neg_cents", -F.col("cents"))
+    rk = global_row_number(r2, ["neg_cents", "o_custkey"], out="rn")
+    rk = global_running(
+        rk, ["neg_cents", "o_custkey"], "cents", kind="sum", out="cum"
+    ).select("cents", "rn", F.col("cum").cast("long").alias("cum"))
     rt = rk.crossJoin(F.broadcast(t))
     top20 = rt.where(F.expr("5 * rn <= n_cust")).agg(F.max("cum").alias("c20"))
     need80 = rt.where(F.expr("5 * cum >= 4 * total")).agg(F.min("rn").alias("r80"))

@@ -457,8 +457,11 @@ def funnel_time_to_convert(spark, sf_dir):
     after it): count, min, max, and the EXACT lower median selected by
     integer rank arithmetic (rn·2 = n + n%2 picks rank ⌈n/2⌉ — no float
     percentile, no approx sketch; ties broken by user_id). The deltas
-    frame is converting-users-sized, so the rank window is state-bounded;
-    everything upstream keys on user_id."""
+    frame is converting-users-sized — fact-scale at 100 TB — so the rank is
+    the two-pass bucketed row_number (functions/ranking.py) with a
+    broadcast total, not a single-partition window; everything upstream
+    keys on user_id."""
+    from hpmr_spark.functions.ranking import global_row_number
     ev = _t(spark, sf_dir, "events").select(
         "user_id", "event_type", F.unix_micros("ts").alias("us")
     )
@@ -472,16 +475,12 @@ def funnel_time_to_convert(spark, sf_dir):
         .groupBy("user_id")
         .agg(F.min("us").alias("t3"))
     )
-    d = (
-        p.join(v, "user_id")
-        .select("user_id", (F.col("t3") - F.col("t1")).alias("delta_us"))
-        .select(
-            "delta_us",
-            F.row_number()
-            .over(Window.orderBy("delta_us", "user_id"))
-            .alias("rn"),
-            F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
-        )
+    deltas = p.join(v, "user_id").select(
+        "user_id", (F.col("t3") - F.col("t1")).alias("delta_us")
+    )
+    t = deltas.agg(F.count(F.lit(1)).alias("n"))
+    d = global_row_number(deltas, ["delta_us", "user_id"], out="rn").crossJoin(
+        F.broadcast(t)
     )
     return d.agg(
         F.max("n").alias("n_converted"),

@@ -54,16 +54,20 @@ def pack_sequences_ctx512(spark, sf_dir):
     concatenated and cut into 512-token context windows; a doc belongs to
     the pack where it STARTS. Pure integer plan: token count → exclusive
     running sum → `div 512` (operands non-negative, so Spark div ≡ DuckDB
-    //). The single-partition window is the correctness spec; at 100 TB the
-    same assignment is computed with the two-pass offset pattern (per-range
-    token subtotals → broadcast prefix offsets → per-partition local
-    cumsum), identical output by associativity of the prefix sum."""
+    //). The exclusive running sum over the doc-scale frame is the two-pass
+    bucketed prefix sum (functions/ranking.global_running, strict frame) —
+    per-bucket token subtotals combine by associativity into broadcast
+    offsets, identical output to the window form the oracle keeps, with no
+    single-partition window."""
+    from hpmr_spark.functions.ranking import global_running
+
     d = _t(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id", F.size(F.split("text", " ")).cast("long").alias("n_tok")
     )
-    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
-    s = toks.withColumn("start", F.coalesce(F.sum("n_tok").over(w), F.lit(0)))
+    s = global_running(
+        toks, ["doc_id"], "n_tok", kind="sum", strict=True, out="start"
+    ).withColumn("start", F.coalesce(F.col("start"), F.lit(0)))
     return (
         s.withColumn("pack_id", F.expr("start div 512"))
         .groupBy("pack_id")
@@ -114,19 +118,19 @@ def vocab_topn_encode(spark, sf_dir):
     (df DESC, token ASC — ties broken), dense ids by row_number, then the
     corpus is re-encoded against the vocab and per-language OOV rates are
     reported in integer ppm. vid_checksum pins the exact id assignment.
-    Scale: df is one shuffle on token; the vocab is top-N small by
-    construction, so the encode join is a broadcast — the corpus never
-    re-shuffles."""
+    Scale: df is one shuffle on token; the top-16 selection is
+    TakeOrderedAndProject (per-partition heaps — never a vocab-wide window;
+    the re-rank window runs on the 16-row result, a bounded frame), so the
+    encode join is a broadcast — the corpus never re-shuffles."""
     d = _t(spark, sf_dir, "documents")
     w = d.select(
         "doc_id", "lang", F.explode(F.split("text", " ")).alias("tok")
     ).where(F.col("tok") != "")
     df_ = w.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+    top = df_.orderBy(F.desc("df"), F.asc("tok")).limit(16)
     win = Window.orderBy(F.desc("df"), F.asc("tok"))
-    vocab = (
-        df_.withColumn("vid", F.row_number().over(win).cast("long"))
-        .where(F.col("vid") <= 16)
-        .select("tok", "vid")
+    vocab = top.withColumn("vid", F.row_number().over(win).cast("long")).select(
+        "tok", "vid"
     )
     enc = w.join(F.broadcast(vocab), "tok", "left_outer")
     return enc.groupBy("lang").agg(

@@ -292,14 +292,18 @@ def curriculum_shards(spark, sf_dir):
     """Curriculum sharding: rank documents by a quality proxy (length desc,
     doc_id tie-break) and deal them round-robin into 8 shards so every
     shard sees the same quality profile — the deterministic alternative to
-    random shuffling for training-data layout. The global row_number is the
-    documented holistic cost (one single-partition window at test scale);
-    the 100 TB variant is rank-within-range via RangePartitioner +
-    partition offsets (same technique as ordered_export_january), with the
+    random shuffling for training-data layout. The global rank is the
+    two-pass bucketed row_number (functions/ranking.py, negated-length
+    leading key for the DESC order) — parallel over the doc-scale frame,
     modulo dealing unchanged."""
+    from hpmr_spark.functions.ranking import global_row_number
+
     d = _t(spark, sf_dir, "documents")
-    w = Window.orderBy(F.col("n_chars").desc(), "doc_id")
-    r = d.select("doc_id", "n_chars", F.row_number().over(w).alias("rn"))
+    r = global_row_number(
+        d.select("doc_id", "n_chars").withColumn("neg_chars", -F.col("n_chars")),
+        ["neg_chars", "doc_id"],
+        out="rn",
+    ).select("doc_id", "n_chars", "rn")
     return (
         r.withColumn("shard", ((F.col("rn") - 1) % 8).cast("long"))
         .groupBy("shard")

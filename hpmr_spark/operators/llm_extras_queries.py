@@ -83,7 +83,9 @@ def bpe_merge_step(spark, sf_dir):
     word frequency, top-10 merge candidates (count desc, pair asc — fully
     tie-broken). The pair explosion runs over the POST-aggregation word
     list (vocab-bounded, not corpus-bounded) — exactly how a real BPE
-    trainer loops: count words once, then iterate merges over the vocab."""
+    trainer loops: count words once, then iterate merges over the vocab.
+    Top-10 selection is TakeOrderedAndProject (per-partition heaps); the
+    re-rank window sees only the 10 selected rows."""
     docs = _t(spark, sf_dir, "documents")
     toks = F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z0-9]+"), F.lit(0))
     w = (
@@ -99,8 +101,7 @@ def bpe_merge_step(spark, sf_dir):
     pr = w.select(F.explode(pairs).alias("pair"), "n")
     agg = pr.groupBy("pair").agg(F.sum("n").alias("cnt"))
     rw = Window.orderBy(F.col("cnt").desc(), F.col("pair"))
-    return (
-        agg.withColumn("rnk", F.row_number().over(rw))
-        .where(F.col("rnk") <= 10)
-        .select("pair", "cnt", F.col("rnk").cast("long").alias("rnk"))
+    top = agg.orderBy(F.col("cnt").desc(), F.col("pair")).limit(10)
+    return top.select(
+        "pair", "cnt", F.row_number().over(rw).cast("long").alias("rnk")
     )

@@ -153,17 +153,21 @@ def zipf_fit_slope(spark, sf_dir):
     |x|,|y| ≤ 9e3, so n·Sxy ≤ ~6e14). The slope and intercept are
     one-final-double expressions over the five exact integer moments —
     identical text on both engines, hence bit-equal. One vocabulary-sized
-    groupBy, one vocab-sized rank window, one 1-row aggregate."""
+    groupBy; the (freq DESC, word) rank is the two-pass bucketed row_number
+    (functions/ranking.py, negated-count leading key — Heaps-law vocab still
+    reaches ~1e8 types at 100 TB, too big for one partition), one 1-row
+    aggregate."""
+    from hpmr_spark.functions.ranking import global_row_number
+
     docs = _t(spark, sf_dir, "documents")
     c = (
         docs.select(F.explode(F.split("text", " ")).alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).cast("long").alias("n_w"))
     )
-    r = c.select(
-        "n_w",
-        F.row_number().over(Window.orderBy(F.desc("n_w"), F.asc("w"))).alias("rnk"),
-    )
+    r = global_row_number(
+        c.withColumn("neg_n_w", -F.col("n_w")), ["neg_n_w", "w"], out="rnk"
+    ).select("n_w", "rnk")
     xy = r.select(
         F.expr("CAST(FLOOR(LN(CAST(rnk AS DOUBLE)) * 1000) AS BIGINT)").alias("x"),
         F.expr("CAST(FLOOR(LN(CAST(n_w AS DOUBLE)) * 1000) AS BIGINT)").alias("y"),
@@ -221,9 +225,11 @@ def softmax_temperature_mixture(spark, sf_dir):
         F.sum(F.size(F.split("text", " "))).cast("long").alias("n_tok")
     )
     w = s.withColumn("w_upm", F.expr(_POW_EXPR))
-    return w.withColumn(
-        "share_ppm",
-        F.expr("w_upm * 1000000 div sum(w_upm) over ()").cast("long"),
+    t = w.agg(F.sum("w_upm").alias("_tot"))
+    return (
+        w.crossJoin(F.broadcast(t))
+        .withColumn("share_ppm", F.expr("w_upm * 1000000 div _tot").cast("long"))
+        .drop("_tot")
     )
 
 
@@ -264,8 +270,10 @@ def weighted_sample_topk_es(spark, sf_dir):
     to pico-units elementwise (LN parity), weight = n_chars. The top-20
     keys ARE a correctly-distributed weighted sample; deterministic because
     the uniforms are content-addressed, so resumes/retries pick the same
-    sample (the property a 100 TB pipeline actually needs). Per-partition
-    top-k then a 20-row merge — no global sort of the corpus."""
+    sample (the property a 100 TB pipeline actually needs). Selection is
+    TakeOrderedAndProject (per-partition top-k heaps, 20-row merge — the
+    docstring's claim is now also the plan's shape); the rank window runs
+    on the already-selected 20-row frame only."""
     docs = _t(spark, sf_dir, "documents")
     u = docs.select(
         "doc_id",
@@ -273,10 +281,11 @@ def weighted_sample_topk_es(spark, sf_dir):
         (hash60(F.col("doc_id").cast("string")) % F.lit(1000000) + 1).alias("u"),
     )
     k = u.withColumn("key_ppt", F.expr(_ES_KEY))
-    r = k.withColumn(
+    top = k.orderBy(F.desc("key_ppt"), F.asc("doc_id")).limit(20)
+    r = top.withColumn(
         "rnk",
         F.row_number()
         .over(Window.orderBy(F.desc("key_ppt"), F.asc("doc_id")))
         .cast("long"),
     )
-    return r.where(F.col("rnk") <= 20).select("doc_id", "n_chars", "key_ppt", "rnk")
+    return r.select("doc_id", "n_chars", "key_ppt", "rnk")

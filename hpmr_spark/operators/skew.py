@@ -17,20 +17,19 @@ def skew_diagnostics(df: DataFrame, key_col: str, top: int = 10) -> DataFrame:
     """Hot-key report: top keys by frequency plus their share of all rows.
     The decision input for salting / AQE tuning (ref check_balance's warn).
 
-    One scan of the input: the global total is a window sum over the
-    already-aggregated (key, n_rows) frame — n_keys rows, not n_input rows —
-    so the single-partition window is bounded by key cardinality, and the
-    top-k itself is TakeOrderedAndProject (per-partition partial top-k).
-    share_ppm uses integer floor division (operands positive, so Spark `div`
-    ≡ DuckDB `//`) per the repo's no-float-decisions rule."""
-    from pyspark.sql import Window
-
+    One scan of the input: the global total is a broadcast 1-row partial+
+    final aggregate of the already-aggregated (key, n_rows) frame (the
+    per-key frame is FACT-scale at 100 TB — a window total over it would
+    single-partition it), and the top-k itself is TakeOrderedAndProject
+    (per-partition partial top-k). share_ppm uses integer floor division
+    (operands positive, so Spark `div` ≡ DuckDB `//`) per the repo's
+    no-float-decisions rule."""
+    agg = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("n_rows"))
+    t = agg.agg(F.sum("n_rows").alias("_total"))
     return (
-        df.groupBy(key_col)
-        .agg(F.count(F.lit(1)).alias("n_rows"))
-        .withColumn("_total", F.sum("n_rows").over(Window.partitionBy()))
-        .orderBy(F.desc("n_rows"), F.asc(key_col))
+        agg.orderBy(F.desc("n_rows"), F.asc(key_col))
         .limit(top)
+        .crossJoin(F.broadcast(t))
         .withColumn("share_ppm", F.expr("n_rows * 1000000 div _total").cast("long"))
         .drop("_total")
     )

@@ -171,3 +171,38 @@ def test_custom_partitioner_placement(spark, sf_dir):
         yield bad
 
     assert sum(rdd.mapPartitionsWithIndex(misplaced).collect()) == 0
+
+
+def test_top_k_api(spark):
+    """KeyedMap.top_k — the user-facing scale-safe replacement for
+    Window.orderBy: TakeOrdered selection + rank over the k-row result, with
+    the (value, key) total order making ties deterministic."""
+    from hpmr_spark.plans.explain import simple_plan
+
+    km = KeyedMap.from_pairs(
+        spark, [(1, 50), (2, 90), (3, 90), (4, 10), (5, 70)]
+    )
+    got = [(r["key"], r["value"], r["rank"]) for r in km.top_k(3).collect()]
+    assert got == [(2, 90, 1), (3, 90, 2), (5, 70, 3)]
+    asc = [(r["key"], r["rank"]) for r in km.top_k(2, descending=False).collect()]
+    assert asc == [(4, 1), (1, 2)]
+    assert "TakeOrderedAndProject" in simple_plan(km.top_k(3))
+
+
+def test_quantiles_api(spark):
+    """KeyedMap.quantiles ≡ NTILE over (value, key) with no single-partition
+    window in the plan."""
+    from pyspark.sql import Window
+
+    from hpmr_spark.plans.explain import n_single_partition_windows
+
+    km = KeyedMap.from_pairs(spark, [(i, (i * 37) % 100) for i in range(200)])
+    got = {r["key"]: r["bucket"] for r in km.quantiles(4).collect()}
+    ref = {
+        r["key"]: r["b"]
+        for r in km.df.select(
+            "key", F.ntile(4).over(Window.orderBy("value", "key")).cast("long").alias("b")
+        ).collect()
+    }
+    assert got == ref
+    assert n_single_partition_windows(km.quantiles(4)) == 0

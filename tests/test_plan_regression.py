@@ -81,6 +81,7 @@ def test_no_codegen_span_loss(built, golden):
 # forever (the driver bench log flagged these live: "No Partition Defined
 # for Window operation! Moving all data to a single partition").
 MIGRATED_FACT_QUERIES = [
+    # round-2 verdict's eight offenders
     "ntile_price_deciles",
     "histogram_equidepth_cents",
     "skyline_price_date",
@@ -89,6 +90,19 @@ MIGRATED_FACT_QUERIES = [
     "binary_classifier_eval_auc",
     "event_lateness_profile",
     "winsorize_clip_stats",
+    # round-3 extension: every other fact-scale frame (per-user, per-doc,
+    # per-customer, vocab) — windows remaining in golden are over BOUNDED
+    # frames only (≤B replicas, per-hour/per-week rollups, post-limit top-k)
+    "rfm_user_scores",
+    "pareto_revenue_concentration",
+    "median_absolute_deviation",
+    "sequence_gap_detection",
+    "pack_sequences_ctx512",
+    "funnel_time_to_convert",
+    "zipf_fit_slope",
+    "curriculum_shards",
+    "vocab_nucleus_topp",
+    "softmax_temperature_mixture",
 ]
 
 
