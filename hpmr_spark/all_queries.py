@@ -72,6 +72,7 @@ _MODULES = [
     "hpmr_spark.operators.stream_source2_queries",
     "hpmr_spark.operators.crossmodal_queries",
     "hpmr_spark.operators.matryoshka_queries",
+    "hpmr_spark.operators.order_stats_queries",
 ]
 
 FAILED_MODULES: dict[str, str] = {}
@@ -114,16 +115,28 @@ for _m in _MODULES:
 # end) and the DAU/WAU/MAU rollup (date arithmetic + explode) for two more
 # family duplicates (cdc_latest_events, q20_promo_suppliers — both remain
 # selfcheck-covered).
+# Round-3 rotation: the two-pass bucketed ranking migration's riskiest
+# representatives (histogram_equidepth_cents, rfm_user_scores,
+# pareto_revenue_concentration — mixed-direction orders, triple-NTILE,
+# descending prefix sums) plus the new order-stats family's int128 /
+# tie-corrected members (gini, KS, Spearman) and the round-2
+# not-yet-driver-checked recursive CTE / triangle / bootstrap, swapped for
+# nine long-green family duplicates (q21_waiting_supplier,
+# chained_mapreduce_histogram, lateral_top_customers_per_nation,
+# session_window_builtin, asof_join_purchase_view, nonequi_band_join,
+# kmeans_assign_step, text_repetition_stats, stratified_sample_per_lang —
+# each family keeps >=1 window representative and all stay in the full
+# selfcheck sweep).
 _CHECK_FIRST = [
     "mapreduce_revenue_by_order",  # flagship — keep first (entry() twin)
     "q1_pricing_summary",
     "ewma_user_value_exact",
     "reducer_keep_overwrite",
-    "chained_mapreduce_histogram",
-    "q21_waiting_supplier",
+    "histogram_equidepth_cents",
+    "rfm_user_scores",
     "q8_market_share",
     "pipeline_pretraining_report",
-    "lateral_top_customers_per_nation",
+    "pareto_revenue_concentration",
     "udtf_chunk_documents",
     "variant_events_extract",
     "graph_pagerank_trade",
@@ -132,22 +145,22 @@ _CHECK_FIRST = [
     "correlated_scalar_select",
     "custom_partitioner_buckets",
     "dedup_substring_ngram",
-    "session_window_builtin",
+    "gini_wealth_coefficient",
     "session_overlap_pairs",
-    "asof_join_purchase_view",
+    "ks_two_sample_prices",
     "scd2_user_event_history",
-    "nonequi_band_join",
-    "kmeans_assign_step",
+    "spearman_freq_revenue",
+    "recursive_month_series",
     "sketch_countmin_status",
     "pca_power_iteration_int",
     "mapinarrow_embedding_norms",
     "pandas_udaf_median_qty",
     "heavy_hitters_mg",
     "bucketed_join_revenue",
-    "stratified_sample_per_lang",
+    "graph_triangle_count",
     "binary_classifier_eval_auc",
     "bm25_topk_docs",
-    "text_repetition_stats",
+    "bootstrap_ci_poisson",
     "pack_sequences_ctx512",
     "embedding_quantize_int8",
     "dedup_ngram_jaccard",

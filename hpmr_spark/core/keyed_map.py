@@ -243,10 +243,13 @@ class KeyedMap:
         ) if by_value else (
             [F.col(KEY).desc()] if descending else [F.col(KEY)]
         )
+        from hpmr_spark.functions.ranking import bounded_rank
+
         top = self._df.select(KEY, VALUE).orderBy(*order).limit(k)
-        return top.withColumn(
-            "rank", F.row_number().over(Window.orderBy(*order)).cast("long")
-        )
+        # k-row re-rank as a broadcast non-equi join — no window at all
+        # (primary == tiebreak degenerates to a pure key rank for by_value=False)
+        primary = VALUE if by_value else KEY
+        return bounded_rank(top, primary, KEY, primary_desc=descending, out="rank")
 
     def quantiles(self, buckets: int) -> DataFrame:
         """Exact equi-depth bucketing of values: every entry tagged with its

@@ -215,10 +215,13 @@ _WOW_SQL = """
 @register("wow_growth_revenue", _WOW_SQL)
 def wow_growth_revenue(spark, sf_dir):
     """Week-over-week purchase-revenue growth: exact integer cents per ISO
-    week (date_trunc('week') starts Monday on both engines), lag window over
-    the tiny post-agg weekly frame, growth as ONE final double expression
-    (Δ/prev — may be negative, so no integer floor division). First week's
-    growth is NULL by construction."""
+    week (date_trunc('week') starts Monday on both engines); lag() becomes
+    a self-equi-join on the two-pass bucketed row_number (rn = rn−1) —
+    no window at all; growth is ONE final double expression (Δ/prev — may
+    be negative, so no integer floor division). First week's growth is NULL
+    by construction (left join miss)."""
+    from hpmr_spark.functions.ranking import global_row_number
+
     ev = load_events(spark, sf_dir)
     cents = F.round(F.col("value") * 100).cast("long")
     wk = (
@@ -226,14 +229,19 @@ def wow_growth_revenue(spark, sf_dir):
         .groupBy(F.date_trunc("week", F.col("ts")).cast("date").alias("week"))
         .agg(F.sum(cents).alias("revenue_cents"))
     )
-    w = Window.orderBy("week")
-    prev = F.lag("revenue_cents").over(w)
-    return wk.select(
+    r = global_row_number(
+        wk.withColumn("week_num", F.unix_date("week")), ["week_num"], out="rn"
+    )
+    prev = r.select(
+        (F.col("rn") + 1).alias("rn"), F.col("revenue_cents").alias("prev_cents")
+    )
+    return r.join(prev, "rn", "left").select(
         "week",
         "revenue_cents",
-        prev.alias("prev_cents"),
+        "prev_cents",
         (
-            (F.col("revenue_cents") - prev).cast("double") / prev.cast("double")
+            (F.col("revenue_cents") - F.col("prev_cents")).cast("double")
+            / F.col("prev_cents").cast("double")
         ).alias("wow_growth"),
     )
 

@@ -345,19 +345,54 @@ def event_rate_anomaly_hours(spark, sf_dir):
     (n·x − Σ)² > 9·(n·Σx² − Σ²) — over exact BIGINT window moments, so the
     flag is bit-deterministic on every engine and partitioning (a float
     z-score would flake at the boundary). Warm-up hours (n < 12) never
-    flag. The hourly rollup is the only data-sized stage; the detector
-    runs over hours. The monitoring shape for any 100 TB event firehose."""
+    flag. The hourly rollup is the only data-sized stage; the trailing
+    ROWS frame is a BANDED self-join on the two-pass bucketed row_number
+    (each row probes its own and the previous 24-wide rn bucket — linear,
+    parallel, no window) — the monitoring shape for any 100 TB firehose."""
+    from hpmr_spark.functions.ranking import global_row_number
+
     ev = _t(spark, sf_dir, "events")
     hourly = ev.groupBy(F.date_trunc("hour", "ts").alias("hr")).agg(
         F.count(F.lit(1)).alias("x")
     )
-    w = Window.orderBy("hr").rowsBetween(-24, -1)
-    m = hourly.select(
+    r = global_row_number(
+        hourly.withColumn("hr_num", F.unix_micros(F.col("hr").cast("timestamp"))),
+        ["hr_num"],
+        out="rn",
+    )
+    # banded interval join: b.rn in [a.rn-24, a.rn-1] implies
+    # floor(b.rn/24) in {floor(a.rn/24), floor(a.rn/24)-1}
+    probe = r.select(
         "hr",
         "x",
-        F.count(F.lit(1)).over(w).alias("n"),
-        F.sum("x").over(w).alias("s"),
-        F.sum(F.col("x") * F.col("x")).over(w).alias("ss"),
+        "rn",
+        F.explode(
+            F.array(F.floor(F.col("rn") / 24), F.floor(F.col("rn") / 24) - 1)
+        ).alias("bkt"),
+    )
+    base = r.select(
+        F.col("rn").alias("brn"),
+        F.col("x").alias("bx"),
+        F.floor(F.col("rn") / 24).alias("bkt"),
+    )
+    cand = (
+        probe.join(base, ["bkt"])
+        .where((F.col("brn") >= F.col("rn") - 24) & (F.col("brn") <= F.col("rn") - 1))
+        .groupBy("hr")
+        .agg(
+            F.count("bx").cast("long").alias("_n"),
+            F.sum("bx").cast("long").alias("_s"),
+            F.sum(F.col("bx") * F.col("bx")).cast("long").alias("_ss"),
+        )
+    )
+    # left-join the window moments back so warm-up hours with an empty
+    # frame keep the window semantics exactly: n = 0, s/ss NULL
+    m = r.select("hr", "x").join(cand, "hr", "left").select(
+        "hr",
+        "x",
+        F.coalesce(F.col("_n"), F.lit(0)).cast("long").alias("n"),
+        F.col("_s").alias("s"),
+        F.col("_ss").alias("ss"),
     )
     return m.select(
         "hr", "x", "n", "s", "ss",

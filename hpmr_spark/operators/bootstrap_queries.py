@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 
 from hpmr_spark.catalog import _t, register
 from hpmr_spark.functions.hashing import hash60, sql_hash60
+from hpmr_spark.functions.ranking import bounded_rank
 
 _B = 32  # replicates
 
@@ -115,10 +116,12 @@ def bootstrap_ci_poisson(spark, sf_dir):
         F.sum("wt").cast("long").alias("n_eff"),
     )
     means = tot.select("b", F.expr("t_cents div n_eff").cast("long").alias("mean_cents"))
-    r = means.select(
-        "mean_cents",
-        F.row_number().over(Window.orderBy("mean_cents", "b")).alias("rn"),
-    )
+    # B=200 replica rows by construction: rank them with the broadcast
+    # non-equi join instead of a partition-less window
+    r = bounded_rank(
+        means.select("mean_cents", "b"), "mean_cents", "b",
+        primary_desc=False, out="rn",
+    ).select("mean_cents", "rn")
     pt = base.agg(
         F.expr("SUM(cents) div COUNT(1)").cast("long").alias("point_mean_cents"),
         F.count(F.lit(1)).cast("long").alias("n"),

@@ -127,11 +127,11 @@ def vocab_topn_encode(spark, sf_dir):
         "doc_id", "lang", F.explode(F.split("text", " ")).alias("tok")
     ).where(F.col("tok") != "")
     df_ = w.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+    from hpmr_spark.functions.ranking import bounded_rank
+
     top = df_.orderBy(F.desc("df"), F.asc("tok")).limit(16)
-    win = Window.orderBy(F.desc("df"), F.asc("tok"))
-    vocab = top.withColumn("vid", F.row_number().over(win).cast("long")).select(
-        "tok", "vid"
-    )
+    # 16-row re-rank as a broadcast non-equi join — no window at all
+    vocab = bounded_rank(top, "df", "tok", out="vid").select("tok", "vid")
     enc = w.join(F.broadcast(vocab), "tok", "left_outer")
     return enc.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_tokens"),

@@ -110,9 +110,12 @@ def crossmodal_text_to_vec_topk(spark, sf_dir):
             "aggregate(zip_with(c, q, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, v) -> acc + v)"
         ).alias("dot"),
     )
-    w = Window.orderBy(F.desc("dot"), F.asc("vec_id"))
-    return (
-        dots.withColumn("rnk", F.row_number().over(w).cast("long"))
-        .where(F.col("rnk") <= 10)
-        .select("vec_id", "dot", "rnk")
+    # top-10 selection as TakeOrderedAndProject (per-partition heaps over
+    # the corpus-scale scored frame); the re-rank window sees 10 rows
+    from hpmr_spark.functions.ranking import bounded_rank
+
+    top = dots.orderBy(F.desc("dot"), F.asc("vec_id")).limit(10)
+    # 10-row re-rank as a broadcast non-equi join — no window at all
+    return bounded_rank(top, "dot", "vec_id", out="rnk").select(
+        "vec_id", "dot", "rnk"
     )

@@ -100,8 +100,8 @@ def bpe_merge_step(spark, sf_dir):
     )
     pr = w.select(F.explode(pairs).alias("pair"), "n")
     agg = pr.groupBy("pair").agg(F.sum("n").alias("cnt"))
-    rw = Window.orderBy(F.col("cnt").desc(), F.col("pair"))
+    from hpmr_spark.functions.ranking import bounded_rank
+
     top = agg.orderBy(F.col("cnt").desc(), F.col("pair")).limit(10)
-    return top.select(
-        "pair", "cnt", F.row_number().over(rw).cast("long").alias("rnk")
-    )
+    # 10-row re-rank as a broadcast non-equi join — no window at all
+    return bounded_rank(top, "cnt", "pair", out="rnk").select("pair", "cnt", "rnk")

@@ -281,11 +281,12 @@ def weighted_sample_topk_es(spark, sf_dir):
         (hash60(F.col("doc_id").cast("string")) % F.lit(1000000) + 1).alias("u"),
     )
     k = u.withColumn("key_ppt", F.expr(_ES_KEY))
-    top = k.orderBy(F.desc("key_ppt"), F.asc("doc_id")).limit(20)
-    r = top.withColumn(
-        "rnk",
-        F.row_number()
-        .over(Window.orderBy(F.desc("key_ppt"), F.asc("doc_id")))
-        .cast("long"),
+    from hpmr_spark.functions.ranking import bounded_rank
+
+    top = k.select("doc_id", "n_chars", "key_ppt").orderBy(
+        F.desc("key_ppt"), F.asc("doc_id")
+    ).limit(20)
+    # 20-row re-rank as a broadcast non-equi join — no window at all
+    return bounded_rank(top, "key_ppt", "doc_id", out="rnk").select(
+        "doc_id", "n_chars", "key_ppt", "rnk"
     )
-    return r.select("doc_id", "n_chars", "key_ppt", "rnk")

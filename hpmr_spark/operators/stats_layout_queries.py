@@ -175,13 +175,16 @@ def compaction_bin_packing(spark, sf_dir):
     files = o.groupBy(F.col("o_orderdate").alias("day")).agg(
         (F.count(F.lit(1)) * 64).alias("est_bytes")
     )
-    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    placed = files.withColumn(
-        "bin",
-        F.expr(
-            "(sum(est_bytes) over (order by day rows between unbounded preceding "
-            "and current row) - est_bytes) div 65536"
-        ),
+    # the exclusive running size is the two-pass bucketed prefix sum over
+    # the numeric day (functions/ranking.py) — parallel even though the
+    # frame is metadata-sized, and no partition-less window in any log
+    from hpmr_spark.functions.ranking import global_running
+
+    files = files.withColumn("day_num", F.unix_date(F.col("day").cast("date")))
+    placed = global_running(
+        files, ["day_num"], "est_bytes", kind="sum", strict=True, out="_before"
+    ).withColumn(
+        "bin", F.expr("coalesce(_before, 0) div 65536")
     )
     return placed.groupBy("bin").agg(
         F.count(F.lit(1)).alias("n_days"),
