@@ -45,8 +45,6 @@ from pyspark.sql import functions as F
 DEFAULT_BUCKETS = 16
 
 _BKT = "_rk_bkt"
-_LOCAL = "_rk_local"
-_OFF = "_rk_off"
 _MN = "_rk_mn"
 _MX = "_rk_mx"
 
@@ -80,24 +78,90 @@ def _with_bucket(
     )
 
 
-def _exclusive_prefix(per_bucket: DataFrame, value_col: str, kind: str) -> DataFrame:
-    """(bucket, value) -> (bucket, offset) where offset aggregates values of
-    all STRICTLY EARLIER buckets (NULL for the first / empty prefix).
-    Broadcast non-equi self-join over ≤ num_buckets rows — no window, no
-    collect."""
-    agg = {"sum": F.sum, "max": F.max, "min": F.min}[kind]
-    a = per_bucket.select(F.col(_BKT).alias("_a_bkt"))
-    b = per_bucket.select(F.col(_BKT).alias("_b_bkt"), F.col(value_col).alias("_b_val"))
-    return (
-        a.join(F.broadcast(b), F.col("_b_bkt") < F.col("_a_bkt"), "left")
-        .groupBy(F.col("_a_bkt").alias(_BKT))
-        .agg(agg("_b_val").alias(_OFF))
-    )
-
-
 def _order_exprs(order_cols, descending: bool) -> list[Column]:
     cols = [_as_col(c) for c in order_cols]
     return [c.desc() for c in cols] if descending else cols
+
+
+_AGGS = {"sum": F.sum, "max": F.max, "min": F.min}
+
+
+def global_order_multi(
+    df: DataFrame,
+    order_cols,
+    rn_out: str | None = None,
+    running=(),
+    descending: bool = False,
+    num_buckets: int = DEFAULT_BUCKETS,
+) -> DataFrame:
+    """Fused multi-output two-pass ordering: one bucket tagging, ONE
+    per-bucket window pass, ONE per-bucket totals aggregate, and ONE
+    broadcast exclusive-prefix join produce a global row_number (`rn_out`)
+    plus any number of running aggregates (`running` = iterable of
+    (value_col, kind, strict, out) with kind in sum/max/min). Chaining
+    global_row_number → global_running re-evaluates the first pass's whole
+    machinery for every consumer of the second — this fusion is the
+    multi-output form the single-output wrappers below delegate to."""
+    specs = list(running)
+    first = _as_col(order_cols[0])
+    p = _with_bucket(df, first, descending, num_buckets)
+    oexprs = _order_exprs(order_cols, descending)
+    w = Window.partitionBy(_BKT).orderBy(*oexprs)
+
+    local_cols = []
+    if rn_out is not None:
+        local_cols.append(F.row_number().over(w).alias("_l_rn"))
+    for i, (val, kind, strict, _out) in enumerate(specs):
+        end = -1 if strict else Window.currentRow
+        local_cols.append(
+            _AGGS[kind](_as_col(val))
+            .over(w.rowsBetween(Window.unboundedPreceding, end))
+            .alias(f"_l_{i}")
+        )
+    local = p.select(*[F.col(c) for c in p.columns], *local_cols)
+
+    total_aggs = []
+    if rn_out is not None:
+        total_aggs.append(F.count(F.lit(1)).alias("_t_rn"))
+    for i, (val, kind, _strict, _out) in enumerate(specs):
+        total_aggs.append(_AGGS[kind](_as_col(val)).alias(f"_t_{i}"))
+    totals = p.groupBy(_BKT).agg(*total_aggs)
+
+    a = totals.select(F.col(_BKT).alias("_a_bkt"))
+    b = totals.withColumnRenamed(_BKT, "_b_bkt")
+    prefix_aggs = []
+    if rn_out is not None:
+        prefix_aggs.append(F.sum("_t_rn").alias("_o_rn"))
+    for i, (_val, kind, _strict, _out) in enumerate(specs):
+        prefix_aggs.append(_AGGS[kind](f"_t_{i}").alias(f"_o_{i}"))
+    offs = (
+        a.join(F.broadcast(b), F.col("_b_bkt") < F.col("_a_bkt"), "left")
+        .groupBy(F.col("_a_bkt").alias(_BKT))
+        .agg(*prefix_aggs)
+    )
+
+    joined = local.join(F.broadcast(offs), _BKT)
+    drop_after = [_BKT]
+    if rn_out is not None:
+        joined = joined.withColumn(
+            rn_out,
+            (F.coalesce(F.col("_o_rn"), F.lit(0)) + F.col("_l_rn")).cast("long"),
+        )
+        drop_after += ["_l_rn", "_o_rn"]
+    for i, (_val, kind, _strict, out) in enumerate(specs):
+        l, o = F.col(f"_l_{i}"), F.col(f"_o_{i}")
+        if kind == "sum":
+            # NULL iff both sides empty (global first row, strict frame)
+            combined = F.when(l.isNull() & o.isNull(), F.lit(None)).otherwise(
+                F.coalesce(l, F.lit(0)) + F.coalesce(o, F.lit(0))
+            )
+        elif kind == "max":
+            combined = F.greatest(l, o)  # null-skipping
+        else:
+            combined = F.least(l, o)
+        joined = joined.withColumn(out, combined)
+        drop_after += [f"_l_{i}", f"_o_{i}"]
+    return joined.drop(*drop_after)
 
 
 def global_row_number(
@@ -111,18 +175,8 @@ def global_row_number(
     for determinism; the FIRST column must be numeric non-null — it drives
     the bucketing) without a single-partition window: per-bucket row_number
     + broadcast exclusive prefix counts."""
-    first = _as_col(order_cols[0])
-    p = _with_bucket(df, first, descending, num_buckets)
-    w = Window.partitionBy(_BKT).orderBy(*_order_exprs(order_cols, descending))
-    local = p.withColumn(_LOCAL, F.row_number().over(w))
-    counts = local.groupBy(_BKT).agg(F.count(F.lit(1)).alias("_c"))
-    offs = _exclusive_prefix(counts, "_c", "sum")
-    return (
-        local.join(F.broadcast(offs), _BKT)
-        .withColumn(
-            out, (F.coalesce(F.col(_OFF), F.lit(0)) + F.col(_LOCAL)).cast("long")
-        )
-        .drop(_BKT, _LOCAL, _OFF)
+    return global_order_multi(
+        df, order_cols, rn_out=out, descending=descending, num_buckets=num_buckets
     )
 
 
@@ -141,32 +195,13 @@ def global_running(
     PRECEDING TO 1 PRECEDING) — the "all strictly earlier rows" frame; the
     first global row gets NULL, matching the window form. Suffix aggregates
     = `descending=True`."""
-    agg = {"sum": F.sum, "max": F.max, "min": F.min}[kind]
-    val = _as_col(value_col)
-    first = _as_col(order_cols[0])
-    p = _with_bucket(df, first, descending, num_buckets)
-    end = -1 if strict else Window.currentRow
-    w = (
-        Window.partitionBy(_BKT)
-        .orderBy(*_order_exprs(order_cols, descending))
-        .rowsBetween(Window.unboundedPreceding, end)
+    return global_order_multi(
+        df,
+        order_cols,
+        running=[(value_col, kind, strict, out)],
+        descending=descending,
+        num_buckets=num_buckets,
     )
-    local = p.withColumn(_LOCAL, agg(val).over(w))
-    totals = p.groupBy(_BKT).agg(agg(val).alias("_t"))
-    offs = _exclusive_prefix(totals, "_t", kind)
-    joined = local.join(F.broadcast(offs), _BKT)
-    if kind == "sum":
-        # NULL iff both sides empty (global first row under strict frames)
-        combined = F.when(
-            F.col(_LOCAL).isNull() & F.col(_OFF).isNull(), F.lit(None)
-        ).otherwise(
-            F.coalesce(F.col(_LOCAL), F.lit(0)) + F.coalesce(F.col(_OFF), F.lit(0))
-        )
-    elif kind == "max":
-        combined = F.greatest(F.col(_LOCAL), F.col(_OFF))  # null-skipping
-    else:
-        combined = F.least(F.col(_LOCAL), F.col(_OFF))
-    return joined.withColumn(out, combined).drop(_BKT, _LOCAL, _OFF)
 
 
 def bounded_rank(

@@ -452,10 +452,17 @@ def rfm_user_scores(spark, sf_dir):
             F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
         )
     )
+    # multi-consumer post-agg frame (3 independent rankings + the total):
+    # persist, or every ranking re-derives the events aggregation
+    # (CLAUDE.md persist rule; query is in plan_snapshot SKIP)
+    m = m.persist()
     t = m.agg(F.count(F.lit(1)).alias("n"))
     out = m
     for metric, score in (("last_us", "r_score"), ("freq", "f_score"), ("cents", "m_score")):
-        out = global_row_number(out, [metric, "user_id"], out="_rn_" + score)
+        r = global_row_number(
+            m.select("user_id", metric), [metric, "user_id"], out="_rn_" + score
+        ).select("user_id", "_rn_" + score)
+        out = out.join(r, "user_id")
     out = out.crossJoin(F.broadcast(t))
     return out.select(
         "user_id",
@@ -497,19 +504,25 @@ def pareto_revenue_concentration(spark, sf_dir):
     NEGATED cents leading key (mixed-direction order (cents DESC, custkey
     ASC) ≡ ascending (−cents, custkey) — cents are positive); the oracle
     keeps the window form."""
-    from hpmr_spark.functions.ranking import global_row_number, global_running
+    from hpmr_spark.functions.ranking import global_order_multi
 
     o = _t(spark, sf_dir, "orders")
+    # multi-consumer post-agg frame (total + ranked subtree feed three
+    # consumers): persist, or each re-derives the per-customer aggregation
+    # (CLAUDE.md persist rule; query is in plan_snapshot SKIP)
     r = o.groupBy("o_custkey").agg(
         F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents")
-    )
+    ).persist()
     t = r.agg(
         F.count(F.lit(1)).alias("n_cust"), F.sum("cents").alias("total")
     )
     r2 = r.withColumn("neg_cents", -F.col("cents"))
-    rk = global_row_number(r2, ["neg_cents", "o_custkey"], out="rn")
-    rk = global_running(
-        rk, ["neg_cents", "o_custkey"], "cents", kind="sum", out="cum"
+    # fused single pass: descending rank AND running revenue together
+    rk = global_order_multi(
+        r2,
+        ["neg_cents", "o_custkey"],
+        rn_out="rn",
+        running=[("cents", "sum", False, "cum")],
     ).select("cents", "rn", F.col("cum").cast("long").alias("cum"))
     rt = rk.crossJoin(F.broadcast(t))
     top20 = rt.where(F.expr("5 * rn <= n_cust")).agg(F.max("cum").alias("c20"))

@@ -208,8 +208,13 @@ def ks_two_sample_prices(spark, sf_dir):
     t = g.agg(
         F.sum("c1").cast("long").alias("n1"), F.sum("c2").cast("long").alias("n2")
     )
-    cum = global_running(g, ["cents"], "c1", kind="sum", out="f1")
-    cum = global_running(cum, ["cents"], "c2", kind="sum", out="f2")
+    from hpmr_spark.functions.ranking import global_order_multi
+
+    cum = global_order_multi(
+        g,
+        ["cents"],
+        running=[("c1", "sum", False, "f1"), ("c2", "sum", False, "f2")],
+    )
     d = cum.crossJoin(F.broadcast(t)).select(
         "cents",
         F.abs(F.col("f1") * F.col("n2") - F.col("f2") * F.col("n1")).alias("dnum"),
