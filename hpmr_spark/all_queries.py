@@ -73,6 +73,7 @@ _MODULES = [
     "hpmr_spark.operators.crossmodal_queries",
     "hpmr_spark.operators.matryoshka_queries",
     "hpmr_spark.operators.order_stats_queries",
+    "hpmr_spark.operators.pipeline2_queries",
 ]
 
 FAILED_MODULES: dict[str, str] = {}
@@ -126,7 +127,13 @@ for _m in _MODULES:
 # session_window_builtin, asof_join_purchase_view, nonequi_band_join,
 # kmeans_assign_step, text_repetition_stats, stratified_sample_per_lang —
 # each family keeps >=1 window representative and all stay in the full
-# selfcheck sweep).
+# selfcheck sweep). Second round-3 rotation: pipeline2's riskiest three
+# (interpolate_hourly_gaps — sign-split division + rn-equi-join successor;
+# ngram_novelty_by_bucket — first-occurrence gram algebra;
+# transpose_flag_metrics — the new Spark 4 transpose surface) in for
+# locf_gap_fill_values, contamination_check_5gram, pandas_udaf_median_qty
+# (temporal/gram/pandas families keep interpolate+scd2 / substring+jaccard+
+# novelty / mapinarrow representatives).
 _CHECK_FIRST = [
     "mapreduce_revenue_by_order",  # flagship — keep first (entry() twin)
     "q1_pricing_summary",
@@ -154,7 +161,7 @@ _CHECK_FIRST = [
     "sketch_countmin_status",
     "pca_power_iteration_int",
     "mapinarrow_embedding_norms",
-    "pandas_udaf_median_qty",
+    "interpolate_hourly_gaps",
     "heavy_hitters_mg",
     "bucketed_join_revenue",
     "graph_triangle_count",
@@ -169,9 +176,9 @@ _CHECK_FIRST = [
     "dedup_cluster_components",
     "dedup_embedding_cosine",
     "similarity_planted_neardup_lsh",
-    "locf_gap_fill_values",
+    "transpose_flag_metrics",
     "multimodal_audio_features",
-    "contamination_check_5gram",
+    "ngram_novelty_by_bucket",
     "streaming_session_windows",
     "streaming_stateful_user_totals",
     "pii_scrub_props",

@@ -509,10 +509,15 @@ def pareto_revenue_concentration(spark, sf_dir):
     o = _t(spark, sf_dir, "orders")
     # multi-consumer post-agg frame (total + ranked subtree feed three
     # consumers): persist, or each re-derives the per-customer aggregation
-    # (CLAUDE.md persist rule; query is in plan_snapshot SKIP)
+    # (CLAUDE.md persist rule; query is in plan_snapshot SKIP). The extra
+    # _nrows column makes this plan NON-identical to the _wealth frame
+    # gini/lorenz build — CacheManager matches canonical plans, and a
+    # cached twin would silently rewrite the SIBLING queries' plans
+    # (observed: gini +1 shuffle once pareto materialized).
     r = o.groupBy("o_custkey").agg(
-        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents")
-    ).persist()
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents"),
+        F.count(F.lit(1)).alias("_nrows"),
+    ).drop("_nrows").persist()
     t = r.agg(
         F.count(F.lit(1)).alias("n_cust"), F.sum("cents").alias("total")
     )

@@ -1,0 +1,513 @@
+"""Pipeline batch 2 (round 3): corpus-novelty decay, tokenizer fertility,
+deterministic uniform sampling, try_-function quarantine, the Spark 4
+DataFrame.transpose surface, and exact linear gap interpolation.
+
+These close the remaining training-data-pipeline gaps: novelty decay is the
+curve dataset curators watch to decide when a crawl stops adding
+information; fertility is the tokenizer-efficiency report; hash-rank
+sampling is the reproducible eval-slice selector; try_ quarantine is the
+no-job-failure arithmetic contract; interpolation is the gap-filling step
+before any rate model.
+
+Disciplines: integer ppm/ppt floor divisions with positive operands;
+sign-split division where a delta can be negative (interpolation); novelty
+via first-occurrence = MIN(doc_id) per gram (exact, order-free — no
+sequential scan over the corpus).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from hpmr_spark.catalog import _t, register
+from hpmr_spark.functions.hashing import hash60, sql_hash60
+from hpmr_spark.functions.ranking import bounded_rank, global_row_number
+
+
+# ---------------------------------------------------------------------------
+# N-gram novelty decay: how much new text each slice of the corpus adds.
+# ---------------------------------------------------------------------------
+@register(
+    "ngram_novelty_by_bucket",
+    """
+    WITH g AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(range(len(string_split(text, ' ')) - 4),
+                    _gi -> array_to_string(string_split(text, ' ')[_gi+1:_gi+5],
+                                           ' '))) AS gram
+      FROM documents
+    ),
+    fo AS (SELECT gram, CAST(MIN(doc_id) AS BIGINT) AS first_doc FROM g GROUP BY gram),
+    per_doc AS (
+      SELECT g.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_grams,
+             CAST(SUM(CASE WHEN fo.first_doc = g.doc_id THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_novel
+      FROM g JOIN fo ON g.gram = fo.gram
+      GROUP BY g.doc_id
+    )
+    SELECT CAST(doc_id // 100 AS BIGINT) AS bucket,
+           CAST(SUM(n_grams) AS BIGINT) AS grams,
+           CAST(SUM(n_novel) AS BIGINT) AS novel,
+           CAST(SUM(n_novel) * 1000000 // SUM(n_grams) AS BIGINT) AS novelty_ppm
+    FROM per_doc GROUP BY bucket
+    """,
+)
+def ngram_novelty_by_bucket(spark, sf_dir):
+    """Novelty decay of the corpus in ingestion order: a distinct 5-gram is
+    NOVEL in the lowest doc_id containing it (first occurrence = MIN(doc_id)
+    per gram — an order-free keyed aggregate, so no sequential pass), and
+    each 100-doc bucket reports its novel-gram fraction in ppm. The curve
+    every crawl curator watches: when novelty_ppm flattens near zero, more
+    of the same source stops adding information. Two shuffles: gram explode
+    → (gram) agg; join back on gram is gram-partitioned — linear in corpus
+    size at any scale."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 4),
+        lambda i: F.array_join(F.slice(toks, i, 5), " "),
+    )
+    g = d.select("doc_id", F.explode(grams).alias("gram")).distinct()
+    fo = g.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
+    per_doc = (
+        g.join(fo, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            ).alias("n_novel"),
+        )
+    )
+    return per_doc.groupBy(
+        F.expr("doc_id div 100").cast("long").alias("bucket")
+    ).agg(
+        F.sum("n_grams").cast("long").alias("grams"),
+        F.sum("n_novel").cast("long").alias("novel"),
+        F.expr("sum(n_novel) * 1000000 div sum(n_grams)").cast("long").alias(
+            "novelty_ppm"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer fertility / efficiency report per language.
+# ---------------------------------------------------------------------------
+@register(
+    "tokenizer_fertility_by_lang",
+    """
+    WITH t AS (
+      SELECT lang, n_chars,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+      FROM documents
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+           CAST(SUM(n_chars) * 1000 // SUM(n_tok) AS BIGINT) AS chars_per_tok_ppt,
+           CAST(SUM(n_tok) * 1000 // COUNT(*) AS BIGINT) AS toks_per_doc_ppt
+    FROM t GROUP BY lang
+    """,
+)
+def tokenizer_fertility_by_lang(spark, sf_dir):
+    """Tokenizer fertility report: characters per token and tokens per doc
+    by language, in exact integer ppt (floor). The efficiency table that
+    decides vocab allocation across languages — languages with high
+    chars/token are under-served by the tokenizer. One keyed aggregate."""
+    d = _t(spark, sf_dir, "documents")
+    t = d.select(
+        "lang", "n_chars", F.size(F.split("text", " ")).cast("long").alias("n_tok")
+    )
+    return t.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.sum("n_tok").cast("long").alias("total_tokens"),
+        F.expr("sum(n_chars) * 1000 div sum(n_tok)").cast("long").alias(
+            "chars_per_tok_ppt"
+        ),
+        F.expr("sum(n_tok) * 1000 div count(1)").cast("long").alias(
+            "toks_per_doc_ppt"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic uniform sample (hash-rank top-k, the reproducible eval slice).
+# ---------------------------------------------------------------------------
+@register(
+    "uniform_sample_hash_rank",
+    f"""
+    WITH h AS (
+      SELECT doc_id, lang,
+             {sql_hash60("'usamp:' || CAST(doc_id AS VARCHAR)")} AS hk
+      FROM documents
+    ),
+    r AS (SELECT doc_id, lang, hk,
+                 row_number() OVER (ORDER BY hk, doc_id) AS rnk
+          FROM h)
+    SELECT doc_id, lang, CAST(rnk AS BIGINT) AS rnk
+    FROM r WHERE rnk <= 50
+    """,
+)
+def uniform_sample_hash_rank(spark, sf_dir):
+    """Reproducible uniform sample without replacement: rank documents by a
+    committed salted hash and keep the 50 smallest — content-addressed, so
+    retries, resumes, and re-runs at ANY scale pick the exact same eval
+    slice (what `df.sample()`'s seed does NOT guarantee across partition
+    layouts). Selection is TakeOrderedAndProject (per-partition heaps);
+    the re-rank is a bounded non-equi join over the 50 selected rows."""
+    d = _t(spark, sf_dir, "documents")
+    h = d.select(
+        "doc_id",
+        "lang",
+        hash60(F.concat(F.lit("usamp:"), F.col("doc_id").cast("string"))).alias("hk"),
+    )
+    top = h.orderBy("hk", "doc_id").limit(50)
+    return bounded_rank(top, "hk", "doc_id", primary_desc=False, out="rnk").select(
+        "doc_id", "lang", "rnk"
+    )
+
+
+# ---------------------------------------------------------------------------
+# try_-function arithmetic quarantine (no-job-failure contract).
+# ---------------------------------------------------------------------------
+@register(
+    "try_arithmetic_quarantine",
+    """
+    WITH q AS (
+      SELECT doc_id,
+             CASE WHEN n_chars % 7 = 0 THEN NULL
+                  ELSE CAST(n_chars AS BIGINT) * 1000 // (n_chars % 7) END AS ratio_ppt
+      FROM documents
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(ratio_ppt) AS BIGINT) AS n_ok,
+           CAST(COUNT(*) - COUNT(ratio_ppt) AS BIGINT) AS n_quarantined,
+           CAST(SUM(ratio_ppt) AS BIGINT) AS sum_ratio_ppt
+    FROM q
+    """,
+)
+def try_arithmetic_quarantine(spark, sf_dir):
+    """ANSI-mode-safe arithmetic with Spark's try_ family: try_divide yields
+    NULL instead of failing the job on a zero divisor, turning bad rows
+    into a quarantine COUNT rather than a 3 a.m. page — the row-level
+    error-containment contract for 100 TB batch jobs (the same philosophy
+    as PERMISSIVE CSV quarantine, applied to expressions). The divisor
+    n_chars % 7 is deterministically zero for ~1/7 of docs; the oracle pins
+    both the quarantine count and the exact integer sum of the survivors."""
+    d = _t(spark, sf_dir, "documents")
+    q = d.select(
+        "doc_id",
+        F.floor(
+            F.try_divide(F.col("n_chars").cast("long") * 1000, F.col("n_chars") % 7)
+        ).cast("long").alias("ratio_ppt"),
+    )
+    return q.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.count("ratio_ppt").cast("long").alias("n_ok"),
+        (F.count(F.lit(1)) - F.count("ratio_ppt")).cast("long").alias("n_quarantined"),
+        F.sum("ratio_ppt").cast("long").alias("sum_ratio_ppt"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Spark 4 DataFrame.transpose: metrics matrix flip.
+# ---------------------------------------------------------------------------
+@register(
+    "transpose_flag_metrics",
+    """
+    WITH m AS (
+      SELECT l_returnflag,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT metric,
+           MAX(CASE WHEN l_returnflag = 'A' THEN v END) AS A,
+           MAX(CASE WHEN l_returnflag = 'N' THEN v END) AS N,
+           MAX(CASE WHEN l_returnflag = 'R' THEN v END) AS R
+    FROM (
+      SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS v FROM m
+      UNION ALL SELECT l_returnflag, 'n_rows', n_rows FROM m
+      UNION ALL SELECT l_returnflag, 'n_orders', n_orders FROM m
+    ) GROUP BY metric
+    """,
+)
+def transpose_flag_metrics(spark, sf_dir):
+    """Spark 4.0's DataFrame.transpose(): a per-returnflag metrics matrix
+    (3 flags × 3 metrics) flipped so metrics are rows and flags are columns
+    — the report-layout surface (the oracle realizes the same flip as
+    UNPIVOT + conditional MAX pivot). transpose() requires the index column
+    first and a common type for the value columns; it runs on the bounded
+    post-aggregation frame only."""
+    li = _t(spark, sf_dir, "lineitem")
+    m = li.groupBy("l_returnflag").agg(
+        F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+    )
+    t = m.transpose(F.col("l_returnflag"))
+    # transpose names the first column "key" — align with the oracle
+    return t.withColumnRenamed("key", "metric")
+
+
+# ---------------------------------------------------------------------------
+# Exact linear interpolation of missing hours.
+# ---------------------------------------------------------------------------
+@register(
+    "interpolate_hourly_gaps",
+    """
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS hr,
+             CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY date_trunc('hour', ts)
+    ),
+    nxt AS (
+      SELECT hr, cents,
+             lead(hr) OVER (ORDER BY hr) AS nhr,
+             lead(cents) OVER (ORDER BY hr) AS ncents
+      FROM hourly
+    ),
+    filled AS (
+      SELECT n.hr AS base_hr, n.cents, n.nhr, n.ncents,
+             CAST(epoch(n.nhr) - epoch(n.hr) AS BIGINT) // 3600 AS gap_len,
+             unnest(range(0, CASE WHEN n.nhr IS NULL THEN 1
+                          ELSE CAST(epoch(n.nhr) - epoch(n.hr) AS BIGINT) // 3600
+                          END)) AS step
+      FROM nxt n
+    )
+    SELECT base_hr + to_hours(step) AS hr,
+           CAST(step = 0 AS BOOLEAN) AS observed,
+           CAST(CASE WHEN step = 0 THEN cents
+                WHEN ncents - cents >= 0
+                THEN cents + (ncents - cents) * step // gap_len
+                ELSE cents - ((cents - ncents) * step // gap_len)
+                END AS BIGINT) AS cents
+    FROM filled
+    """,
+)
+def interpolate_hourly_gaps(spark, sf_dir):
+    """Gap filling with EXACT linear interpolation: hourly purchase revenue
+    where missing hours get cents = v₀ + Δ·step/gap (integer floor,
+    SIGN-SPLIT because Δ may be negative — the CLAUDE.md rule that
+    negative-operand integer division never crosses engines intact), flagged
+    `observed = false`. Successor lookup is an rn+1 self-equi-join on the
+    two-pass bucketed row_number (no window); each present hour explodes
+    into its gap — the scale shape for regularizing any sparse series
+    before rate modeling. The final (trailing) hour emits itself only."""
+    from hpmr_spark.sources.tables import load_events
+
+    ev = load_events(spark, sf_dir)
+    hourly = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy(F.date_trunc("hour", "ts").alias("hr"))
+        .agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"))
+    )
+    r = global_row_number(
+        hourly.withColumn("hr_us", F.unix_micros(F.col("hr").cast("timestamp"))),
+        ["hr_us"],
+        out="rn",
+    )
+    nxt = r.select(
+        (F.col("rn") - 1).alias("rn"),
+        F.col("hr").alias("nhr"),
+        F.col("cents").alias("ncents"),
+    )
+    j = r.join(nxt, "rn", "left")
+    gap_len = F.expr("(unix_micros(cast(nhr as timestamp)) - hr_us) div 3600000000")
+    filled = j.select(
+        "hr",
+        "cents",
+        "ncents",
+        gap_len.alias("gap_len"),
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.when(F.col("nhr").isNull(), F.lit(0)).otherwise(
+                    gap_len - 1
+                ),
+            )
+        ).alias("step"),
+    )
+    return filled.select(
+        (F.col("hr") + F.make_dt_interval(hours=F.col("step"))).alias("hr"),
+        (F.col("step") == 0).alias("observed"),
+        F.when(F.col("step") == 0, F.col("cents"))
+        .when(
+            F.col("ncents") - F.col("cents") >= 0,
+            F.col("cents")
+            + F.expr("(ncents - cents) * step div gap_len"),
+        )
+        .otherwise(
+            F.col("cents") - F.expr("(cents - ncents) * step div gap_len")
+        )
+        .cast("long")
+        .alias("cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cross-source contamination matrix (pairwise exact-dup overlap).
+# ---------------------------------------------------------------------------
+_FP_SQL = "md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))"
+
+
+@register(
+    "dedup_cross_source_matrix",
+    f"""
+    WITH fp AS (
+      SELECT DISTINCT source, {_FP_SQL} AS fp FROM documents
+    )
+    SELECT a.source AS source_a, b.source AS source_b,
+           CAST(COUNT(*) AS BIGINT) AS n_shared
+    FROM fp a JOIN fp b ON a.fp = b.fp AND a.source < b.source
+    GROUP BY a.source, b.source
+    """,
+)
+def dedup_cross_source_matrix(spark, sf_dir):
+    """Pairwise cross-source contamination: for every source pair, how many
+    exact-duplicate texts they share — the audit that catches one crawl
+    re-packaging another (and the generalization of the single held-out
+    contamination check to ALL pairs). Shape: distinct (source, fp) →
+    self-join ON fp (fingerprint-partitioned; per-fp work is |sources|² ≤
+    400, never corpus²) → pair counts. The text itself never shuffles."""
+    from hpmr_spark.functions.text import fingerprint
+
+    d = _t(spark, sf_dir, "documents")
+    fp = d.select("source", fingerprint(F.col("text")).alias("fp")).distinct()
+    a = fp.select(F.col("source").alias("source_a"), "fp")
+    b = fp.select(F.col("source").alias("source_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .where(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Population Stability Index between corpus halves, exact integer nanos.
+# ---------------------------------------------------------------------------
+@register(
+    "label_drift_psi_nano",
+    """
+    WITH h AS (
+      SELECT CAST(label AS BIGINT) AS label,
+             CAST(vec_id % 2 AS BIGINT) AS half
+      FROM embeddings
+    ),
+    c AS (SELECT label,
+                 CAST(SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+                 CAST(SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c2
+          FROM h GROUP BY label),
+    t AS (SELECT CAST(SUM(c1) AS BIGINT) AS n1, CAST(SUM(c2) AS BIGINT) AS n2 FROM c),
+    term AS (
+      SELECT label, c1, c2,
+             -- |p1-p2| * |ln(p1/p2)| term, floored to integer nanos:
+             -- both factors share a sign, so the product is >= 0 and the
+             -- abs() forms keep every division positive
+             CAST(ABS(c1 * t.n2 - c2 * t.n1)
+                  * CAST(FLOOR(LN(CAST(GREATEST(c1 * t.n2, c2 * t.n1) AS DOUBLE)
+                                / CAST(LEAST(c1 * t.n2, c2 * t.n1) AS DOUBLE))
+                             * 1000000) AS BIGINT)
+                  // (t.n1 * t.n2) AS BIGINT) AS term_nano
+      FROM c, t WHERE c1 > 0 AND c2 > 0
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_labels,
+           CAST(SUM(term_nano) AS BIGINT) AS psi_nano
+    FROM term
+    """,
+)
+def label_drift_psi_nano(spark, sf_dir):
+    """Population Stability Index between the two vec_id-parity halves of
+    the corpus' label distribution — the drift gate run between training
+    snapshots. Each label's term (p₁−p₂)·ln(p₁/p₂) is ALWAYS ≥ 0 (factors
+    share a sign), so it is computed as |c₁n₂−c₂n₁|·⌊|ln ratio|·10⁶⌋ ÷
+    (n₁n₂) in exact positive integers (LN-parity commitment; |ln x| =
+    ln(max/min) keeps the log argument ≥ 1), floored to nanos BEFORE the
+    sum — deterministic under any partitioning. PSI < 0.1 ≈ stable."""
+    e = _t(spark, sf_dir, "embeddings")
+    h = e.select(
+        F.col("label").cast("long").alias("label"),
+        (F.col("vec_id") % 2).cast("long").alias("half"),
+    )
+    c = h.groupBy("label").agg(
+        F.sum(F.when(F.col("half") == 0, 1).otherwise(0)).cast("long").alias("c1"),
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).cast("long").alias("c2"),
+    )
+    t = c.agg(
+        F.sum("c1").cast("long").alias("n1"), F.sum("c2").cast("long").alias("n2")
+    )
+    term = (
+        c.crossJoin(F.broadcast(t))
+        .where((F.col("c1") > 0) & (F.col("c2") > 0))
+        .select(
+            F.expr(
+                "CAST(ABS(c1 * n2 - c2 * n1)"
+                " * CAST(FLOOR(LN(CAST(GREATEST(c1 * n2, c2 * n1) AS DOUBLE)"
+                " / CAST(LEAST(c1 * n2, c2 * n1) AS DOUBLE)) * 1000000) AS BIGINT)"
+                " div (n1 * n2) AS BIGINT)"
+            ).alias("term_nano")
+        )
+    )
+    return term.agg(
+        F.count(F.lit(1)).cast("long").alias("n_labels"),
+        F.sum("term_nano").cast("long").alias("psi_nano"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-source length percentiles (grouped rank-select, partitioned windows).
+# ---------------------------------------------------------------------------
+@register(
+    "length_percentiles_by_source",
+    """
+    WITH d AS (SELECT source, CAST(n_chars AS BIGINT) AS n_chars FROM documents),
+    t AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM d GROUP BY source),
+    g AS (SELECT source, n_chars, CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM d GROUP BY source, n_chars),
+    cum AS (SELECT source, n_chars,
+                   CAST(SUM(cnt) OVER (PARTITION BY source ORDER BY n_chars
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cm
+            FROM g)
+    SELECT cum.source,
+           CAST(MIN(CASE WHEN cm >= (n + 1) // 2 THEN n_chars END) AS BIGINT) AS p50,
+           CAST(MIN(CASE WHEN cm >= (9 * n + 9) // 10 THEN n_chars END) AS BIGINT) AS p90,
+           CAST(MIN(CASE WHEN cm >= (99 * n + 99) // 100 THEN n_chars END) AS BIGINT) AS p99
+    FROM cum JOIN t ON cum.source = t.source
+    GROUP BY cum.source
+    """,
+)
+def length_percentiles_by_source(spark, sf_dir):
+    """Exact p50/p90/p99 document length per source — the per-shard length
+    profile a curriculum/packing planner consumes. Grouped rank selection:
+    cumulative counts over the (source, length) grouped frame with a
+    PARTITIONED window (source is the partition key — parallel by
+    construction, the scale-safe window class), then each percentile is the
+    least length whose cumulative count reaches ⌈q·n⌉ (integer ceil
+    division, no float quantile semantics)."""
+    d = _t(spark, sf_dir, "documents").select(
+        "source", F.col("n_chars").cast("long").alias("n_chars")
+    )
+    t = d.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    g = d.groupBy("source", "n_chars").agg(F.count(F.lit(1)).alias("cnt"))
+    w = (
+        Window.partitionBy("source")
+        .orderBy("n_chars")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = g.withColumn("cm", F.sum("cnt").over(w))
+    j = cum.join(t, "source")
+    return j.groupBy("source").agg(
+        F.min(F.when(F.expr("cm >= (n + 1) div 2"), F.col("n_chars")))
+        .cast("long").alias("p50"),
+        F.min(F.when(F.expr("cm >= (9 * n + 9) div 10"), F.col("n_chars")))
+        .cast("long").alias("p90"),
+        F.min(F.when(F.expr("cm >= (99 * n + 99) div 100"), F.col("n_chars")))
+        .cast("long").alias("p99"),
+    )
