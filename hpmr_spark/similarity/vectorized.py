@@ -69,13 +69,19 @@ def allowed_block_pairs(
         F.col("amax").alias("amax_j"),
     )
     pairs = a.join(F.broadcast(b), F.col("bi") <= F.col("bj"))
-    # bi ≤ bj ⟹ block i sits at lower α (higher θ); min gap between the
-    # two angle ranges is acos(amax_i) − acos(amin_j) (ranges may overlap →
-    # negative → bound 1, never skipped)
-    gap = F.greatest(
-        F.lit(0.0), F.acos(F.col("amax_i")) - F.acos(F.col("amin_j"))
+    # bi ≤ bj ⟹ block i sits at lower α (higher θ). Angle ranges overlap
+    # iff amax_i ≥ amin_j → bound 1 (never skipped); otherwise the minimum
+    # gap is acos(amax_i) − acos(amin_j) and its cosine expands to the
+    # acos/cos-free closed form
+    #   cos(θ₁−θ₂) = amax_i·amin_j + √(1−amax_i²)·√(1−amin_j²)
+    # — only *, + and IEEE-correctly-rounded sqrt, so the bound is
+    # bit-identical in any engine (the oracle-checkable form;
+    # gemm_block_prune_report pins it against DuckDB).
+    bound = F.when(F.col("amax_i") >= F.col("amin_j"), F.lit(1.0)).otherwise(
+        F.col("amax_i") * F.col("amin_j")
+        + F.sqrt(1.0 - F.col("amax_i") * F.col("amax_i"))
+        * F.sqrt(1.0 - F.col("amin_j") * F.col("amin_j"))
     )
-    bound = F.cos(gap)
     return pairs.where(bound >= F.lit(threshold) - F.lit(1e-9)).select("bi", "bj")
 
 
