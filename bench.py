@@ -75,6 +75,10 @@ BENCH_EXTRA = [
     "pareto_revenue_concentration", # descending bucketed rank + prefix sum
     "event_lateness_profile",       # two-pass running-max frontier
     "winsorize_clip_stats",         # bucketed prefix-sum rank selection
+    "gini_wealth_coefficient",      # int128 rank-weighted inequality
+    "ks_two_sample_prices",         # fused double prefix-sum CDF distance
+    "spearman_freq_revenue",        # tie-corrected rank correlation
+    "ngram_novelty_by_bucket",      # first-occurrence novelty decay
 ]
 
 

@@ -294,6 +294,7 @@ def ranking_probe(spark, n: int):
         prio = F.array(*[F.lit(p) for p in ("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT", "5-LOW")])
         orders = spark.range(n).select(
             F.col("id").alias("o_orderkey"),
+            ((F.xxhash64(F.col("id") + 29) % (n // 10) + n // 10) % (n // 10)).alias("o_custkey"),
             (((F.xxhash64("id") % 49000000 + 49000000) % 49000000 + 100000) / 100.0).alias("o_totalprice"),
             F.timestamp_micros(
                 F.lit(820454400000000)
@@ -337,6 +338,13 @@ def ranking_probe(spark, n: int):
             "skyline_price_date",
             "event_lateness_profile",
             "binary_classifier_eval_auc",
+            "gini_wealth_coefficient",
+            "ks_two_sample_prices",
+            "spearman_freq_revenue",
+            "trimmed_mean_10pct",
+            "quantile_table_11pt",
+            "lorenz_curve_deciles",
+            "interpolate_hourly_gaps",
         ]:
             t0 = time.time()
             cnt = qs[name](spark, tmp).count()
