@@ -344,3 +344,131 @@ def graph_kcore_2(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("core_degree"))
         .orderBy("nationkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# Label-propagation communities (3 synchronous rounds, deterministic).
+# ---------------------------------------------------------------------------
+_LPA_EDGES = """
+    pe AS (
+      SELECT c_nationkey AS src, s_nationkey AS dst,
+             CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS v
+      FROM customer
+        JOIN orders   ON o_custkey = c_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN supplier ON s_suppkey = l_suppkey
+      GROUP BY 1, 2
+    ),
+    tot AS (SELECT CAST(SUM(v) AS BIGINT) AS t FROM pe),
+    und AS (
+      SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS w
+      FROM pe, tot WHERE v * 625 > t AND src <> dst
+    ),
+    ed AS (SELECT u AS src, w AS dst FROM und
+           UNION ALL SELECT w, u FROM und),
+    nodes AS (SELECT DISTINCT src AS node FROM ed)
+"""
+
+
+def _lpa_round_sql(prev: str, cur: str) -> str:
+    return f""",
+    n{cur} AS (
+      SELECT e.src AS node, l.lab, CAST(COUNT(*) AS BIGINT) AS c
+      FROM ed e JOIN {prev} l ON l.node = e.dst
+      GROUP BY e.src, l.lab
+    ),
+    b{cur} AS (
+      SELECT node, lab FROM (
+        SELECT node, lab,
+               row_number() OVER (PARTITION BY node ORDER BY c DESC, lab) AS rk
+        FROM n{cur}
+      ) WHERE rk = 1
+    ),
+    {cur} AS (
+      SELECT p.node, COALESCE(b{cur}.lab, p.lab) AS lab
+      FROM {prev} p LEFT JOIN b{cur} ON b{cur}.node = p.node
+    )"""
+
+
+@register(
+    "graph_lpa_communities",
+    "WITH "
+    + _LPA_EDGES
+    + """,
+    lab0 AS (SELECT node, CAST(node AS BIGINT) AS lab FROM nodes)"""
+    + _lpa_round_sql("lab0", "lab1")
+    + _lpa_round_sql("lab1", "lab2")
+    + _lpa_round_sql("lab2", "lab3")
+    + """
+    SELECT CAST(node AS BIGINT) AS nationkey, CAST(lab AS BIGINT) AS community
+    FROM lab3
+    """,
+)
+def graph_lpa_communities(spark, sf_dir):
+    """Label-propagation community detection on the trade graph, made
+    DETERMINISTIC: labels start as node ids; each of 3 SYNCHRONOUS rounds
+    assigns every node the MODE of its neighbors' labels with a full
+    (count DESC, label ASC) tie-break via a node-PARTITIONED window —
+    asynchronous/random-order LPA (the textbook version) is
+    nondeterministic, which is exactly what an oracle-checked engine cannot
+    ship. Fixed rounds = unrolled CTEs in the oracle, a loop here; each
+    round is one join + one grouped count + one partitioned top-1 — the
+    chained keyed-mapreduce epoch shape at any graph size. Edge frames
+    persist (multi-consumer; plan_snapshot SKIP)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+
+    pe = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .groupBy(F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst"))
+        .agg(
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias("v"),
+            # add-then-dropped column keeps this persisted plan UNIQUE so it
+            # cannot cache-alias graph_triangle_count's pe (CLAUDE.md rule)
+            F.count(F.lit(1)).alias("_ne"),
+        )
+        .drop("_ne")
+        .persist()
+    )
+    tot = pe.agg(F.sum("v").cast("long").alias("t"))
+    und = (
+        pe.crossJoin(F.broadcast(tot))
+        .where((F.col("v") * 625 > F.col("t")) & (F.col("src") != F.col("dst")))
+        .select(
+            F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("w")
+        )
+        .distinct()
+    )
+    ed = (
+        und.select(F.col("u").alias("src"), F.col("w").alias("dst"))
+        .unionAll(und.select(F.col("w").alias("src"), F.col("u").alias("dst")))
+        .persist()
+    )
+    lab = ed.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").cast("long").alias("lab")
+    )
+    from pyspark.sql import Window
+
+    for _ in range(3):
+        n = (
+            ed.join(lab.select(F.col("node").alias("dst"), "lab"), "dst")
+            .groupBy(F.col("src").alias("node"), "lab")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        w = Window.partitionBy("node").orderBy(F.col("c").desc(), F.col("lab"))
+        best = (
+            n.withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") == 1)
+            .select("node", F.col("lab").alias("blab"))
+        )
+        lab = lab.join(best, "node", "left").select(
+            "node", F.coalesce("blab", "lab").alias("lab")
+        )
+    return lab.select(
+        F.col("node").cast("long").alias("nationkey"),
+        F.col("lab").cast("long").alias("community"),
+    )

@@ -190,3 +190,63 @@ def sql_sugar_group_by_all(spark, sf_dir):
         ORDER BY ALL
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# Spark 4 SQL UDFs (CREATE FUNCTION ... RETURN expr) — catalog-level
+# reusable scalar logic, inlined by Catalyst.
+# ---------------------------------------------------------------------------
+@register(
+    "sql_udf_quality_report",
+    """
+    WITH t AS (
+      SELECT lang,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+             CAST(n_chars AS BIGINT) AS n_chars
+      FROM documents
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars * 1000 // GREATEST(n_tok, 1)) AS BIGINT)
+             AS sum_cpt_ppt,
+           CAST(SUM(CASE WHEN n_chars * 1000 // GREATEST(n_tok, 1)
+                         BETWEEN 3000 AND 9000 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_plausible
+    FROM t GROUP BY lang
+    """,
+)
+def sql_udf_quality_report(spark, sf_dir):
+    """Spark 4 SQL UDFs: `CREATE TEMPORARY FUNCTION f(...) RETURNS ...
+    RETURN expr` registers catalog-level scalar logic that Catalyst INLINES
+    into the plan (no Python boundary, full codegen — the opposite of a
+    py-UDF), so shared business definitions live in one place without a
+    perf tax. Here per-mille chars-per-token and a plausibility band are
+    SQL UDFs applied per row; the oracle inlines the same expressions.
+    Session-scoped: created inside the query fn (session-less import
+    rule)."""
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION cpt_ppt(chars BIGINT, toks BIGINT)"
+        " RETURNS BIGINT RETURN chars * 1000 div GREATEST(toks, 1)"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION is_plausible(ppt BIGINT)"
+        " RETURNS BOOLEAN RETURN ppt BETWEEN 3000 AND 9000"
+    )
+    d = _t(spark, sf_dir, "documents")
+    d.createOrReplaceTempView("docs_sqludf")
+    return spark.sql(
+        """
+        WITH t AS (
+          SELECT lang,
+                 CAST(size(split(text, ' ')) AS BIGINT) AS n_tok,
+                 CAST(n_chars AS BIGINT) AS n_chars
+          FROM docs_sqludf
+        )
+        SELECT lang,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(cpt_ppt(n_chars, n_tok)) AS BIGINT) AS sum_cpt_ppt,
+               CAST(SUM(CASE WHEN is_plausible(cpt_ppt(n_chars, n_tok))
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_plausible
+        FROM t GROUP BY lang
+        """
+    )

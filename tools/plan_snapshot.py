@@ -67,6 +67,7 @@ SKIP = {
     "custom_reducer_max_qty",  # RDD reduceByKey path — plan is a LogicalRDD
     "rfm_user_scores",  # persisted multi-consumer user frame (InMemoryTableScan flake)
     "pareto_revenue_concentration",  # persisted per-customer frame, same
+    "graph_lpa_communities",  # persisted edge frames (iterative LPA), same
 }
 
 SF_DIR = "/root/testdata/sf0.001"
