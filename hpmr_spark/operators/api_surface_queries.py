@@ -104,3 +104,78 @@ def applyinarrow_lang_stats(spark, sf_dir):
     return docs.groupBy("lang").applyInArrow(
         stats, "lang string, n_docs long, sum_chars long, max_chars long"
     )
+
+
+# ---------------------------------------------------------------------------
+# KeyedMap ordered-analytics API (top_k / quantiles), driver-checked.
+# ---------------------------------------------------------------------------
+@register(
+    "api_topk_revenue_customers",
+    """
+    WITH w AS (
+      SELECT o_custkey AS key,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS value
+      FROM orders GROUP BY o_custkey
+    ),
+    r AS (SELECT key, value,
+                 row_number() OVER (ORDER BY value DESC, key) AS rank
+          FROM w)
+    SELECT key, value, CAST(rank AS BIGINT) AS rank
+    FROM r WHERE rank <= 10
+    """,
+)
+def api_topk_revenue_customers(spark, sf_dir):
+    """KeyedMap.top_k through the public API, oracle-checked: build the
+    per-customer revenue map with the reducer surface, take the top 10 by
+    value with the deterministic (value DESC, key) order. Plans as
+    TakeOrderedAndProject + a bounded non-equi re-rank — the scale-safe
+    form users reach by DEFAULT instead of Window.orderBy (the Reducer.avg
+    guard philosophy applied to ordering)."""
+    from hpmr_spark.core.keyed_map import KeyedMap
+    from hpmr_spark.reducers import Reducer
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    km = KeyedMap.from_df(o, "o_custkey", "cents", reducer=Reducer.sum)
+    return km.top_k(10)
+
+
+@register(
+    "api_quantiles_revenue_buckets",
+    """
+    WITH w AS (
+      SELECT o_custkey AS key,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS value
+      FROM orders GROUP BY o_custkey
+    ),
+    b AS (SELECT key, value,
+                 CAST(NTILE(4) OVER (ORDER BY value, key) AS BIGINT) AS bucket
+          FROM w)
+    SELECT bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(MIN(value) AS BIGINT) AS lo_cents,
+           CAST(MAX(value) AS BIGINT) AS hi_cents
+    FROM b GROUP BY bucket
+    """,
+)
+def api_quantiles_revenue_buckets(spark, sf_dir):
+    """KeyedMap.quantiles through the public API, oracle-checked: exact
+    quartile bucketing of the per-customer revenue map (two-pass bucketed
+    NTILE under the hood — no single-partition window), summarized to
+    quartile boundary rows."""
+    from hpmr_spark.core.keyed_map import KeyedMap
+    from hpmr_spark.reducers import Reducer
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    km = KeyedMap.from_df(o, "o_custkey", "cents", reducer=Reducer.sum)
+    q = km.quantiles(4)
+    return q.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.min("value").cast("long").alias("lo_cents"),
+        F.max("value").cast("long").alias("hi_cents"),
+    )

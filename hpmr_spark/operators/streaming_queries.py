@@ -313,3 +313,39 @@ def streaming_funnel_stages(spark, sf_dir):
     from hpmr_spark.streaming.windows import stateful_funnel_stages
 
     return stateful_funnel_stages(spark, sf_dir)
+
+
+@register(
+    "streaming_left_outer_join",
+    """
+    WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+    v AS (SELECT * FROM events WHERE event_type = 'view'),
+    matched AS (
+      SELECT p.user_id, p.event_id AS purchase_id, v.event_id AS view_id,
+             p.ts AS p_ts, v.ts AS v_ts
+      FROM p JOIN v
+        ON p.user_id = v.user_id
+       AND v.ts <= p.ts AND v.ts >= p.ts - INTERVAL '1 hour'
+    ),
+    wm AS (SELECT MAX(ts) - INTERVAL '2 hours' AS cutoff FROM events)
+    SELECT * FROM matched
+    UNION ALL
+    SELECT p.user_id, p.event_id, NULL, p.ts, NULL
+    FROM p, wm
+    WHERE p.ts < wm.cutoff
+      AND NOT EXISTS (
+        SELECT 1 FROM v WHERE v.user_id = p.user_id
+          AND v.ts <= p.ts AND v.ts >= p.ts - INTERVAL '1 hour')
+    """,
+)
+def streaming_left_outer_join(spark, sf_dir):
+    """LEFT OUTER stream-stream join with watermark-bounded state: matched
+    pairs emit immediately; a purchase with NO view in its preceding hour
+    emits a NULL-view row only after the view watermark (2h) passes it —
+    unmatched purchases younger than max(ts) − 2h are still held as state
+    when AvailableNow terminates, exactly as the oracle's cutoff predicate
+    encodes. THE semantics distinction vs the inner variant: late data
+    cannot turn an emitted NULL row into a match."""
+    from hpmr_spark.streaming.joins import purchases_with_recent_views_outer
+
+    return purchases_with_recent_views_outer(spark, sf_dir)

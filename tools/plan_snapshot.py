@@ -23,6 +23,7 @@ SKIP = {
     "streaming_stateful_user_totals",
     "streaming_append_closed_windows",
     "streaming_stream_stream_join",
+    "streaming_left_outer_join",
     "streaming_dedup_events",
     "setops_union_intersect_except",
     "similarity_topk_numpy",
