@@ -279,3 +279,16 @@ def similarity_ivf_topk(spark, sf_dir):
     asserted in tests/test_dedup.py."""
     e = _t(spark, sf_dir, "embeddings")
     return ivf_topk(e, e.where(F.col("vec_id") < 10), k=10)
+
+
+@register("similarity_ivf_trained_topk", None)  # approximate — rows-only check
+def similarity_ivf_trained_topk(spark, sf_dir):
+    """TRAINED IVF ANN top-k: 2 deterministic k-means iterations build
+    data-adaptive coarse cells (vs similarity_ivf_topk's data-blind
+    hyperplane cells); queries probe their 2 nearest centroids only.
+    Approximate by design → no SQL oracle; recall ≥ 0.9 on the clustered
+    fixture is asserted in tests/test_dedup.py::test_ivf_trained_recall_clustered."""
+    from hpmr_spark.similarity.lsh import ivf_topk_trained
+
+    e = _t(spark, sf_dir, "embeddings")
+    return ivf_topk_trained(e, e.where(F.col("vec_id") < 10), k=10, n_cells=8)

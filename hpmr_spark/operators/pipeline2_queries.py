@@ -599,3 +599,213 @@ def gemm_block_prune_report(spark, sf_dir):
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Data-contract audit: one violations report across rule classes.
+# ---------------------------------------------------------------------------
+@register(
+    "data_contract_violations",
+    """
+    SELECT 'orders_null_custkey' AS rule,
+           CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_violations
+    FROM orders
+    UNION ALL
+    SELECT 'orders_nonpositive_total',
+           CAST(SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'orders_dup_orderkey',
+           CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'orders_orphan_custkey',
+           CAST(COUNT(*) AS BIGINT)
+    FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+    UNION ALL
+    SELECT 'lineitem_orphan_orderkey',
+           CAST(COUNT(*) AS BIGINT)
+    FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+    UNION ALL
+    SELECT 'events_ts_out_of_2024',
+           CAST(SUM(CASE WHEN ts < TIMESTAMP '2024-01-01'
+                         OR ts >= TIMESTAMP '2025-01-01' THEN 1 ELSE 0 END)
+                AS BIGINT)
+    FROM events
+    """,
+)
+def data_contract_violations(spark, sf_dir):
+    """One-pass-per-table data-contract audit (the expectations suite every
+    ingestion gate runs): null keys, non-positive amounts, duplicate
+    primary keys, referential integrity (orders→customer and
+    lineitem→orders as LEFT ANTI joins — the scale shape for FK checks),
+    and timestamp-domain bounds, all in one violations report. All-zero on
+    healthy data — the oracle pins that every rule agrees exactly, so a
+    regenerated corpus that breaks a contract flips a visible row."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    li = _t(spark, sf_dir, "lineitem")
+    from hpmr_spark.sources.tables import load_events
+
+    ev = load_events(spark, sf_dir)
+
+    def one(rule, df_cnt):
+        return df_cnt.select(
+            F.lit(rule).alias("rule"), F.col("n").cast("long").alias("n_violations")
+        )
+
+    rules = [
+        one(
+            "orders_null_custkey",
+            o.agg(F.sum(F.when(F.col("o_custkey").isNull(), 1).otherwise(0)).alias("n")),
+        ),
+        one(
+            "orders_nonpositive_total",
+            o.agg(F.sum(F.when(F.col("o_totalprice") <= 0, 1).otherwise(0)).alias("n")),
+        ),
+        one(
+            "orders_dup_orderkey",
+            o.agg((F.count(F.lit(1)) - F.countDistinct("o_orderkey")).alias("n")),
+        ),
+        one(
+            "orders_orphan_custkey",
+            o.join(
+                c.select(F.col("c_custkey").alias("o_custkey")), "o_custkey", "left_anti"
+            ).agg(F.count(F.lit(1)).alias("n")),
+        ),
+        one(
+            "lineitem_orphan_orderkey",
+            li.join(
+                o.select(F.col("o_orderkey").alias("l_orderkey")), "l_orderkey", "left_anti"
+            ).agg(F.count(F.lit(1)).alias("n")),
+        ),
+        one(
+            "events_ts_out_of_2024",
+            ev.agg(
+                F.sum(
+                    F.when(
+                        (F.col("ts") < F.lit("2024-01-01").cast("timestamp"))
+                        | (F.col("ts") >= F.lit("2025-01-01").cast("timestamp")),
+                        1,
+                    ).otherwise(0)
+                ).alias("n")
+            ),
+        ),
+    ]
+    out = rules[0]
+    for r in rules[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Jensen-Shannon divergence between corpus halves (completes the drift suite).
+# ---------------------------------------------------------------------------
+@register(
+    "label_drift_js_nano",
+    """
+    WITH h AS (
+      SELECT CAST(label AS BIGINT) AS label,
+             CAST(vec_id % 2 AS BIGINT) AS half
+      FROM embeddings
+    ),
+    c AS (SELECT label,
+                 CAST(SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+                 CAST(SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c2
+          FROM h GROUP BY label),
+    t AS (SELECT CAST(SUM(c1) AS BIGINT) AS n1, CAST(SUM(c2) AS BIGINT) AS n2 FROM c),
+    term AS (
+      -- KL(p||m) term: p1 * ln(p1/m) with m = (p1+p2)/2; rewritten over
+      -- integer counts: p1 = c1/n1, m = (c1*n2 + c2*n1) / (2*n1*n2).
+      -- ln arg = 2*c1*n2 / (c1*n2 + c2*n1) >= ... both terms floored to
+      -- nanos elementwise; KL terms can be negative per-label but the
+      -- two-sided JS sum is >= 0 — each side's per-label term is kept
+      -- sign-split exact.
+      SELECT label,
+             CASE WHEN c1 > 0 THEN
+               CASE WHEN 2 * c1 * t.n2 >= c1 * t.n2 + c2 * t.n1
+                 THEN c1 * CAST(FLOOR(LN(CAST(2 * c1 * t.n2 AS DOUBLE)
+                      / CAST(c1 * t.n2 + c2 * t.n1 AS DOUBLE)) * 1000000000) AS BIGINT)
+                      // t.n1
+                 ELSE 0 - ((c1 * CAST(FLOOR(LN(CAST(c1 * t.n2 + c2 * t.n1 AS DOUBLE)
+                      / CAST(2 * c1 * t.n2 AS DOUBLE)) * 1000000000) AS BIGINT)
+                      + t.n1 - 1) // t.n1)
+               END ELSE 0 END AS kl1,
+             CASE WHEN c2 > 0 THEN
+               CASE WHEN 2 * c2 * t.n1 >= c1 * t.n2 + c2 * t.n1
+                 THEN c2 * CAST(FLOOR(LN(CAST(2 * c2 * t.n1 AS DOUBLE)
+                      / CAST(c1 * t.n2 + c2 * t.n1 AS DOUBLE)) * 1000000000) AS BIGINT)
+                      // t.n2
+                 ELSE 0 - ((c2 * CAST(FLOOR(LN(CAST(c1 * t.n2 + c2 * t.n1 AS DOUBLE)
+                      / CAST(2 * c2 * t.n1 AS DOUBLE)) * 1000000000) AS BIGINT)
+                      + t.n2 - 1) // t.n2)
+               END ELSE 0 END AS kl2
+      FROM c, t
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_labels,
+           CAST(SUM(kl1) AS BIGINT) AS kl_p_m_nano,
+           CAST(SUM(kl2) AS BIGINT) AS kl_q_m_nano,
+           CAST(CASE WHEN SUM(kl1) + SUM(kl2) >= 0
+                THEN (SUM(kl1) + SUM(kl2)) // 2
+                ELSE 0 - ((0 - (SUM(kl1) + SUM(kl2))) // 2) END AS BIGINT) AS js_nano
+    FROM term
+    """,
+)
+def label_drift_js_nano(spark, sf_dir):
+    """Jensen-Shannon divergence between the two vec_id-parity halves —
+    the SYMMETRIC, bounded (≤ ln 2) drift metric completing the suite
+    (KS = sup-CDF, PSI = per-bin, JS = information-theoretic). Per-label
+    KL terms p·ln(p/m) are computed over exact integer counts with the LN
+    commitment, floored to nanos elementwise and SIGN-SPLIT (a label's KL
+    term is negative when p < m; negative numerators never cross engines
+    through floor division, so the negative branch uses the mirrored
+    ceiling form). Identical expression text on both engines."""
+    e = _t(spark, sf_dir, "embeddings")
+    h = e.select(
+        F.col("label").cast("long").alias("label"),
+        (F.col("vec_id") % 2).cast("long").alias("half"),
+    )
+    c = h.groupBy("label").agg(
+        F.sum(F.when(F.col("half") == 0, 1).otherwise(0)).cast("long").alias("c1"),
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).cast("long").alias("c2"),
+    )
+    t = c.agg(
+        F.sum("c1").cast("long").alias("n1"), F.sum("c2").cast("long").alias("n2")
+    )
+    ct = c.crossJoin(F.broadcast(t))
+    kl1 = (
+        "CASE WHEN c1 > 0 THEN"
+        " CASE WHEN 2 * c1 * n2 >= c1 * n2 + c2 * n1"
+        " THEN c1 * CAST(FLOOR(LN(CAST(2 * c1 * n2 AS DOUBLE)"
+        " / CAST(c1 * n2 + c2 * n1 AS DOUBLE)) * 1000000000) AS BIGINT)"
+        " div n1"
+        " ELSE 0 - ((c1 * CAST(FLOOR(LN(CAST(c1 * n2 + c2 * n1 AS DOUBLE)"
+        " / CAST(2 * c1 * n2 AS DOUBLE)) * 1000000000) AS BIGINT)"
+        " + n1 - 1) div n1)"
+        " END ELSE 0 END"
+    )
+    kl2 = (
+        "CASE WHEN c2 > 0 THEN"
+        " CASE WHEN 2 * c2 * n1 >= c1 * n2 + c2 * n1"
+        " THEN c2 * CAST(FLOOR(LN(CAST(2 * c2 * n1 AS DOUBLE)"
+        " / CAST(c1 * n2 + c2 * n1 AS DOUBLE)) * 1000000000) AS BIGINT)"
+        " div n2"
+        " ELSE 0 - ((c2 * CAST(FLOOR(LN(CAST(c1 * n2 + c2 * n1 AS DOUBLE)"
+        " / CAST(2 * c2 * n1 AS DOUBLE)) * 1000000000) AS BIGINT)"
+        " + n2 - 1) div n2)"
+        " END ELSE 0 END"
+    )
+    term = ct.select(
+        "label", F.expr(kl1).alias("kl1"), F.expr(kl2).alias("kl2")
+    )
+    return term.agg(
+        F.count(F.lit(1)).cast("long").alias("n_labels"),
+        F.sum("kl1").cast("long").alias("kl_p_m_nano"),
+        F.sum("kl2").cast("long").alias("kl_q_m_nano"),
+        F.expr(
+            "CASE WHEN sum(kl1) + sum(kl2) >= 0"
+            " THEN (sum(kl1) + sum(kl2)) div 2"
+            " ELSE 0 - ((0 - (sum(kl1) + sum(kl2))) div 2) END"
+        ).cast("long").alias("js_nano"),
+    )

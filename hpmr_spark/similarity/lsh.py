@@ -173,3 +173,124 @@ def ivf_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank")
     )
+
+
+def ivf_topk_trained(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 2,
+    train_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """TRAINED IVF (the production ANN shape, vs `ivf_topk`'s data-blind
+    hyperplane cells): coarse centroids come from `train_iters` synchronous
+    k-means steps over the corpus itself — deterministic throughout (seeds
+    are the vectors whose committed hash ranks lowest; assignment ties
+    break on cell id; updated centroids are mean vectors, whose float sums
+    are order-sensitive but only STEER the index — every emitted neighbor
+    is re-scored exactly, so approximation never corrupts a score).
+
+    Scale: training touches the corpus train_iters+1 times (broadcast
+    centroids each pass — no shuffle); the index assignment is one scan;
+    queries probe their `n_probe` nearest cells only, so the search join
+    grazes ~n_probe/n_cells of the corpus. Rows-only (approximate recall),
+    gated by the clustered-fixture pytest like ivf_topk."""
+    from hpmr_spark.functions.hashing import hash60
+    from hpmr_spark.functions.vectors import cosine
+
+    spark = corpus.sparkSession
+    d = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    # deterministic seeds: lowest committed-hash vectors
+    seeds = [
+        r["vec"]
+        for r in d.select(
+            "vec", hash60(F.concat(F.lit("ivf:"), F.col("id").cast("string"))).alias("h")
+        )
+        .orderBy("h")
+        .limit(n_cells)
+        .collect()
+    ]
+    cents = [[float(x) for x in v] for v in seeds]
+
+    def nearest(vcol, centroids):
+        # array argmax, NOT a chained when(): a fold of conditionals embeds
+        # the running best THREE times per centroid — a 3^n_cells expression
+        # blowup that hangs analysis. array_max over (sim, -cell) structs is
+        # linear and ties break to the LOWEST cell id.
+        sims = F.array(
+            *[
+                F.struct(
+                    cosine(vcol, F.array(*[F.lit(x) for x in cv])).alias("sim"),
+                    F.lit(-ci).alias("negcell"),
+                )
+                for ci, cv in enumerate(centroids)
+            ]
+        )
+        return -F.array_max(sims)["negcell"]
+
+    for _ in range(train_iters):
+        assigned = d.select("vec", nearest(F.col("vec"), cents).alias("cell"))
+        upd = (
+            assigned.select(
+                "cell", F.posexplode(F.col("vec")).alias("dim", "x")
+            )
+            .groupBy("cell", "dim")
+            .agg(F.sum(F.col("x").cast("double")).alias("s"), F.count(F.lit(1)).alias("n"))
+            .groupBy("cell")
+            .agg(
+                F.expr(
+                    "transform(array_sort(collect_list(struct(dim, s / n AS m))),"
+                    " p -> p.m)"
+                ).alias("centroid")
+            )
+            .collect()
+        )
+        new = dict((r["cell"], [float(x) for x in r["centroid"]]) for r in upd)
+        cents = [new.get(ci, cents[ci]) for ci in range(n_cells)]
+
+    c = d.select(
+        F.col("id").alias("neighbor_id"),
+        F.col("vec").alias("c_vec"),
+        nearest(F.col("vec"), cents).alias("cell"),
+    )
+
+    # per-query probe list: n_probe nearest centroids
+    def probe_cells(vcol):
+        sims = F.array(
+            *[
+                F.struct(
+                    cosine(vcol, F.array(*[F.lit(x) for x in cv])).alias("sim"),
+                    F.lit(ci).alias("cell"),
+                )
+                for ci, cv in enumerate(cents)
+            ]
+        )
+        top = F.slice(F.reverse(F.array_sort(sims)), 1, n_probe)
+        return F.transform(top, lambda s: s["cell"])
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.explode(probe_cells(F.col(vec_col))).alias("cell"),
+    )
+    scored = (
+        F.broadcast(q)
+        .join(c, "cell")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("q_vec"), F.col("c_vec")).alias("sim"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )
