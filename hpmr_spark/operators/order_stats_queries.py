@@ -529,3 +529,179 @@ def stratified_fold_balance(spark, sf_dir):
         "n",
         F.expr("n * 5000000 div seg_n").cast("long").alias("fold_share_x5_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Geometric mean of document length per language (LN/EXP parity).
+# ---------------------------------------------------------------------------
+@register(
+    "geometric_mean_doclen",
+    """
+    WITH t AS (
+      SELECT lang,
+             CAST(FLOOR(LN(CAST(GREATEST(n_chars, 1) AS DOUBLE)) * 1000000000)
+                  AS BIGINT) AS ln_nano
+      FROM documents
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(ln_nano) AS BIGINT) AS sum_ln_nano,
+           CAST(FLOOR(EXP(CAST(SUM(ln_nano) // COUNT(*) AS DOUBLE) / 1e9) * 1000)
+                AS BIGINT) AS geo_mean_mchars
+    FROM t GROUP BY lang
+    """,
+)
+def geometric_mean_doclen(spark, sf_dir):
+    """Geometric mean document length per language — the right average for
+    a log-normal-ish size distribution (the arithmetic mean is dragged by
+    outliers a curriculum planner already handles separately). Log-domain
+    discipline end to end: per-row ln floored to integer NANOS (the LN
+    parity commitment), exact BIGINT sum, integer floor-divided by the
+    count, ONE final EXP (EXP parity) floored to milli-chars. Deterministic
+    under any partitioning."""
+    d = _t(spark, sf_dir, "documents")
+    t = d.select(
+        "lang",
+        F.expr(
+            "CAST(FLOOR(LN(CAST(GREATEST(n_chars, 1) AS DOUBLE)) * 1000000000)"
+            " AS BIGINT)"
+        ).alias("ln_nano"),
+    )
+    return t.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("ln_nano").cast("long").alias("sum_ln_nano"),
+        F.expr(
+            "CAST(FLOOR(EXP(CAST(sum(ln_nano) div count(1) AS DOUBLE) / 1e9)"
+            " * 1000) AS BIGINT)"
+        ).alias("geo_mean_mchars"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Theil T inequality index of customer revenue (completes gini/lorenz).
+# ---------------------------------------------------------------------------
+@register(
+    "theil_index_revenue",
+    f"""
+    WITH w AS ({_WEALTH_SQL}),
+    t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(cents) AS BIGINT) AS s FROM w),
+    term AS (
+      -- x/X * ln(x*n/X) per customer, floored to integer nanos, SIGN-SPLIT
+      -- (below-average customers contribute negative terms)
+      SELECT CASE WHEN cents * t.n >= t.s
+               THEN cents * CAST(FLOOR(LN(CAST(cents AS DOUBLE) * t.n / t.s)
+                    * 1000000000) AS BIGINT) // t.s
+               ELSE 0 - ((cents * CAST(FLOOR(LN(CAST(t.s AS DOUBLE)
+                    / (CAST(cents AS DOUBLE) * t.n)) * 1000000000) AS BIGINT)
+                    + t.s - 1) // t.s)
+             END AS term_nano
+      FROM w, t WHERE cents > 0
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_cust,
+           CAST(SUM(term_nano) AS BIGINT) AS theil_t_nano
+    FROM term
+    """,
+)
+def theil_index_revenue(spark, sf_dir):
+    """Theil T index of per-customer revenue — the DECOMPOSABLE inequality
+    measure (unlike Gini it splits exactly into within-group + between-group
+    components, which is why mixture auditors prefer it). Each customer's
+    term (x/X)·ln(x·n/X) is floored to integer nanos with the sign-split
+    rule (below-average revenue gives negative terms; the mirrored ceiling
+    form keeps floor semantics across engines) and summed exactly. T=0 ⟺
+    perfect equality; ≤ ln(n)."""
+    w = _wealth(spark, sf_dir)
+    t = w.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("s"),
+    )
+    term = (
+        w.crossJoin(F.broadcast(t))
+        .where(F.col("cents") > 0)
+        .select(
+            F.expr(
+                "CASE WHEN cents * n >= s"
+                " THEN cents * CAST(FLOOR(LN(CAST(cents AS DOUBLE) * n / s)"
+                " * 1000000000) AS BIGINT) div s"
+                " ELSE 0 - ((cents * CAST(FLOOR(LN(CAST(s AS DOUBLE)"
+                " / (CAST(cents AS DOUBLE) * n)) * 1000000000) AS BIGINT)"
+                " + s - 1) div s)"
+                " END"
+            ).alias("term_nano")
+        )
+    )
+    return term.agg(
+        F.count(F.lit(1)).cast("long").alias("n_cust"),
+        F.sum("term_nano").cast("long").alias("theil_t_nano"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# CUSUM change-point detection over hourly event rates.
+# ---------------------------------------------------------------------------
+@register(
+    "cusum_changepoint_hours",
+    """
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS hr, CAST(COUNT(*) AS BIGINT) AS x
+      FROM events GROUP BY date_trunc('hour', ts)
+    ),
+    t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS s
+          FROM hourly),
+    r AS (SELECT hr, x,
+                 row_number() OVER (ORDER BY hr) AS i,
+                 CAST(SUM(x) OVER (ORDER BY hr ROWS UNBOUNDED PRECEDING)
+                      AS BIGINT) AS si
+          FROM hourly),
+    dev AS (SELECT hr, i, ABS(si * t.n - i * t.s) AS dnum FROM r, t),
+    mx AS (SELECT MAX(dnum) AS max_dnum FROM dev)
+    SELECT t.n AS n_hours,
+           CAST(mx.max_dnum * 1000000 // (t.n * t.s) AS BIGINT)
+             AS max_dev_ppm,
+           (SELECT MIN(hr) FROM dev WHERE dnum = mx.max_dnum)
+             AS changepoint_hr
+    FROM t, mx
+    """,
+)
+def cusum_changepoint_hours(spark, sf_dir):
+    """CUSUM change-point detection on the hourly event rate: the hour
+    where the cumulative count deviates most from the uniform-rate line —
+    max |S_i·n − i·S_n| (cross-multiplied, no float means), deviation in
+    ppm of total mass, argmax hour tie-broken to the earliest. The prefix
+    sum and index run as ONE fused two-pass bucketed pass
+    (functions/ranking.global_order_multi) — no window; the detector every
+    rate monitor runs after an incident."""
+    from hpmr_spark.functions.ranking import global_order_multi
+    from hpmr_spark.sources.tables import load_events
+
+    ev = load_events(spark, sf_dir)
+    hourly = ev.groupBy(F.date_trunc("hour", "ts").alias("hr")).agg(
+        F.count(F.lit(1)).alias("x")
+    )
+    t = hourly.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("s"),
+    )
+    r = global_order_multi(
+        hourly.withColumn("hr_us", F.unix_micros(F.col("hr").cast("timestamp"))),
+        ["hr_us"],
+        rn_out="i",
+        running=[("x", "sum", False, "si")],
+    )
+    dev = r.crossJoin(F.broadcast(t)).select(
+        "hr", F.abs(F.col("si") * F.col("n") - F.col("i") * F.col("s")).alias("dnum")
+    )
+    mx = dev.agg(F.max("dnum").alias("max_dnum"))
+    at = dev.join(F.broadcast(mx), F.col("dnum") == F.col("max_dnum")).agg(
+        F.min("hr").alias("changepoint_hr")
+    )
+    return (
+        t.crossJoin(F.broadcast(mx))
+        .crossJoin(F.broadcast(at))
+        .select(
+            F.col("n").alias("n_hours"),
+            F.expr("max_dnum * 1000000 div (n * s)").cast("long").alias("max_dev_ppm"),
+            "changepoint_hr",
+        )
+    )
