@@ -705,3 +705,155 @@ def cusum_changepoint_hours(spark, sf_dir):
             "changepoint_hr",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Hellinger / Bhattacharyya distance between corpus halves (sqrt parity).
+# ---------------------------------------------------------------------------
+@register(
+    "label_drift_hellinger_nano",
+    """
+    WITH h AS (
+      SELECT CAST(label AS BIGINT) AS label,
+             CAST(vec_id % 2 AS BIGINT) AS half
+      FROM embeddings
+    ),
+    c AS (SELECT label,
+                 CAST(SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+                 CAST(SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c2
+          FROM h GROUP BY label),
+    t AS (SELECT CAST(SUM(c1) AS BIGINT) AS n1, CAST(SUM(c2) AS BIGINT) AS n2 FROM c),
+    term AS (
+      SELECT CAST(FLOOR(sqrt(CAST(c1 AS DOUBLE) * c2
+                        / (CAST(t.n1 AS DOUBLE) * t.n2)) * 1000000000) AS BIGINT)
+               AS bc_nano
+      FROM c, t
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_labels,
+           CAST(SUM(bc_nano) AS BIGINT) AS bhattacharyya_nano,
+           CAST(1000000000 - SUM(bc_nano) AS BIGINT) AS hellinger_sq_nano
+    FROM term
+    """,
+)
+def label_drift_hellinger_nano(spark, sf_dir):
+    """Bhattacharyya coefficient / squared Hellinger distance between the
+    vec_id-parity halves — the sqrt-family drift metric (BC = Σ√(p₁p₂),
+    H² = 1 − BC, always in [0,1]): per-label √ terms are IEEE-correctly-
+    rounded sqrt over exact integer ratios (sqrt IS portable across
+    engines, unlike acos/cos), floored to nanos elementwise before the
+    exact sum — deterministic everywhere, ALL terms non-negative (no
+    sign-split needed, unlike KL/PSI). Completes the drift suite:
+    KS (sup), PSI (per-bin log), JS (symmetric log), Hellinger (sqrt)."""
+    e = _t(spark, sf_dir, "embeddings")
+    h = e.select(
+        F.col("label").cast("long").alias("label"),
+        (F.col("vec_id") % 2).cast("long").alias("half"),
+    )
+    c = h.groupBy("label").agg(
+        F.sum(F.when(F.col("half") == 0, 1).otherwise(0)).cast("long").alias("c1"),
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).cast("long").alias("c2"),
+    )
+    t = c.agg(
+        F.sum("c1").cast("long").alias("n1"), F.sum("c2").cast("long").alias("n2")
+    )
+    term = c.crossJoin(F.broadcast(t)).select(
+        F.expr(
+            "CAST(FLOOR(sqrt(CAST(c1 AS DOUBLE) * c2"
+            " / (CAST(n1 AS DOUBLE) * n2)) * 1000000000) AS BIGINT)"
+        ).alias("bc_nano")
+    )
+    return term.agg(
+        F.count(F.lit(1)).cast("long").alias("n_labels"),
+        F.sum("bc_nano").cast("long").alias("bhattacharyya_nano"),
+        (F.lit(1000000000) - F.sum("bc_nano")).cast("long").alias("hellinger_sq_nano"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mann-Whitney U gate between order-value segments (rank-sum test).
+# ---------------------------------------------------------------------------
+@register(
+    "mann_whitney_u_gate",
+    """
+    WITH c AS (
+      SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+             CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                  THEN 1 ELSE 0 END AS grp
+      FROM orders
+    ),
+    g AS (SELECT cents,
+                 CAST(SUM(grp) AS BIGINT) AS c1,
+                 CAST(SUM(1 - grp) AS BIGINT) AS c2
+          FROM c GROUP BY cents),
+    t AS (SELECT CAST(SUM(c1) AS BIGINT) AS n1,
+                 CAST(SUM(c2) AS BIGINT) AS n2 FROM g),
+    cum AS (SELECT cents, c1, c2,
+                   CAST(COALESCE(SUM(c1 + c2) OVER (ORDER BY cents
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                        AS BIGINT) AS plt
+            FROM g),
+    r AS (SELECT CAST(SUM(c1 * (2 * plt + (c1 + c2) + 1)) AS BIGINT) AS r2_1
+          FROM cum)
+    SELECT t.n1, t.n2,
+           CAST((r.r2_1 - t.n1 * (t.n1 + 1)) // 2 AS BIGINT) AS u1,
+           -- two-sided z^2 > 3.8416 gate by integer cross-multiplication:
+           -- z^2 = (U - n1n2/2)^2 / (n1n2(n1+n2+1)/12)
+           -- <=> 12 * (2U - n1n2)^2 * 10000 > 4 * 38416 * n1n2(n1+n2+1)
+           (CAST(12 AS HUGEINT) * CAST((r.r2_1 - t.n1 * (t.n1 + 1)) - t.n1 * t.n2 AS HUGEINT)
+              * CAST((r.r2_1 - t.n1 * (t.n1 + 1)) - t.n1 * t.n2 AS HUGEINT) * 10000
+            > CAST(4 AS HUGEINT) * 38416 * CAST(t.n1 AS HUGEINT) * t.n2
+              * (t.n1 + t.n2 + 1)) AS significant_95
+    FROM r, t
+    """,
+)
+def mann_whitney_u_gate(spark, sf_dir):
+    """Mann-Whitney U test between urgent and normal order values — the
+    nonparametric two-sample location gate (the hypothesis-test sibling of
+    ks_two_sample_prices' distribution distance). U₁ from the tie-averaged
+    doubled rank-sum (the AUC rank2 machinery over the per-value grouped
+    frame; 2·U₁ − n₁n₂ = r2₁ − n₁(n₁+1) − n₁n₂ stays integral, so the
+    normal-approximation z² > 3.8416 decision is an exact int128
+    cross-multiplication — no float variance, no ties correction needed at
+    this corpus's tie density for the 95% decision). Prefix sums run as
+    the fused two-pass bucketed pass."""
+    from hpmr_spark.functions.ranking import global_running
+
+    o = _t(spark, sf_dir, "orders")
+    c = o.select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        F.when(
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), F.lit(1)
+        ).otherwise(F.lit(0)).alias("grp"),
+    )
+    g = c.groupBy("cents").agg(
+        F.sum("grp").cast("long").alias("c1"),
+        F.sum(F.lit(1) - F.col("grp")).cast("long").alias("c2"),
+    )
+    t = g.agg(
+        F.sum("c1").cast("long").alias("n1"), F.sum("c2").cast("long").alias("n2")
+    )
+    cum = global_running(
+        g.withColumn("both", F.col("c1") + F.col("c2")),
+        ["cents"],
+        "both",
+        kind="sum",
+        strict=True,
+        out="plt",
+    ).withColumn("plt", F.coalesce(F.col("plt"), F.lit(0)))
+    r = cum.agg(
+        F.sum(
+            F.col("c1") * (2 * F.col("plt") + F.col("c1") + F.col("c2") + 1)
+        ).cast("long").alias("r2_1")
+    )
+    return r.crossJoin(F.broadcast(t)).select(
+        "n1",
+        "n2",
+        F.expr("(r2_1 - n1 * (n1 + 1)) div 2").cast("long").alias("u1"),
+        F.expr(
+            "CAST(12 AS DECIMAL(38,0))"
+            " * CAST((r2_1 - n1 * (n1 + 1)) - n1 * n2 AS DECIMAL(38,0))"
+            " * CAST((r2_1 - n1 * (n1 + 1)) - n1 * n2 AS DECIMAL(38,0)) * 10000"
+            " > CAST(4 AS DECIMAL(38,0)) * 38416 * CAST(n1 AS DECIMAL(38,0)) * n2"
+            " * (n1 + n2 + 1)"
+        ).alias("significant_95"),
+    )
