@@ -234,10 +234,9 @@ class KeyedMap:
         1-based `rank` column. The scale-safe default a user should reach
         instead of `Window.orderBy(...)`: selection plans as
         TakeOrderedAndProject (per-partition heaps + a k-row merge — no
-        global sort, no single-partition window); the rank window runs on
-        the already-selected k-row frame only."""
-        from pyspark.sql import Window
-
+        global sort, no single-partition window); the rank comes from
+        `functions/ranking.bounded_rank` — a broadcast non-equi self-join
+        over the already-selected k-row frame (no window at all)."""
         order = (
             [F.col(VALUE).desc(), F.col(KEY)] if descending else [F.col(VALUE), F.col(KEY)]
         ) if by_value else (

@@ -374,7 +374,7 @@ def winsorize_clip_stats(spark, sf_dir):
     (k-th smallest = least cents whose cumulative count ≥ k, k = ⌈n/100⌉ /
     ⌈99n/100⌉ via integer ceil division), clip every row into [p01, p99],
     aggregate in integer cents. The cumulative count over the GROUPED
-    distinct-value frame is the two-pass range-partitioned prefix sum
+    distinct-value frame is the two-pass value-bucketed prefix sum
     (functions/ranking.global_running) — near-unique prices make that frame
     row-scale, so the scale-safe form matters; no single-partition window
     (sketch_bounded_checks holds the approx-percentile alternative)."""

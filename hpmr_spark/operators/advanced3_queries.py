@@ -437,10 +437,14 @@ def rfm_user_scores(spark, sf_dir):
     """Recency/frequency/monetary quintiles per purchasing user — NTILE(5)
     over each exact-integer metric with user_id as the total-order
     tie-break (ntile is only deterministic under a TOTAL order). The user
-    frame is fact-scale at 100 TB, so each quintile is the two-pass bucketed
-    row_number + exact integer NTILE (functions/ranking.py) — no
-    single-partition window; the oracle keeps the NTILE window form."""
-    from hpmr_spark.functions.ranking import exact_ntile, global_row_number
+    frame is fact-scale at 100 TB, so the quintiles come from ONE fused
+    three-ordering builder (functions/ranking.global_row_numbers — single
+    bounds aggregate, three chained bucket windows on the same frame, no
+    join back on user_id; the round-4 fusion of what used to be three
+    separate global_row_number passes + three user_id equi-joins) + exact
+    integer NTILE — no single-partition window; the oracle keeps the NTILE
+    window form."""
+    from hpmr_spark.functions.ranking import exact_ntile, global_row_numbers
 
     ev = load_events(spark, sf_dir)
     m = (
@@ -452,18 +456,20 @@ def rfm_user_scores(spark, sf_dir):
             F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
         )
     )
-    # multi-consumer post-agg frame (3 independent rankings + the total):
-    # persist, or every ranking re-derives the events aggregation
-    # (CLAUDE.md persist rule; query is in plan_snapshot SKIP)
+    # multi-consumer post-agg frame (fused bounds agg + windows + totals +
+    # the n count): persist, or every consumer re-derives the events
+    # aggregation (CLAUDE.md persist rule; query is in plan_snapshot SKIP)
     m = m.persist()
     t = m.agg(F.count(F.lit(1)).alias("n"))
-    out = m
-    for metric, score in (("last_us", "r_score"), ("freq", "f_score"), ("cents", "m_score")):
-        r = global_row_number(
-            m.select("user_id", metric), [metric, "user_id"], out="_rn_" + score
-        ).select("user_id", "_rn_" + score)
-        out = out.join(r, "user_id")
-    out = out.crossJoin(F.broadcast(t))
+    r = global_row_numbers(
+        m,
+        [
+            (["last_us", "user_id"], "_rn_r_score"),
+            (["freq", "user_id"], "_rn_f_score"),
+            (["cents", "user_id"], "_rn_m_score"),
+        ],
+    )
+    out = r.crossJoin(F.broadcast(t))
     return out.select(
         "user_id",
         *[

@@ -44,7 +44,7 @@ def skyline_price_date(spark, sf_dir):
     """Pareto front over (maximize price, minimize order date) without the
     quadratic NOT EXISTS and without a single-partition window: min_d_gt —
     the earliest date among all STRICTLY more expensive orders — is a
-    two-pass range-partitioned suffix-min over the per-cents aggregated
+    two-pass value-bucketed suffix-min over the per-cents aggregated
     frame (functions/ranking.global_running, cents DESC, strict frame);
     min_d_eq resolves ties within a price level. Every stage parallel;
     oracle keeps the value-RANGE window form, proving equivalence."""
@@ -98,7 +98,7 @@ def histogram_equidepth_cents(spark, sf_dir):
     equal values straddling a bucket boundary would land nondeterministically
     and flake any comparison. Complements the existing equi-WIDTH histogram;
     equi-depth boundaries are what optimizers and drift monitors actually
-    want. Bucketing = two-pass range-partitioned row_number + the exact
+    want. Bucketing = two-pass value-bucketed row_number + the exact
     integer NTILE formula (functions/ranking.py) — no single-partition
     window; the oracle keeps the NTILE window form, proving equivalence."""
     c = _t(spark, sf_dir, "orders").select(

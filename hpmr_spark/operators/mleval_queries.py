@@ -91,7 +91,7 @@ def binary_classifier_eval_auc(spark, sf_dir):
     thresholded confusion row (precision/recall/F1/accuracy in ppm).
 
     Plan shape (the 100 TB form — no global rank window): one scan -> a
-    keyed histogram per score_ppm (cnt, pos) -> two-pass range-partitioned
+    keyed histogram per score_ppm (cnt, pos) -> two-pass value-bucketed
     STRICT prefix sum of cnt (functions/ranking.global_running) over the
     bucketed frame -> one aggregate. For a row at score s with c ties,
     min-rank = prefix_lt + 1, so the tie-averaged doubled rank is

@@ -177,10 +177,14 @@ def lorenz_curve_deciles(spark, sf_dir):
                    CAST(SUM(c2) OVER (ORDER BY cents ROWS UNBOUNDED PRECEDING)
                         AS BIGINT) AS f2
             FROM g),
-    d AS (SELECT cents, ABS(f1 * t.n2 - f2 * t.n1) AS dnum FROM cum, t),
+    d AS (SELECT cents,
+                 ABS(CAST(f1 AS HUGEINT) * t.n2 - CAST(f2 AS HUGEINT) * t.n1)
+                   AS dnum
+          FROM cum, t),
     mx AS (SELECT MAX(dnum) AS max_dnum FROM d)
     SELECT t.n1, t.n2,
-           CAST(mx.max_dnum * 1000000 // (t.n1 * t.n2) AS BIGINT) AS ks_d_ppm,
+           CAST(mx.max_dnum * 1000000 // (CAST(t.n1 AS HUGEINT) * t.n2)
+                AS BIGINT) AS ks_d_ppm,
            CAST((SELECT MIN(cents) FROM d WHERE dnum = mx.max_dnum) AS BIGINT)
              AS at_cents
     FROM t, mx
@@ -193,7 +197,10 @@ def ks_two_sample_prices(spark, sf_dir):
     to end: per-value group counts, two-pass bucketed prefix sums for both
     empirical CDFs in ONE ordered pass each, and the sup as
     max |F1·n2 − F2·n1| (cross-multiplied — no float CDFs); D in ppm by a
-    positive floor division, plus the smallest value attaining it."""
+    positive floor division, plus the smallest value attaining it. The
+    cross-multiplications run in int128 (Spark DECIMAL(38,0) ≡ DuckDB
+    HUGEINT): f1·n2 and n1·n2 overflow int64 once n1·n2 > 9.2e18 — a few
+    billion rows per side, reachable at the 100 TB design point."""
     o = _t(spark, sf_dir, "orders")
     c = o.select(
         F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
@@ -217,7 +224,9 @@ def ks_two_sample_prices(spark, sf_dir):
     )
     d = cum.crossJoin(F.broadcast(t)).select(
         "cents",
-        F.abs(F.col("f1") * F.col("n2") - F.col("f2") * F.col("n1")).alias("dnum"),
+        F.expr(
+            "ABS(CAST(f1 AS DECIMAL(38,0)) * n2 - CAST(f2 AS DECIMAL(38,0)) * n1)"
+        ).alias("dnum"),
     )
     mx = d.agg(F.max("dnum").alias("max_dnum"))
     at = (
@@ -230,7 +239,9 @@ def ks_two_sample_prices(spark, sf_dir):
         .select(
             "n1",
             "n2",
-            F.expr("max_dnum * 1000000 div (n1 * n2)").cast("long").alias("ks_d_ppm"),
+            F.expr(
+                "max_dnum * 1000000 div (CAST(n1 AS DECIMAL(38,0)) * n2)"
+            ).cast("long").alias("ks_d_ppm"),
             F.col("at_cents").cast("long").alias("at_cents"),
         )
     )
@@ -435,14 +446,16 @@ _RATER_B = f"CAST(({sql_hash60(chr(39) + 'b:' + chr(39) + ' || CAST(vec_id AS VA
                  CAST(SUM(b) AS BIGINT) AS nb1
           FROM p),
     e AS (SELECT n, agree, na1, nb1,
-                 na1 * nb1 + (n - na1) * (n - nb1) AS chance_x_n2_over_n
+                 CAST(na1 AS HUGEINT) * nb1
+                   + (CAST(n AS HUGEINT) - na1) * (n - nb1)
+                   AS chance_x_n2_over_n
           FROM m)
     SELECT n, agree, na1, nb1,
-           CAST(CASE WHEN agree * n - chance_x_n2_over_n >= 0
-                THEN (agree * n - chance_x_n2_over_n) * 1000000
-                     // (n * n - chance_x_n2_over_n)
-                ELSE 0 - ((0 - (agree * n - chance_x_n2_over_n)) * 1000000
-                     // (n * n - chance_x_n2_over_n)) END AS BIGINT) AS kappa_ppm
+           CAST(CASE WHEN CAST(agree AS HUGEINT) * n - chance_x_n2_over_n >= 0
+                THEN (CAST(agree AS HUGEINT) * n - chance_x_n2_over_n) * 1000000
+                     // (CAST(n AS HUGEINT) * n - chance_x_n2_over_n)
+                ELSE 0 - ((0 - (CAST(agree AS HUGEINT) * n - chance_x_n2_over_n)) * 1000000
+                     // (CAST(n AS HUGEINT) * n - chance_x_n2_over_n)) END AS BIGINT) AS kappa_ppm
     FROM e
     """,
 )
@@ -454,7 +467,9 @@ def cohens_kappa_raters(spark, sf_dir):
     (agree·n − Σ marginal products)·1e6 // (n² − Σ marginal products), with
     the SIGN-SPLIT floor division (CLAUDE.md rule: negative-operand integer
     division never crosses engines intact — κ < 0 is possible for
-    worse-than-chance raters). One scan, one 1-row aggregate."""
+    worse-than-chance raters). All cross-multiplications in int128 (Spark
+    DECIMAL(38,0) ≡ DuckDB HUGEINT): agree·n and n² pass int64 at n > 3e9
+    rows. One scan, one 1-row aggregate."""
     e = _t(spark, sf_dir, "embeddings")
     a = (
         hash60(F.col("vec_id").cast("string")) % 100
@@ -471,16 +486,21 @@ def cohens_kappa_raters(spark, sf_dir):
         F.sum("a").cast("long").alias("na1"),
         F.sum("b").cast("long").alias("nb1"),
     )
-    ch = "na1 * nb1 + (n - na1) * (n - nb1)"
+    ch = (
+        "CAST(na1 AS DECIMAL(38,0)) * nb1"
+        " + (CAST(n AS DECIMAL(38,0)) - na1) * (n - nb1)"
+    )
+    po = "CAST(agree AS DECIMAL(38,0)) * n"
+    pd = "CAST(n AS DECIMAL(38,0)) * n"
     return m.select(
         "n",
         "agree",
         "na1",
         "nb1",
         F.expr(
-            f"CAST(CASE WHEN agree * n - ({ch}) >= 0"
-            f" THEN (agree * n - ({ch})) * 1000000 div (n * n - ({ch}))"
-            f" ELSE 0 - ((0 - (agree * n - ({ch}))) * 1000000 div (n * n - ({ch})))"
+            f"CAST(CASE WHEN {po} - ({ch}) >= 0"
+            f" THEN ({po} - ({ch})) * 1000000 div ({pd} - ({ch}))"
+            f" ELSE 0 - ((0 - ({po} - ({ch}))) * 1000000 div ({pd} - ({ch})))"
             f" END AS BIGINT)"
         ).alias("kappa_ppm"),
     )
@@ -654,10 +674,13 @@ def theil_index_revenue(spark, sf_dir):
                  CAST(SUM(x) OVER (ORDER BY hr ROWS UNBOUNDED PRECEDING)
                       AS BIGINT) AS si
           FROM hourly),
-    dev AS (SELECT hr, i, ABS(si * t.n - i * t.s) AS dnum FROM r, t),
+    dev AS (SELECT hr, i,
+                   ABS(CAST(si AS HUGEINT) * t.n - CAST(i AS HUGEINT) * t.s)
+                     AS dnum
+            FROM r, t),
     mx AS (SELECT MAX(dnum) AS max_dnum FROM dev)
     SELECT t.n AS n_hours,
-           CAST(mx.max_dnum * 1000000 // (t.n * t.s) AS BIGINT)
+           CAST(mx.max_dnum * 1000000 // (CAST(t.n AS HUGEINT) * t.s) AS BIGINT)
              AS max_dev_ppm,
            (SELECT MIN(hr) FROM dev WHERE dnum = mx.max_dnum)
              AS changepoint_hr
@@ -690,7 +713,10 @@ def cusum_changepoint_hours(spark, sf_dir):
         running=[("x", "sum", False, "si")],
     )
     dev = r.crossJoin(F.broadcast(t)).select(
-        "hr", F.abs(F.col("si") * F.col("n") - F.col("i") * F.col("s")).alias("dnum")
+        "hr",
+        F.expr(
+            "ABS(CAST(si AS DECIMAL(38,0)) * n - CAST(i AS DECIMAL(38,0)) * s)"
+        ).alias("dnum"),
     )
     mx = dev.agg(F.max("dnum").alias("max_dnum"))
     at = dev.join(F.broadcast(mx), F.col("dnum") == F.col("max_dnum")).agg(
@@ -701,7 +727,9 @@ def cusum_changepoint_hours(spark, sf_dir):
         .crossJoin(F.broadcast(at))
         .select(
             F.col("n").alias("n_hours"),
-            F.expr("max_dnum * 1000000 div (n * s)").cast("long").alias("max_dev_ppm"),
+            F.expr(
+                "max_dnum * 1000000 div (CAST(n AS DECIMAL(38,0)) * s)"
+            ).cast("long").alias("max_dev_ppm"),
             "changepoint_hr",
         )
     )

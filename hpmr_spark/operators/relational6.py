@@ -192,7 +192,7 @@ def percent_rank_prices(spark, sf_dir):
     """percent_rank/cume_dist — rank ratios of exact ints, rounded the same
     on both sides. The ordering (o_totalprice, o_orderkey) is UNIQUE, so
     rank ≡ row_number and cume_dist ≡ rn/n: both come from the two-pass
-    range-partitioned row_number (functions/ranking.py) + a broadcast total,
+    value-bucketed row_number (functions/ranking.py) + a broadcast total,
     with the same double divisions as the window built-ins —
     (rn−1)/(n−1) and rn/n — so values are bit-identical, and there is no
     single-partition window."""

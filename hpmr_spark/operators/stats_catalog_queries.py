@@ -43,10 +43,11 @@ def equi_depth_histogram_bounds(spark, sf_dir):
     increments — pure rank cross-multiplication, no float quantile math,
     fully tie-broken (cents, orderkey). This is the stats structure a CBO
     range-prunes and estimates selectivity with. The rank is the two-pass
-    range-partitioned row_number (functions/ranking.global_row_number — the
-    RangePartitioner + per-partition-offset pattern), the total a broadcast
-    1-row count; the boundary predicate is unchanged and every stage is
-    parallel."""
+    value-bucketed row_number (functions/ranking.global_row_number —
+    buckets derived from the leading key's broadcast min/max, NEVER from
+    physical placement; see ranking.py on RangePartitioner
+    nondeterminism), the total a broadcast 1-row count; the boundary
+    predicate is unchanged and every stage is parallel."""
     o = _t(spark, sf_dir, "orders").select(
         F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
         "o_orderkey",

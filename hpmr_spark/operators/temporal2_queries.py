@@ -270,9 +270,9 @@ def event_lateness_profile(spark, sf_dir):
     lateness is the event-time frontier (running max) minus its own
     timestamp; report the worst case and the count beyond a 1-hour
     candidate watermark per type. Exact integer micros throughout. The
-    arrival-ordered running max is the two-pass range-partitioned running
+    arrival-ordered running max is the two-pass value-bucketed running
     max (functions/ranking.global_running over event_id) — parallel across
-    range partitions, no single-partition window; at cluster scale arrival
+    value buckets, no single-partition window; at cluster scale arrival
     order is per-source-partition anyway and the same helper applies
     within each."""
     from hpmr_spark.functions.ranking import global_running
