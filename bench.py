@@ -79,6 +79,13 @@ BENCH_EXTRA = [
     "ks_two_sample_prices",         # fused double prefix-sum CDF distance
     "spearman_freq_revenue",        # tie-corrected rank correlation
     "ngram_novelty_by_bucket",      # first-occurrence novelty decay
+    # round-4 additions (VERDICT r3 item 9): the r3-close statistics
+    # family joins the extras so round 5 sees their trend
+    "cusum_changepoint_hours",      # int128 cross-multiplied change-point
+    "theil_index_revenue",          # sign-split log-domain inequality
+    "label_drift_hellinger_nano",   # integer-nanos Hellinger drift
+    "mann_whitney_u_gate",          # int128 rank-sum z2 gate
+    "median_absolute_deviation",    # double rank-selection robust spread
 ]
 
 

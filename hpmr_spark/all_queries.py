@@ -74,6 +74,7 @@ _MODULES = [
     "hpmr_spark.operators.matryoshka_queries",
     "hpmr_spark.operators.order_stats_queries",
     "hpmr_spark.operators.pipeline2_queries",
+    "hpmr_spark.operators.mlprep2_queries",
 ]
 
 FAILED_MODULES: dict[str, str] = {}
@@ -134,12 +135,27 @@ for _m in _MODULES:
 # locf_gap_fill_values, contamination_check_5gram, pandas_udaf_median_qty
 # (temporal/gram/pandas families keep interpolate+scd2 / substring+jaccard+
 # novelty / mapinarrow representatives).
+# Round-4 rotation (VERDICT r3 item 4): the strongest never-driver-checked
+# rows in — graph_lpa_communities (iterative label propagation),
+# sql_udf_quality_report (SQL UDF surface), streaming_left_outer_join
+# (state + watermark NULL emission), cusum_changepoint_hours +
+# theil_index_revenue + label_drift_hellinger_nano + mann_whitney_u_gate
+# (the r3 drift/inequality statistics, now int128-lifted), and the
+# de-vacuized dedup_cross_source_matrix (planted 'recrawl' overlap, 20
+# rows) — for eight long-green rows (q1_pricing_summary,
+# ewma_user_value_exact, histogram_equidepth_cents, secondary_sort_fold,
+# dau_wau_mau_rollup, correlated_scalar_select, custom_partitioner_buckets,
+# sketch_countmin_status), each green in >=1 prior driver window and each
+# family still represented (TPC-H: q8; window-list/EWMA: interpolate +
+# scd2; ranking: rfm/pareto/gini/ks/spearman; mapInPandas: mapinarrow +
+# multimodal; temporal: scd2 + interpolate; RDD path: graph_pagerank_trade
+# uses the same iterative driver loop; sketches: heavy_hitters_mg).
 _CHECK_FIRST = [
     "mapreduce_revenue_by_order",  # flagship — keep first (entry() twin)
-    "q1_pricing_summary",
-    "ewma_user_value_exact",
+    "graph_lpa_communities",
+    "sql_udf_quality_report",
     "reducer_keep_overwrite",
-    "histogram_equidepth_cents",
+    "streaming_left_outer_join",
     "rfm_user_scores",
     "q8_market_share",
     "pipeline_pretraining_report",
@@ -147,10 +163,10 @@ _CHECK_FIRST = [
     "udtf_chunk_documents",
     "variant_events_extract",
     "graph_pagerank_trade",
-    "secondary_sort_fold",
-    "dau_wau_mau_rollup",
-    "correlated_scalar_select",
-    "custom_partitioner_buckets",
+    "cusum_changepoint_hours",
+    "theil_index_revenue",
+    "label_drift_hellinger_nano",
+    "mann_whitney_u_gate",
     "dedup_substring_ngram",
     "gini_wealth_coefficient",
     "session_overlap_pairs",
@@ -158,7 +174,7 @@ _CHECK_FIRST = [
     "scd2_user_event_history",
     "spearman_freq_revenue",
     "recursive_month_series",
-    "sketch_countmin_status",
+    "dedup_cross_source_matrix",
     "pca_power_iteration_int",
     "mapinarrow_embedding_norms",
     "interpolate_hourly_gaps",

@@ -148,48 +148,92 @@ def global_order_multi(
     oexprs = _order_exprs(order_cols, descending)
     w = Window.partitionBy(_BKT).orderBy(*oexprs)
 
-    local_cols = []
-    if rn_out is not None:
-        local_cols.append(F.row_number().over(w).alias("_l_rn"))
+    # One window pass computes the local row_number (always — it doubles as
+    # the max_by key below), every requested running aggregate, and for
+    # strict specs ALSO the non-strict twin ("_n_{i}"): per-bucket TOTALS
+    # are recovered from the window outputs alone — total count = max local
+    # rn; total sum/max/min = the LAST row's non-strict running value
+    # (max_by on the unique-per-bucket rn). Deriving totals from the window
+    # OUTPUTS (not from `p`) is deliberate: it makes the totals subtree
+    # canonically identical to the probe side, so Catalyst's column pruning
+    # can no longer strip the window out of the totals branch and re-derive
+    # `p` through a SECOND full-frame exchange — the window's one hash
+    # exchange is written once and reused by every consumer
+    # (ReuseExchange). Same aggregate values; two fewer full shuffles per
+    # call, registry-wide.
+    local_cols = [F.row_number().over(w).alias("_l_rn")]
     for i, (val, kind, strict, _out) in enumerate(specs):
-        end = -1 if strict else Window.currentRow
-        local_cols.append(
-            _AGGS[kind](_as_col(val))
-            .over(w.rowsBetween(Window.unboundedPreceding, end))
-            .alias(f"_l_{i}")
+        full = _AGGS[kind](_as_col(val)).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
+        local_cols.append(full.alias(f"_n_{i}"))
+        if strict:
+            local_cols.append(
+                _AGGS[kind](_as_col(val))
+                .over(w.rowsBetween(Window.unboundedPreceding, -1))
+                .alias(f"_l_{i}")
+            )
     local = p.select(*[F.col(c) for c in p.columns], *local_cols)
 
-    total_aggs = []
-    if rn_out is not None:
-        total_aggs.append(F.count(F.lit(1)).alias("_t_rn"))
-    for i, (val, kind, _strict, _out) in enumerate(specs):
-        total_aggs.append(_AGGS[kind](_as_col(val)).alias(f"_t_{i}"))
-    totals = p.groupBy(_BKT).agg(*total_aggs)
+    total_aggs = [F.max("_l_rn").alias("_t_rn")]
+    for i, (_val, _kind, _strict, _out) in enumerate(specs):
+        total_aggs.append(F.max_by(f"_n_{i}", "_l_rn").alias(f"_t_{i}"))
+    # Also aggregate every OTHER local column (its value at the bucket's
+    # last row — deterministic, rn is unique per bucket). The values are
+    # dropped unread; they exist so the totals branch REFERENCES every
+    # column the probe branch does: otherwise Catalyst prunes the payload
+    # columns out of the totals subtree's projection below the window
+    # exchange, the canonical plans diverge, and the window's full-frame
+    # shuffle is materialized TWICE instead of reused.
+    anti_prune = [
+        c
+        for c in local.columns
+        if c != _BKT and c != "_l_rn" and not c.startswith("_n_")
+    ]
+    for j, c in enumerate(anti_prune):
+        total_aggs.append(F.max_by(c, "_l_rn").alias(f"_tx_{j}"))
+    # `local` is already hash-partitioned by _BKT (the window's exchange),
+    # so this groupBy inserts NO new exchange.
+    totals = local.groupBy(_BKT).agg(*total_aggs)
 
-    a = totals.select(F.col(_BKT).alias("_a_bkt"))
-    b = totals.withColumnRenamed(_BKT, "_b_bkt")
-    prefix_aggs = []
-    if rn_out is not None:
-        prefix_aggs.append(F.sum("_t_rn").alias("_o_rn"))
+    # Exclusive-prefix combine over the tiny totals frame. The a-side keeps
+    # every totals column AS GROUPING KEYS (dropped right after): if it
+    # selected only the bucket id, pruning would reduce the a-subtree to a
+    # distinct-only aggregate — a different canonical plan than the b-side
+    # — and re-derive the whole input through yet another exchange. With
+    # identical projections both sides reuse one exchange subtree.
+    tcols = [c for c in totals.columns if c != _BKT]
+    a = totals.select(
+        F.col(_BKT).alias("_a_bkt"), *[F.col(c).alias(f"_a{c}") for c in tcols]
+    )
+    b = totals.select(
+        F.col(_BKT).alias("_b_bkt"), *[F.col(c).alias(f"_b{c}") for c in tcols]
+    )
+    prefix_aggs = [F.sum("_b_t_rn").alias("_o_rn")]
     for i, (_val, kind, _strict, _out) in enumerate(specs):
-        prefix_aggs.append(_AGGS[kind](f"_t_{i}").alias(f"_o_{i}"))
+        prefix_aggs.append(_AGGS[kind](f"_b_t_{i}").alias(f"_o_{i}"))
+    # keep the anti-prune columns referenced on the b-side as well, or its
+    # pruned totals subtree diverges and re-materializes the window shuffle
+    for j in range(len(anti_prune)):
+        prefix_aggs.append(F.max_by(f"_b_tx_{j}", "_b_t_rn").alias(f"_ox_{j}"))
     offs = (
         a.join(F.broadcast(b), F.col("_b_bkt") < F.col("_a_bkt"), "left")
-        .groupBy(F.col("_a_bkt").alias(_BKT))
+        .groupBy("_a_bkt", *[f"_a{c}" for c in tcols])
         .agg(*prefix_aggs)
+        .select(F.col("_a_bkt").alias(_BKT), "_o_rn", *[f"_o_{i}" for i in range(len(specs))])
     )
 
     joined = local.join(F.broadcast(offs), _BKT)
-    drop_after = [_BKT]
+    drop_after = [_BKT, "_o_rn"]
     if rn_out is not None:
         joined = joined.withColumn(
             rn_out,
             (F.coalesce(F.col("_o_rn"), F.lit(0)) + F.col("_l_rn")).cast("long"),
         )
-        drop_after += ["_l_rn", "_o_rn"]
-    for i, (_val, kind, _strict, out) in enumerate(specs):
-        l, o = F.col(f"_l_{i}"), F.col(f"_o_{i}")
+    drop_after.append("_l_rn")
+    for i, (_val, kind, strict, out) in enumerate(specs):
+        l = F.col(f"_l_{i}") if strict else F.col(f"_n_{i}")
+        o = F.col(f"_o_{i}")
         if kind == "sum":
             # NULL iff both sides empty (global first row, strict frame)
             combined = F.when(l.isNull() & o.isNull(), F.lit(None)).otherwise(
@@ -200,7 +244,10 @@ def global_order_multi(
         else:
             combined = F.least(l, o)
         joined = joined.withColumn(out, combined)
-        drop_after += [f"_l_{i}", f"_o_{i}"]
+        drop_after.append(f"_n_{i}")
+        if strict:
+            drop_after.append(f"_l_{i}")
+        drop_after.append(f"_o_{i}")
     return joined.drop(*drop_after)
 
 

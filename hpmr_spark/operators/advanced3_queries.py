@@ -277,27 +277,36 @@ def median_absolute_deviation(spark, sf_dir):
     frame both times). Pure integer cents — the robust-statistics twin of
     winsorize_clip_stats. Near-unique prices make the distinct-value frame
     row-scale, so each cumulative count is the two-pass bucketed prefix sum
-    (functions/ranking.py) — no single-partition window."""
+    (functions/ranking.py) — no single-partition window.
+
+    Round-4 shuffle diet (was 15 shuffles / 7 fact scans): orders is
+    grouped into the (cents, cnt) histogram ONCE and everything downstream
+    — the total, both rank selections, and the DEVIATION histogram
+    (dv = |cents − median| regrouped with its counts) — derives from that
+    one frame, so identical subtrees collapse under ReuseExchange and the
+    fact table is never re-scanned for the second pass."""
     from hpmr_spark.functions.ranking import global_running
 
     o = _t(spark, sf_dir, "orders")
     c = o.select(F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"))
-    t = c.agg(F.count(F.lit(1)).alias("n"))
+    d = c.groupBy("cents").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    t = d.agg(F.sum("cnt").cast("long").alias("n"))
 
-    def rank_select(vals, col):
-        d = vals.groupBy(col).agg(F.count(F.lit(1)).alias("cnt"))
-        cum = global_running(d, [col], "cnt", kind="sum", out="cm")
+    def rank_select(hist, col):
+        cum = global_running(hist, [col], "cnt", kind="sum", out="cm")
         return (
             cum.crossJoin(F.broadcast(t))
             .where(F.expr("cm >= (n + 1) div 2"))
             .agg(F.min(col).alias("sel"))
         )
 
-    med = rank_select(c, "cents")
-    dev = c.crossJoin(F.broadcast(med)).select(
-        F.abs(F.col("cents") - F.col("sel")).alias("dv")
+    med = rank_select(d, "cents")
+    dd = (
+        d.crossJoin(F.broadcast(med))
+        .groupBy(F.abs(F.col("cents") - F.col("sel")).alias("dv"))
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
     )
-    mad = rank_select(dev, "dv")
+    mad = rank_select(dd, "dv")
     return (
         t.crossJoin(med.select(F.col("sel").alias("median_cents")))
         .crossJoin(mad.select(F.col("sel").alias("mad_cents")))

@@ -294,7 +294,18 @@ def spearman_freq_revenue(spark, sf_dir):
     BIGINT moments (identical text both engines — bit-equal, the libm/
     moment parity commitment). Moments stay in BIGINT to n ≈ 1e6 rows
     (rank2 ≤ 2n); beyond that, lift the moment sums to DECIMAL(38,0) like
-    gini_wealth_coefficient."""
+    gini_wealth_coefficient.
+
+    Round-4 shuffle diet (was the registry-max 17 shuffles, now 7): the
+    freq side's histogram is TINY (distinct order-counts are physically
+    bounded), so its strict prefix is a broadcast non-equi self-join with
+    IDENTICAL projections both sides (one exchange, reused — the bucketed
+    machinery would cost four), and rx broadcasts back onto the user frame
+    — no shuffle join; the cents side then needs no join at all: one
+    groupBy(cents) over the rx-tagged user frame carries (cnt, Σrx, Σrx²)
+    per value class, the strict prefix pass tags ry IN PLACE, and every
+    moment falls out of one final aggregate over the class frame
+    (Σrow rx·ry = Σclass ry·Σrx etc.)."""
     w = (
         _t(spark, sf_dir, "orders")
         .groupBy("o_custkey")
@@ -303,26 +314,39 @@ def spearman_freq_revenue(spark, sf_dir):
             F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents"),
         )
     )
-
-    def rank2(df, col, out):
-        g = df.groupBy(col).agg(F.count(F.lit(1)).cast("long").alias("_cnt"))
-        cum = global_running(
-            g, [col], "_cnt", kind="sum", strict=True, out="_plt"
-        ).withColumn("_plt", F.coalesce(F.col("_plt"), F.lit(0)))
-        r2 = cum.select(
-            col,
-            (F.lit(2) * F.col("_plt") + F.col("_cnt") + 1).cast("long").alias(out),
+    hf = w.groupBy("freq").agg(F.count(F.lit(1)).cast("long").alias("_fcnt"))
+    ha = hf.select(F.col("freq").alias("_af"), F.col("_fcnt").alias("_ac"))
+    hb = hf.select(F.col("freq").alias("_bf"), F.col("_fcnt").alias("_bc"))
+    rx_f = (
+        ha.join(F.broadcast(hb), F.col("_bf") < F.col("_af"), "left")
+        .groupBy("_af", "_ac")
+        .agg(F.coalesce(F.sum("_bc"), F.lit(0)).alias("_plt"))
+        .select(
+            F.col("_af").alias("freq"),
+            (F.lit(2) * F.col("_plt") + F.col("_ac") + 1).cast("long").alias("rx"),
         )
-        return df.join(r2, col)
-
-    r = rank2(rank2(w, "freq", "rx"), "cents", "ry")
-    m = r.agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum("rx").cast("long").alias("sx"),
-        F.sum("ry").cast("long").alias("sy"),
-        F.sum(F.col("rx") * F.col("rx")).cast("long").alias("sxx"),
-        F.sum(F.col("ry") * F.col("ry")).cast("long").alias("syy"),
-        F.sum(F.col("rx") * F.col("ry")).cast("long").alias("sxy"),
+    )
+    wx = w.join(F.broadcast(rx_f), "freq")
+    cc = wx.groupBy("cents").agg(
+        F.count(F.lit(1)).cast("long").alias("_ccnt"),
+        F.sum("rx").cast("long").alias("_srx"),
+        F.sum(F.col("rx") * F.col("rx")).cast("long").alias("_srx2"),
+    )
+    ccr = global_running(
+        cc, ["cents"], "_ccnt", kind="sum", strict=True, out="_plt"
+    ).withColumn(
+        "ry",
+        (
+            F.lit(2) * F.coalesce(F.col("_plt"), F.lit(0)) + F.col("_ccnt") + 1
+        ).cast("long"),
+    )
+    m = ccr.agg(
+        F.sum("_ccnt").cast("long").alias("n"),
+        F.sum("_srx").cast("long").alias("sx"),
+        F.sum(F.col("_ccnt") * F.col("ry")).cast("long").alias("sy"),
+        F.sum("_srx2").cast("long").alias("sxx"),
+        F.sum(F.col("_ccnt") * F.col("ry") * F.col("ry")).cast("long").alias("syy"),
+        F.sum(F.col("ry") * F.col("_srx")).cast("long").alias("sxy"),
     )
     return m.select(
         "n",

@@ -93,6 +93,15 @@ def lsh_signature_pairs(
     )
 
 
+#: Hard N ceiling for the weak-τ exact GEMM regime. Below lsh_min_threshold
+#: no exact low-rank bound can prune an isotropic corpus (angular block
+#: pruning is provably inert there — see gemm_block_prune_report), so the
+#: sweep is intrinsically O(N²) dot products; at 1e7 vectors that is ~5e13
+#: fused-multiply-adds — roughly a day across a 1000-core cluster and the
+#: economic edge of exactness. Past it the contract is approximate retrieval.
+GEMM_N_CEILING = 10_000_000
+
+
 def cosine_pairs_auto(
     corpus: DataFrame,
     threshold: float,
@@ -102,6 +111,7 @@ def cosine_pairs_auto(
     rows: int = 8,
     bands: int = 8,
     n_blocks: int = 8,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Regime-aware cosine-pair join: banded hyperplane LSH where it prunes
     (τ ≥ lsh_min_threshold — the s-curve actually separates true pairs from
@@ -110,13 +120,45 @@ def cosine_pairs_auto(
     that banding admits ~every pair, making LSH WORSE than brute force —
     measured 40.8 s vs 6.8 s at sf0.01 in round 1).
 
-    Both branches produce the identical exact answer (LSH parameters are
-    chosen for <1e-9 miss probability and every candidate is exact-verified);
-    only the candidate-generation strategy changes with the regime.
+    Regime table (τ = threshold, N = corpus rows):
+
+      τ ≥ lsh_min_threshold, any N   → banded LSH, exact verify on
+                                       candidates only; linear-ish in N.
+      τ < lsh_min_threshold, N ≤ GEMM_N_CEILING (or N unknown)
+                                     → blocked-GEMM exact sweep, O(N²)
+                                       compute by contract (block pruning
+                                       is inert on isotropic corpora).
+      τ < lsh_min_threshold, N > GEMM_N_CEILING
+                                     → REFUSED (ValueError): exact weak-τ
+                                       all-pairs past ~1e7 vectors is not a
+                                       realistic computation; use
+                                       `ivf_topk_trained` (recall ≥ 0.9 on
+                                       clustered corpora,
+                                       tests/test_similarity_recall.py) and
+                                       accept the approximate contract.
+
+    Pass `n_rows` when the corpus size is known (e.g. from pipeline
+    metadata) to arm the ceiling; it is an explicit parameter — not a
+    build-time count() — so plan construction stays side-effect-free.
+
+    Both non-refused branches produce the identical exact answer (LSH
+    parameters are chosen for <1e-9 miss probability and every candidate is
+    exact-verified); only the candidate-generation strategy changes with
+    the regime.
     """
     if threshold >= lsh_min_threshold:
         return lsh_signature_pairs(
             corpus, threshold, rows=rows, bands=bands, id_col=id_col, vec_col=vec_col
+        )
+    if n_rows is not None and n_rows > GEMM_N_CEILING:
+        raise ValueError(
+            f"cosine_pairs_auto: exact weak-threshold (τ={threshold} < "
+            f"{lsh_min_threshold}) all-pairs over n_rows={n_rows} exceeds "
+            f"GEMM_N_CEILING={GEMM_N_CEILING}: O(N²) exact compute is not "
+            "realistic at this size and no exact bound can prune an "
+            "isotropic corpus. Route to hpmr_spark.similarity.lsh."
+            "ivf_topk_trained (approximate, recall ≥ 0.9 contract on "
+            "clustered corpora) or raise the threshold into the LSH regime."
         )
     from hpmr_spark.similarity.vectorized import threshold_pairs_gemm
 

@@ -264,3 +264,24 @@ def test_exact_dedup_idempotent(docs, spark):
     once = drop_exact_dups(docs)
     twice = drop_exact_dups(once)
     assert once.count() == twice.count()
+
+
+def test_gemm_ceiling_refuses_weak_tau_at_scale(spark):
+    """VERDICT r3 item 7: the weak-threshold exact GEMM regime has a hard N
+    ceiling — past ~1e7 vectors cosine_pairs_auto must REFUSE (naming the
+    ivf_topk_trained route) instead of silently planning an O(N²) sweep.
+    Below the ceiling (or with N unknown) the exact branch still builds;
+    the LSH branch ignores N entirely."""
+    from hpmr_spark.similarity.lsh import GEMM_N_CEILING, cosine_pairs_auto
+
+    emb = _clustered_embeddings(spark, n_clusters=4, per_cluster=5)
+    # weak tau + N above the ceiling: refused with the routing message
+    with pytest.raises(ValueError, match="ivf_topk_trained"):
+        cosine_pairs_auto(emb, threshold=0.5, n_rows=GEMM_N_CEILING + 1)
+    # weak tau below the ceiling: exact GEMM branch builds a plan
+    assert cosine_pairs_auto(emb, threshold=0.5, n_rows=1000) is not None
+    # strong tau: LSH branch, N is irrelevant even above the ceiling
+    assert (
+        cosine_pairs_auto(emb, threshold=0.9, n_rows=GEMM_N_CEILING + 1)
+        is not None
+    )

@@ -69,6 +69,7 @@ SKIP = {
     "rfm_user_scores",  # persisted multi-consumer user frame (InMemoryTableScan flake)
     "pareto_revenue_concentration",  # persisted per-customer frame, same
     "graph_lpa_communities",  # persisted edge frames (iterative LPA), same
+    "kneser_ney_bigram_ppb",  # persisted bigram-type frame (plan-unique dummy), same
 }
 
 SF_DIR = "/root/testdata/sf0.001"

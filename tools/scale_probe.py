@@ -345,6 +345,13 @@ def ranking_probe(spark, n: int):
             "quantile_table_11pt",
             "lorenz_curve_deciles",
             "interpolate_hourly_gaps",
+            # round-4 additions (VERDICT r3 item 8): the remaining r3
+            # statistics at 10x — confirm stage overhead still dominates
+            # when the data part grows
+            "cusum_changepoint_hours",
+            "mann_whitney_u_gate",
+            "theil_index_revenue",
+            "median_absolute_deviation",
         ]:
             t0 = time.time()
             cnt = qs[name](spark, tmp).count()
@@ -354,6 +361,16 @@ def ranking_probe(spark, n: int):
 
 
 def main():
+    # `python tools/scale_probe.py ranking <n>` runs ONLY the ranking/
+    # order-statistics probe at n synthetic orders (the 1x/3x/10x sweep
+    # driver for SCALE.md's statistics table)
+    if len(sys.argv) > 1 and sys.argv[1] == "ranking":
+        from hpmr_spark.engine import get_spark
+
+        spark = get_spark("scale-probe-ranking")
+        ranking_probe(spark, int(sys.argv[2]) if len(sys.argv) > 2 else 1_000_000)
+        spark.stop()
+        return
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
     from hpmr_spark.engine import get_spark
     from hpmr_spark.dedup.minhash import minhash_dedup_pairs
