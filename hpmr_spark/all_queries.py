@@ -75,6 +75,7 @@ _MODULES = [
     "hpmr_spark.operators.order_stats_queries",
     "hpmr_spark.operators.pipeline2_queries",
     "hpmr_spark.operators.mlprep2_queries",
+    "hpmr_spark.operators.eval_stats2_queries",
 ]
 
 FAILED_MODULES: dict[str, str] = {}
