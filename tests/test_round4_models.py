@@ -1,0 +1,134 @@
+"""Round-4 model/property tests: invariants of the new operators that the
+value-hash oracle can't express (monotonicity, conservation laws, guard
+behavior), mirroring tests/test_round3_models.py's role."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.01"
+
+
+def _q(name):
+    from __spark_entry__ import queries
+
+    return queries()[name]
+
+
+def test_apportionment_conserves_budget(spark):
+    """Hamilton apportionment must hand out EXACTLY the budget (the whole
+    point versus float rounding) and each language's quota must differ
+    from exact proportionality by less than 1 unit."""
+    rows = _q("corpus_mix_apportionment")(spark, SF).collect()
+    total_quota = sum(r["quota"] for r in rows)
+    assert total_quota == 1_000_000
+    tok_total = sum(r["tokens"] for r in rows)
+    for r in rows:
+        exact = 1_000_000 * r["tokens"] / tok_total
+        assert abs(r["quota"] - exact) < 1.0, (r["lang"], r["quota"], exact)
+    assert all(r["extra"] in (0, 1) for r in rows)
+
+
+def test_km_survival_monotone_nonincreasing(spark):
+    """A survival curve can never rise; it starts ≤ 1e6 ppm and every step
+    multiplies by (1 - d/n) ≤ 1."""
+    rows = sorted(
+        _q("km_survival_curve")(spark, SF).collect(), key=lambda r: r["dur_us"]
+    )
+    assert rows, "no death times found"
+    prev = 1_000_000
+    for r in rows:
+        assert 0 <= r["surv_ppm"] <= prev, (r["dur_us"], r["surv_ppm"], prev)
+        prev = r["surv_ppm"]
+        assert r["d"] >= 1 and r["n_risk"] >= r["d"]
+
+
+def test_session_cap_bounds(spark):
+    """Capped sessions can only SPLIT islands: n_sessions >= n_islands,
+    and every count is positive."""
+    rows = _q("session_cap_split")(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r["n_sessions"] >= r["n_islands"] >= 1
+        assert r["max_session_events"] >= 1
+
+
+def test_minhash_merge_law_holds(spark):
+    """sig(A ∪ B) == elementwise min of shard signatures, on every
+    permutation — the mergeability that makes the sketch shard-parallel."""
+    rows = _q("minhash_merge_property")(spark, SF).collect()
+    assert len(rows) == 32
+    assert all(r["merged_equals_full"] for r in rows)
+
+
+def test_retrieval_metrics_in_range(spark):
+    """MRR ∈ {0} ∪ [1e9/5, 1e9], nDCG ∈ [0, 1e6]; a query with a relevant
+    hit at rank 1 and n_rel == 5 must have nDCG == 1e6 exactly."""
+    rows = _q("retrieval_mrr_ndcg")(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r["mrr_ppb"] == 0 or 200_000_000 <= r["mrr_ppb"] <= 1_000_000_000
+        assert 0 <= r["ndcg_ppm"] <= 1_000_000
+        if r["n_rel"] == 5:
+            assert r["ndcg_ppm"] == 1_000_000
+
+
+def test_conformal_coverage_near_nominal(spark):
+    """Split-conformal at α=0.1 guarantees ≥ 90% coverage in expectation;
+    on a finite exchangeable sample allow slack but catch gross breakage
+    (e.g. a wrong rank or comparison direction would tank it)."""
+    row = _q("conformal_threshold_coverage")(spark, SF).collect()[0]
+    assert row["n_cal"] > 0 and row["n_test"] > 0
+    assert row["coverage_ppm"] >= 820_000, row["coverage_ppm"]
+
+
+def test_bounded_rank_duplicates_degrade_to_competition_rank(spark):
+    """The round-4 guard: fully-duplicate (primary, tiebreak) pairs no
+    longer merge into one output row — each input row survives with the
+    competition rank (count strictly before + 1)."""
+    from hpmr_spark.functions.ranking import bounded_rank
+
+    df = spark.createDataFrame(
+        [(10, 1), (10, 1), (9, 2), (8, 3)], "v long, t long"
+    )
+    rows = bounded_rank(df, "v", "t", primary_desc=True, out="rank").collect()
+    assert len(rows) == 4  # no silent merge
+    by = sorted((r["v"], r["t"], r["rank"]) for r in rows)
+    # duplicates (10,1) both rank 1; (9,2) has TWO rows strictly before -> 3
+    assert by == [(8, 3, 4), (9, 2, 3), (10, 1, 1), (10, 1, 1)]
+
+
+def test_knn_vote_agrees_with_python_model(spark):
+    """Exact 5-NN vote re-computed in pure Python over the same floored
+    integer dots must reproduce the engine's predictions row for row."""
+    import math
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").collect()
+    vecs = {r["vec_id"]: (r["embedding"], r["label"]) for r in emb}
+
+    def fl(x):
+        return math.floor(float(x) * 1_000_000)
+
+    expected = {}
+    for qid, (qe, qlabel) in vecs.items():
+        if qid % 50 != 0:
+            continue
+        scored = []
+        for cid, (ce, clabel) in vecs.items():
+            if cid == qid:
+                continue
+            dot = sum(fl(a) * fl(b) for a, b in zip(qe, ce))
+            scored.append((-dot, cid, clabel))
+        scored.sort()
+        top = scored[:5]
+        counts = {}
+        for _, _, lab in top:
+            counts[lab] = counts.get(lab, 0) + 1
+        pred = max(counts.items(), key=lambda kv: (kv[1], -kv[0]))[0]
+        expected[qid] = int(pred)
+    got = {
+        r["vec_id"]: r["pred_label"]
+        for r in _q("knn_label_vote_eval")(spark, SF).collect()
+    }
+    assert got == expected
