@@ -76,6 +76,7 @@ _MODULES = [
     "hpmr_spark.operators.pipeline2_queries",
     "hpmr_spark.operators.mlprep2_queries",
     "hpmr_spark.operators.eval_stats2_queries",
+    "hpmr_spark.operators.linkage_queries",
 ]
 
 FAILED_MODULES: dict[str, str] = {}
