@@ -88,9 +88,18 @@ def conformal_threshold_coverage(spark, sf_dir):
         c.join(o, c["c_custkey"] == o["o_custkey"])
         .groupBy("c_custkey", F.col("c_mktsegment").alias("segment"))
         .agg(
-            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents")
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents"),
+            # plan-uniqueness dummy: target_encoding_loo builds the same
+            # canonical per-customer aggregation (CLAUDE.md cache-aliasing
+            # rule for persisted frames)
+            F.max(F.lit(0)).alias("_uq_conf"),
         )
+        .drop("_uq_conf")
     )
+    # inherently two-consumer (calibration mean + scoring): persist, or the
+    # customer⋈orders subtree re-shuffles once per pruned consumer variant
+    # (query is in plan_snapshot SKIP for the InMemoryTableScan flake)
+    w = w.persist()
     segm = w.groupBy("segment").agg(
         F.expr(
             "CAST(SUM(CASE WHEN c_custkey % 2 = 1 THEN cents ELSE 0 END)"
@@ -102,15 +111,23 @@ def conformal_threshold_coverage(spark, sf_dir):
         F.abs(F.col("cents") - F.col("mu")).alias("score"),
         (F.col("c_custkey") % 2).cast("long").alias("is_cal"),
     )
-    nc = sc.agg(
-        F.sum("is_cal").cast("long").alias("n_cal"),
-        F.sum(F.lit(1) - F.col("is_cal")).cast("long").alias("n_test"),
+    # Single fact-side aggregation: every downstream consumer (totals,
+    # calibration histogram, coverage count) derives from this ONE grouped
+    # frame, so the expensive customer⋈orders subtree shuffles once and
+    # ReuseExchange collapses the rest (the MAD round-4 pattern — a
+    # per-consumer derivation from `sc` forced 3 pruned plan variants).
+    histall = sc.groupBy("score", "is_cal").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
     )
-    hist = (
-        sc.where(F.col("is_cal") == 1)
-        .groupBy("score")
-        .agg(F.sum("is_cal").cast("long").alias("cnt"))
+    nc = histall.agg(
+        F.sum(F.when(F.col("is_cal") == 1, F.col("cnt")).otherwise(0))
+        .cast("long")
+        .alias("n_cal"),
+        F.sum(F.when(F.col("is_cal") == 0, F.col("cnt")).otherwise(0))
+        .cast("long")
+        .alias("n_test"),
     )
+    hist = histall.where(F.col("is_cal") == 1).select("score", "cnt")
     cum = global_running(hist, ["score"], "cnt", kind="sum", out="cm")
     thr = (
         cum.crossJoin(F.broadcast(nc))
@@ -118,12 +135,12 @@ def conformal_threshold_coverage(spark, sf_dir):
         .agg(F.min("score").alias("thr"))
     )
     cov = (
-        sc.where(F.col("is_cal") == 0)
+        histall.where(F.col("is_cal") == 0)
         .crossJoin(F.broadcast(thr))
         .agg(
-            F.sum(F.when(F.col("score") <= F.col("thr"), 1).otherwise(0)).alias(
-                "_cov"
-            )
+            F.sum(
+                F.when(F.col("score") <= F.col("thr"), F.col("cnt")).otherwise(0)
+            ).alias("_cov")
         )
     )
     return (
@@ -294,11 +311,17 @@ def km_survival_curve(spark, sf_dir):
         .alias("dur_us"),
         F.when(F.col("terr").isNotNull(), 1).otherwise(0).alias("died"),
     )
-    n = obs.agg(F.count(F.lit(1)).cast("long").alias("total"))
     g = obs.groupBy("dur_us").agg(
         F.count(F.lit(1)).cast("long").alias("cnt"),
         F.sum("died").cast("long").alias("d"),
-    )
+        # plan-uniqueness dummy (persisted below — cache-aliasing rule)
+        F.max(F.lit(0)).alias("_uq_km"),
+    ).drop("_uq_km")
+    # the duration histogram feeds the total, the prefix machinery's three
+    # branches, and the final ordered pass — persist the SMALL grouped
+    # frame so the events aggregation shuffles once (plan_snapshot SKIP)
+    g = g.persist()
+    n = g.agg(F.sum("cnt").cast("long").alias("total"))
     cum = global_running(
         g, ["dur_us"], "cnt", kind="sum", strict=True, out="lt"
     ).withColumn("lt", F.coalesce(F.col("lt"), F.lit(0)))

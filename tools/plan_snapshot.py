@@ -70,6 +70,8 @@ SKIP = {
     "pareto_revenue_concentration",  # persisted per-customer frame, same
     "graph_lpa_communities",  # persisted edge frames (iterative LPA), same
     "kneser_ney_bigram_ppb",  # persisted bigram-type frame (plan-unique dummy), same
+    "conformal_threshold_coverage",  # persisted per-customer frame, same
+    "km_survival_curve",  # persisted duration histogram, same
 }
 
 SF_DIR = "/root/testdata/sf0.001"
