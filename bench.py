@@ -86,6 +86,15 @@ BENCH_EXTRA = [
     "label_drift_hellinger_nano",   # integer-nanos Hellinger drift
     "mann_whitney_u_gate",          # int128 rank-sum z2 gate
     "median_absolute_deviation",    # double rank-selection robust spread
+    # round-4 family: ML-prep encodes, rational-arithmetic LM scoring,
+    # eval metrics, ER linkage, stateful replay (extras only — headline
+    # membership stays frozen)
+    "kneser_ney_bigram_ppb",        # pure-rational KN smoothing (persisted types)
+    "knn_label_vote_eval",          # exact integer-dot 5-NN vote
+    "km_survival_curve",            # log-domain survival, fused ordered pass
+    "record_linkage_fs",            # blocked Fellegi-Sunter scoring
+    "token_bucket_replay",          # grouped-pandas sequential fold
+    "conformal_threshold_coverage", # rank-selected conformal threshold
 ]
 
 

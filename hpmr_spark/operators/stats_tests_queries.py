@@ -191,3 +191,184 @@ def ab_test_z2_gate(spark, sf_dir):
             "         * CAST(n1 AS DECIMAL(38,0)) * CAST(n2 AS DECIMAL(38,0))"
         ).alias("significant_95"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Wald SPRT: sequential probability ratio test on the purchase rate.
+# ---------------------------------------------------------------------------
+# Committed integer nano-nat log-likelihood increments for H0: p=0.18 vs
+# H1: p=0.22 (alpha = beta = 0.05):
+#   w1 = floor(ln(0.22/0.18)*1e9)   per purchase event
+#   w0 = floor(ln(0.78/0.82)*1e9)   per non-purchase event
+#   A  = floor(ln(0.95/0.05)*1e9) = floor(ln 19 * 1e9)  (accept H1 at +A,
+#        accept H0 at -A; symmetric because alpha = beta)
+_SPRT_W1 = 200670695
+_SPRT_W0 = -50010421
+_SPRT_A = 2944438979
+
+
+@register(
+    "sprt_purchase_rate",
+    f"""
+    WITH e AS (
+      SELECT CAST(epoch_us(ts) AS BIGINT) AS ts_us, event_id,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS x
+      FROM events
+    ),
+    r AS (
+      SELECT x,
+             row_number() OVER (ORDER BY ts_us, event_id) AS rn,
+             CAST(SUM(x) OVER (ORDER BY ts_us, event_id
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS s
+      FROM e
+    ),
+    llr AS (
+      SELECT rn,
+             CAST({_SPRT_W1} * s + {_SPRT_W0} * (rn - s) AS BIGINT) AS llr_nano
+      FROM r
+    ),
+    hi AS (SELECT MIN(rn) AS rn_h1 FROM llr WHERE llr_nano >= {_SPRT_A}),
+    lo AS (SELECT MIN(rn) AS rn_h0 FROM llr WHERE llr_nano <= -{_SPRT_A}),
+    t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(MAX(CASE WHEN rn = (SELECT MAX(rn) FROM llr)
+                          THEN llr_nano END) AS BIGINT) AS final_llr
+          FROM llr)
+    SELECT t.n AS n_events,
+           CASE
+             WHEN hi.rn_h1 IS NOT NULL
+                  AND (lo.rn_h0 IS NULL OR hi.rn_h1 < lo.rn_h0) THEN 'accept_h1'
+             WHEN lo.rn_h0 IS NOT NULL THEN 'accept_h0'
+             ELSE 'continue' END AS decision,
+           CAST(COALESCE(LEAST(hi.rn_h1, lo.rn_h0),
+                         COALESCE(hi.rn_h1, lo.rn_h0)) AS BIGINT)
+             AS decided_at,
+           t.final_llr AS final_llr_nano
+    FROM t, hi, lo
+    """,
+)
+def sprt_purchase_rate(spark, sf_dir):
+    """Wald's sequential probability ratio test on the purchase conversion
+    rate (H0: p=0.18 vs H1: p=0.22, α=β=0.05) replayed over the event
+    stream in arrival order — the EARLY-STOPPING experiment gate (decide
+    as soon as the evidence crosses ±ln 19, instead of a fixed-horizon
+    z-test). The log-likelihood walk needs NO elementwise fold:
+    llr_k = w1·S_k + w0·(k − S_k) with S_k the running purchase count, so
+    ONE fused two-pass ordered pass (rn + running sum,
+    functions/ranking.global_order_multi — no global window) yields every
+    prefix's llr in closed form; the committed integer nano-nat weights
+    make the walk and both boundary crossings exact on both engines.
+    Output: total events, decision, first crossing index, final llr."""
+    from hpmr_spark.functions.ranking import global_order_multi
+
+    ev = load_events(spark, sf_dir)
+    e = ev.select(
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        "event_id",
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("x"),
+    )
+    r = global_order_multi(
+        e, ["ts_us", "event_id"], rn_out="rn", running=[("x", "sum", False, "s")]
+    )
+    llr = r.select(
+        "rn",
+        (F.lit(_SPRT_W1) * F.col("s") + F.lit(_SPRT_W0) * (F.col("rn") - F.col("s")))
+        .cast("long")
+        .alias("llr_nano"),
+    )
+    # the prefix frame feeds four consumers (both crossings, the count,
+    # the final value): persist the SMALL (rn, llr) projection
+    # (plan-uniqueness via the projection itself; plan_snapshot SKIP)
+    llr = llr.persist()
+    hi = llr.where(F.col("llr_nano") >= _SPRT_A).agg(F.min("rn").alias("rn_h1"))
+    lo = llr.where(F.col("llr_nano") <= -_SPRT_A).agg(F.min("rn").alias("rn_h0"))
+    t = llr.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.max_by("llr_nano", "rn").cast("long").alias("final_llr"),
+    )
+    return (
+        t.crossJoin(F.broadcast(hi))
+        .crossJoin(F.broadcast(lo))
+        .select(
+            F.col("n").alias("n_events"),
+            F.expr(
+                "CASE WHEN rn_h1 IS NOT NULL AND (rn_h0 IS NULL OR rn_h1 < rn_h0)"
+                " THEN 'accept_h1'"
+                " WHEN rn_h0 IS NOT NULL THEN 'accept_h0'"
+                " ELSE 'continue' END"
+            ).alias("decision"),
+            F.expr(
+                "CAST(COALESCE(LEAST(rn_h1, rn_h0), COALESCE(rn_h1, rn_h0))"
+                " AS BIGINT)"
+            ).alias("decided_at"),
+            F.col("final_llr").alias("final_llr_nano"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Seasonal-naive forecast backtest: hour-of-week-ago prediction error.
+# ---------------------------------------------------------------------------
+@register(
+    "forecast_seasonal_naive_backtest",
+    """
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS hr,
+             CAST(SUM(CASE WHEN event_type = 'purchase'
+                  THEN CAST(ROUND(value * 100) AS BIGINT) ELSE 0 END)
+                  AS BIGINT) AS cents
+      FROM events GROUP BY date_trunc('hour', ts)
+    ),
+    scored AS (
+      SELECT a.hr, a.cents AS actual, f.cents AS forecast,
+             ABS(a.cents - f.cents) AS abs_err
+      FROM hourly a JOIN hourly f ON f.hr = a.hr - INTERVAL 168 HOUR
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_hours,
+           CAST(CAST(SUM(abs_err) AS BIGINT) // COUNT(*) AS BIGINT)
+             AS mae_cents,
+           CAST(CAST(SUM(abs_err) AS BIGINT) * 1000000
+                // GREATEST(CAST(SUM(actual) AS BIGINT), 1) AS BIGINT)
+             AS wape_ppm
+    FROM scored
+    """,
+)
+def forecast_seasonal_naive_backtest(spark, sf_dir):
+    """Backtest of the seasonal-naive forecaster (ŷ(t) = y(t − 168 h), the
+    baseline every real forecasting system must beat): hourly purchase
+    revenue joined to itself one week back, MAE in exact integer cents and
+    WAPE in ppm (Σ|err|·10⁶ // Σactual — integer floor division, GREATEST
+    guard for an all-zero window). One grouped frame self-joined on a
+    shifted key — the timestamp arithmetic stays in Catalyst (interval
+    join keys), errors never touch floats."""
+    ev = load_events(spark, sf_dir)
+    hourly = ev.groupBy(F.date_trunc("hour", "ts").alias("hr")).agg(
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.round(F.col("value") * 100).cast("long"),
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("cents")
+    )
+    a = hourly.select(F.col("hr").alias("hr"), F.col("cents").alias("actual"))
+    f = hourly.select(
+        (F.col("hr") + F.expr("INTERVAL 168 HOUR")).alias("hr"),
+        F.col("cents").alias("forecast"),
+    )
+    scored = a.join(f, "hr").select(
+        "hr",
+        "actual",
+        "forecast",
+        F.abs(F.col("actual") - F.col("forecast")).alias("abs_err"),
+    )
+    return scored.agg(
+        F.count(F.lit(1)).cast("long").alias("n_hours"),
+        F.expr("CAST(CAST(SUM(abs_err) AS BIGINT) div COUNT(1) AS BIGINT)").alias(
+            "mae_cents"
+        ),
+        F.expr(
+            "CAST(CAST(SUM(abs_err) AS BIGINT) * 1000000"
+            " div GREATEST(CAST(SUM(actual) AS BIGINT), 1) AS BIGINT)"
+        ).alias("wape_ppm"),
+    )

@@ -72,6 +72,7 @@ SKIP = {
     "kneser_ney_bigram_ppb",  # persisted bigram-type frame (plan-unique dummy), same
     "conformal_threshold_coverage",  # persisted per-customer frame, same
     "km_survival_curve",  # persisted duration histogram, same
+    "sprt_purchase_rate",  # persisted llr prefix frame, same
 }
 
 SF_DIR = "/root/testdata/sf0.001"
