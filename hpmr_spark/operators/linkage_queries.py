@@ -124,9 +124,9 @@ _TB_COST = 1_000_000  # 1 token per event
 _TB_DIV = 600  # refill: Δus div 600 == 1 token per 10 minutes
 
 
-@register(
-    "token_bucket_replay",
-    f"""
+# shared with the streaming twin (operators/streaming_queries.py
+# registers streaming_token_bucket against the SAME walk)
+TOKEN_BUCKET_ORACLE_SQL = f"""
     WITH RECURSIVE e AS (
       SELECT user_id, event_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us,
              row_number() OVER (PARTITION BY user_id
@@ -162,8 +162,10 @@ _TB_DIV = 600  # refill: Δus div 600 == 1 token per 10 minutes
            CAST(walk.n_denied AS BIGINT) AS n_denied,
            CAST(walk.tokens AS BIGINT) AS end_tokens_micro
     FROM walk JOIN mx ON walk.user_id = mx.user_id AND walk.rn = mx.n
-    """,
-)
+    """
+
+
+@register("token_bucket_replay", TOKEN_BUCKET_ORACLE_SQL)
 def token_bucket_replay(spark, sf_dir):
     """Replay a per-user token-bucket rate limiter (cap 5 tokens, cost 1
     per event, refill 1 per 10 min as EXACT integer micro-tokens:

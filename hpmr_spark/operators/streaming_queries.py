@@ -349,3 +349,21 @@ def streaming_left_outer_join(spark, sf_dir):
     from hpmr_spark.streaming.joins import purchases_with_recent_views_outer
 
     return purchases_with_recent_views_outer(spark, sf_dir)
+
+
+def _tb_oracle():
+    from hpmr_spark.operators.linkage_queries import TOKEN_BUCKET_ORACLE_SQL
+
+    return TOKEN_BUCKET_ORACLE_SQL
+
+
+@register("streaming_token_bucket", _tb_oracle())
+def streaming_token_bucket(spark, sf_dir):
+    """Token-bucket rate limiter as a LIVE stateful streaming operator —
+    the streaming twin of token_bucket_replay (same committed integer
+    recurrence, same recursive-CTE oracle): applyInPandasWithState keyed
+    by user, O(1) state (four longs), cumulative emissions finalized by
+    max-processed per user. See streaming/windows.streaming_token_bucket."""
+    from hpmr_spark.streaming.windows import streaming_token_bucket as _run
+
+    return _run(spark, sf_dir)

@@ -243,3 +243,83 @@ def stateful_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = _run_to_table(updated, "funnelstages", "update")
     return out.groupBy("user_id").agg(F.max("stage_reached").alias("stage_reached"))
+
+
+TB_STATE_SCHEMA = "tokens long, allowed long, denied long, prev long"
+TB_OUTPUT_SCHEMA = (
+    "user_id long, n_done long, n_allowed long, n_denied long,"
+    " end_tokens_micro long"
+)
+
+_TB_CAP = 5_000_000
+_TB_COST = 1_000_000
+_TB_DIV = 600
+
+
+def _token_bucket_fn(
+    key: Tuple[int], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Per-user token-bucket fold (cap 5 tokens / cost 1 / refill Δus div
+    600 in exact integer micro-tokens — the SAME committed recurrence as
+    the batch twin operators/linkage_queries.token_bucket_replay and its
+    recursive-CTE oracle). Events are sorted (ts_us, event_id) inside each
+    micro-batch; across batches the file source delivers time-ordered
+    batches (single parquet → one batch), the same ordering contract the
+    funnel state machine relies on."""
+    (user_id,) = key
+    tokens, allowed, denied, prev = (
+        state.get if state.exists else (_TB_CAP, 0, 0, -1)
+    )
+    for pdf in pdfs:
+        pdf = pdf.sort_values(["ts_us", "event_id"])
+        for ts in pdf["ts_us"].values:
+            ts = int(ts)
+            if prev >= 0:
+                tokens = min(_TB_CAP, tokens + (ts - prev) // _TB_DIV)
+            if tokens >= _TB_COST:
+                allowed += 1
+                tokens -= _TB_COST
+            else:
+                denied += 1
+            prev = ts
+    state.update((tokens, allowed, denied, prev))
+    yield pd.DataFrame(
+        [
+            {
+                "user_id": user_id,
+                "n_done": allowed + denied,
+                "n_allowed": allowed,
+                "n_denied": denied,
+                "end_tokens_micro": tokens,
+            }
+        ]
+    )
+
+
+def streaming_token_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming rate-limiter replay: the token bucket as a LIVE stateful
+    operator (applyInPandasWithState, O(1) state per user — four longs no
+    matter the event volume) instead of a batch backfill. Emissions are
+    cumulative per micro-batch; the batch-side finalize takes each user's
+    most-processed emission (max n_done — monotone), so the result is the
+    exact batch fixpoint and shares the recursive-CTE oracle with the
+    batch twin."""
+    ev = _events_stream(spark, sf_dir).select(
+        "user_id", "event_id", F.unix_micros(F.col("ts")).alias("ts_us")
+    )
+    updated = ev.groupBy("user_id").applyInPandasWithState(
+        _token_bucket_fn,
+        outputStructType=TB_OUTPUT_SCHEMA,
+        stateStructType=TB_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    out = _run_to_table(updated, "tokenbucket", "update")
+    fin = out.groupBy("user_id").agg(
+        F.expr("max_by(n_allowed, n_done)").cast("long").alias("n_allowed"),
+        F.expr("max_by(n_denied, n_done)").cast("long").alias("n_denied"),
+        F.expr("max_by(end_tokens_micro, n_done)")
+        .cast("long")
+        .alias("end_tokens_micro"),
+    )
+    return fin

@@ -73,6 +73,7 @@ SKIP = {
     "conformal_threshold_coverage",  # persisted per-customer frame, same
     "km_survival_curve",  # persisted duration histogram, same
     "sprt_purchase_rate",  # persisted llr prefix frame, same
+    "streaming_token_bucket",  # runs the stream at build
 }
 
 SF_DIR = "/root/testdata/sf0.001"
