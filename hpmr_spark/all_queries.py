@@ -137,6 +137,18 @@ for _m in _MODULES:
 # locf_gap_fill_values, contamination_check_5gram, pandas_udaf_median_qty
 # (temporal/gram/pandas families keep interpolate+scd2 / substring+jaccard+
 # novelty / mapinarrow representatives).
+# Second round-4 rotation: the new r4 families' riskiest members in —
+# kneser_ney_bigram_ppb (persisted types + pure-rational int128),
+# knn_label_vote_eval (HOF integer dot + max_by struct vote),
+# km_survival_curve (LN/EXP parity + fused two-running-spec pass),
+# token_bucket_replay (grouped-pandas fold vs recursive-CTE oracle),
+# record_linkage_fs (committed nano-nat weights), sprt_purchase_rate
+# (persisted llr prefix + boundary crossings) — for six long-green rows
+# (q8_market_share, pca_power_iteration_int, mapinarrow_embedding_norms,
+# bucketed_join_revenue, bootstrap_ci_poisson, pack_sequences_ctx512);
+# TPC-H keeps the flagship + reducer rows, iterative keeps pagerank/lpa/
+# triangle, Arrow keeps multimodal_audio_features + the two new pandas
+# paths, corpus keeps vocab/novelty/dedup rows.
 # Round-4 rotation (VERDICT r3 item 4): the strongest never-driver-checked
 # rows in — graph_lpa_communities (iterative label propagation),
 # sql_udf_quality_report (SQL UDF surface), streaming_left_outer_join
@@ -159,7 +171,7 @@ _CHECK_FIRST = [
     "reducer_keep_overwrite",
     "streaming_left_outer_join",
     "rfm_user_scores",
-    "q8_market_share",
+    "kneser_ney_bigram_ppb",
     "pipeline_pretraining_report",
     "pareto_revenue_concentration",
     "udtf_chunk_documents",
@@ -177,16 +189,16 @@ _CHECK_FIRST = [
     "spearman_freq_revenue",
     "recursive_month_series",
     "dedup_cross_source_matrix",
-    "pca_power_iteration_int",
-    "mapinarrow_embedding_norms",
+    "knn_label_vote_eval",
+    "km_survival_curve",
     "interpolate_hourly_gaps",
     "heavy_hitters_mg",
-    "bucketed_join_revenue",
+    "token_bucket_replay",
     "graph_triangle_count",
     "binary_classifier_eval_auc",
     "bm25_topk_docs",
-    "bootstrap_ci_poisson",
-    "pack_sequences_ctx512",
+    "record_linkage_fs",
+    "sprt_purchase_rate",
     "embedding_quantize_int8",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
