@@ -77,6 +77,7 @@ _MODULES = [
     "hpmr_spark.operators.mlprep2_queries",
     "hpmr_spark.operators.eval_stats2_queries",
     "hpmr_spark.operators.linkage_queries",
+    "hpmr_spark.operators.privacy_seq_queries",
 ]
 
 FAILED_MODULES: dict[str, str] = {}
