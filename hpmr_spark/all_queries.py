@@ -78,6 +78,7 @@ _MODULES = [
     "hpmr_spark.operators.eval_stats2_queries",
     "hpmr_spark.operators.linkage_queries",
     "hpmr_spark.operators.privacy_seq_queries",
+    "hpmr_spark.operators.layout2_queries",
 ]
 
 FAILED_MODULES: dict[str, str] = {}

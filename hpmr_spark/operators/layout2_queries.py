@@ -1,0 +1,182 @@
+"""Physical data-layout batch 2 (round 4): Z-order (Morton) clustering
+keys — the lakehouse data-clustering primitive (Delta Z-ORDER / Iceberg
+sort orders) — and the hot-key-isolated two-path join, the skew strategy
+that complements salting (operators/skew.py) by routing the heavy keys
+through a broadcast path instead of splitting them.
+
+Cross-engine: the Morton interleave is pure integer bit algebra (Spark
+shiftleft/shiftright functions ≡ DuckDB << >> operators — different
+surface syntax, identical semantics on BIGINT); everything else is exact
+keyed aggregation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hpmr_spark.catalog import _t, register
+
+# 8-bit × 8-bit Morton interleave, generated once as expression text for
+# each engine (x in even bit positions, y in odd).
+_N_BITS = 8
+
+
+def _morton_spark(x: str, y: str) -> str:
+    terms = []
+    for i in range(_N_BITS):
+        terms.append(f"shiftleft(shiftright({x}, {i}) & 1, {2 * i})")
+        terms.append(f"shiftleft(shiftright({y}, {i}) & 1, {2 * i + 1})")
+    return " + ".join(terms)
+
+
+def _morton_duck(x: str, y: str) -> str:
+    terms = []
+    for i in range(_N_BITS):
+        terms.append(f"((({x} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({y} >> {i}) & 1) << {2 * i + 1})")
+    return " + ".join(terms)
+
+
+@register(
+    "zorder_clustering_key",
+    f"""
+    WITH d AS (
+      SELECT c_custkey,
+             CAST(c_nationkey AS BIGINT) AS x,
+             CAST(CAST(ROUND(c_acctbal * 100) AS BIGINT) // 5000 AS BIGINT)
+               & 255 AS y
+      FROM customer
+    ),
+    z AS (
+      SELECT c_custkey, x, y,
+             CAST({_morton_duck("x", "y")} AS BIGINT) AS zorder
+      FROM d
+    ),
+    fileb AS (
+      SELECT zorder // 1024 AS zfile,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(COUNT(DISTINCT x) AS BIGINT) AS distinct_nations,
+             CAST(MAX(x) - MIN(x) AS BIGINT) AS nation_span,
+             CAST(MAX(y) - MIN(y) AS BIGINT) AS bal_span
+      FROM z GROUP BY zorder // 1024
+    )
+    SELECT CAST(zfile AS BIGINT) AS zfile, n_rows, distinct_nations,
+           nation_span, bal_span
+    FROM fileb ORDER BY zfile
+    """,
+)
+def zorder_clustering_key(spark, sf_dir):
+    """Z-order (Morton) clustering of customers on (nation,
+    balance-bucket): interleave the two dimensions' bits into one sort key
+    and report, per simulated 1024-key file, how LOCAL both dimensions
+    stay (distinct values and span per file) — the property that lets a
+    zone-map skip files for predicates on EITHER column, which a
+    single-column sort gives only one of. The interleave is exact integer
+    bit algebra (Spark shiftleft/shiftright ≡ DuckDB <</>> on BIGINT —
+    committed identical semantics); spans are exact integers, so the
+    whole layout report hash-matches. At 100 TB this key is what you
+    `repartitionByRange + sortWithinPartitions` the table by before a
+    write; here the per-file stats ARE the zone map."""
+    c = _t(spark, sf_dir, "customer")
+    d = c.select(
+        "c_custkey",
+        F.col("c_nationkey").cast("long").alias("x"),
+        F.expr(
+            "CAST(ROUND(c_acctbal * 100) AS BIGINT) div 5000 & 255"
+        ).cast("long").alias("y"),
+    )
+    z = d.select(
+        "c_custkey",
+        "x",
+        "y",
+        F.expr(f"CAST({_morton_spark('x', 'y')} AS BIGINT)").alias("zorder"),
+    )
+    return (
+        z.groupBy(F.expr("zorder div 1024").alias("zfile"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.countDistinct("x").cast("long").alias("distinct_nations"),
+            (F.max("x") - F.min("x")).cast("long").alias("nation_span"),
+            (F.max("y") - F.min("y")).cast("long").alias("bal_span"),
+        )
+        .select(
+            F.col("zfile").cast("long").alias("zfile"),
+            "n_rows",
+            "distinct_nations",
+            "nation_span",
+            "bal_span",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hot-key-isolated two-path join (the broadcast-isolation skew strategy).
+# ---------------------------------------------------------------------------
+_HOT_THRESHOLD = 15  # orders per customer marking a "hot" key: non-vacuous
+# at BOTH verification SFs (124 hot keys at sf0.01, 14 at sf0.001 — the
+# de-vacuized-oracle discipline from dedup_cross_source_matrix)
+
+
+@register(
+    "hotkey_isolated_join",
+    f"""
+    WITH freq AS (
+      SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders
+      FROM orders GROUP BY o_custkey
+    ),
+    hot AS (SELECT o_custkey FROM freq WHERE n_orders >= {_HOT_THRESHOLD}),
+    j AS (
+      SELECT o.o_custkey, c.c_mktsegment,
+             CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS cents,
+             CASE WHEN hot.o_custkey IS NOT NULL THEN 1 ELSE 0 END AS is_hot
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      LEFT JOIN hot ON hot.o_custkey = o.o_custkey
+    )
+    SELECT c_mktsegment,
+           CAST(SUM(is_hot) AS BIGINT) AS hot_orders,
+           CAST(SUM(1 - is_hot) AS BIGINT) AS cold_orders,
+           CAST(SUM(cents) AS BIGINT) AS revenue_cents
+    FROM j GROUP BY c_mktsegment
+    """,
+)
+def hotkey_isolated_join(spark, sf_dir):
+    """The hot-key-isolation skew strategy, end to end: keys above a
+    frequency threshold are split OUT of the shuffle join and processed
+    on a broadcast path (their dimension rows broadcast against the
+    un-shuffled fact stream), the long-tail keys take the normal shuffle
+    join, and the two paths union before the final rollup — the
+    complement of salting (operators/skew.py splits a hot key's rows;
+    isolation removes the key from the exchange entirely, the right
+    answer when the dim side of the hot keys is tiny). The oracle
+    computes the same report with a plain join + hot flag, proving the
+    two-path physical rewrite ≡ the single declarative join."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey", F.round(F.col("o_totalprice") * 100).cast("long").alias("cents")
+    )
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    freq = o.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n_orders"))
+    hot_keys = freq.where(F.col("n_orders") >= _HOT_THRESHOLD).select("o_custkey")
+    # broadcast path: hot keys' dim rows (tiny by construction) broadcast
+    # against the filtered fact stream — no exchange of the hot fact rows
+    hot_dim = c.join(F.broadcast(hot_keys), "o_custkey")
+    hot_fact = o.join(F.broadcast(hot_keys), "o_custkey", "left_semi")
+    hot_path = hot_fact.join(F.broadcast(hot_dim), "o_custkey").select(
+        "c_mktsegment", "cents", F.lit(1).alias("is_hot")
+    )
+    # shuffle path: the long tail joins normally (anti-join removes hot)
+    cold_fact = o.join(F.broadcast(hot_keys), "o_custkey", "left_anti")
+    cold_path = cold_fact.join(c, "o_custkey").select(
+        "c_mktsegment", "cents", F.lit(0).alias("is_hot")
+    )
+    return (
+        hot_path.unionAll(cold_path)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.sum("is_hot").cast("long").alias("hot_orders"),
+            F.sum(F.lit(1) - F.col("is_hot")).cast("long").alias("cold_orders"),
+            F.sum("cents").cast("long").alias("revenue_cents"),
+        )
+    )
