@@ -79,6 +79,7 @@ _MODULES = [
     "hpmr_spark.operators.linkage_queries",
     "hpmr_spark.operators.privacy_seq_queries",
     "hpmr_spark.operators.layout2_queries",
+    "hpmr_spark.operators.causal_queries",
 ]
 
 FAILED_MODULES: dict[str, str] = {}
