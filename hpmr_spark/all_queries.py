@@ -80,6 +80,7 @@ _MODULES = [
     "hpmr_spark.operators.privacy_seq_queries",
     "hpmr_spark.operators.layout2_queries",
     "hpmr_spark.operators.causal_queries",
+    "hpmr_spark.operators.opsmetrics_queries",
 ]
 
 FAILED_MODULES: dict[str, str] = {}
