@@ -113,3 +113,64 @@ def ngram_jaccard_pairs(
         .where(F.lit(100) * F.col("n_common") >= F.lit(threshold_pct) * F.col("n_union"))
         .select("doc_a", "doc_b", "n_common", F.col("n_union").cast("long").alias("n_union"))
     )
+
+
+def containment_pairs(docs: DataFrame, threshold_pct: int = 70) -> DataFrame:
+    """Exact thresholded CONTAINMENT pairs: 100·|A∩B| ≥ θ·min(|A|,|B|) —
+    the asymmetric duplication Jaccard misses (a short document quoted
+    wholesale inside a long one barely moves J = |∩|/|∪| but maxes the
+    smaller side's containment; this is the dedup rule for quote/subset
+    contamination).
+
+    Candidate generation is one-sided prefix filtering: if the SMALLER
+    side A clears θ, then A's ⌊(1−θ)·|A|⌋+1 globally-rarest shingles must
+    intersect B's FULL set (were all shared shingles outside A's prefix,
+    |A∩B| < θ·|A|) — so the prefix index joins against the full inverted
+    index, recall stays exact, and the pair (min,max) dedup + full-array
+    verification decide. Join volume: Σ over prefix shingles of
+    df·prefix_df, linear-ish on common-vocabulary corpora."""
+    from pyspark import StorageLevel
+
+    sh = shingle_sets(docs).persist(StorageLevel.MEMORY_AND_DISK)
+    sizes = sh.select("doc_id", F.size("sh").alias("n_sh"))
+    inv = sh.select("doc_id", F.explode("sh").alias("shingle"))
+    freq = inv.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    ranked = inv.join(freq, "shingle")
+    w = Window.partitionBy("doc_id").orderBy(F.asc("df"), F.asc("shingle"))
+    pref = (
+        ranked.withColumn("rn", F.row_number().over(w))
+        .withColumn(
+            "prefix_len",
+            F.floor(
+                F.count(F.lit(1)).over(Window.partitionBy("doc_id"))
+                * (100 - threshold_pct)
+                / 100
+            )
+            + 1,
+        )
+        .where(F.col("rn") <= F.col("prefix_len"))
+        .select(F.col("doc_id").alias("p_doc"), "shingle")
+    )
+    cands = (
+        pref.join(inv, "shingle")
+        .where(F.col("p_doc") != F.col("doc_id"))
+        .select(
+            F.least("p_doc", "doc_id").alias("doc_a"),
+            F.greatest("p_doc", "doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    verified = (
+        cands.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("sh_a", "sh_b")).cast("long").alias("n_common"),
+            F.least(F.size("sh_a"), F.size("sh_b")).cast("long").alias("n_min"),
+        )
+        .where(F.lit(100) * F.col("n_common") >= F.lit(threshold_pct) * F.col("n_min"))
+    )
+    return verified.select("doc_a", "doc_b", "n_common", "n_min")

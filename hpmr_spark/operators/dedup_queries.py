@@ -292,3 +292,25 @@ def similarity_ivf_trained_topk(spark, sf_dir):
 
     e = _t(spark, sf_dir, "embeddings")
     return ivf_topk_trained(e, e.where(F.col("vec_id") < 10), k=10, n_cells=8)
+
+
+_CONTAINMENT_ORACLE = f"""
+    WITH {SQL_SHINGLE_CTE}
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS n_common,
+           CAST(LEAST(len(a.sh), len(b.sh)) AS BIGINT) AS n_min
+    FROM shingled a, shingled b
+    WHERE a.doc_id < b.doc_id
+      AND 100 * len(list_intersect(a.sh, b.sh))
+          >= 70 * LEAST(len(a.sh), len(b.sh))
+"""
+
+
+@register("dedup_containment_pairs", _CONTAINMENT_ORACLE)
+def dedup_containment_pairs(spark, sf_dir):
+    """Exact 3-gram CONTAINMENT ≥ 70% pairs (smaller-side overlap — the
+    quote/subset duplication Jaccard misses) via one-sided prefix-filtered
+    inverted index + full-array verify; oracle is the brute-force twin."""
+    from hpmr_spark.dedup.ngram import containment_pairs
+
+    return containment_pairs(_t(spark, sf_dir, "documents"), threshold_pct=70)

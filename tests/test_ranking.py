@@ -228,3 +228,32 @@ def test_sampled_cutpoints_balance_skewed(spark):
         ).collect()
     }
     assert ref == got
+
+
+def test_global_row_numbers_partition_invariant(spark):
+    """The fused multi-ordering builder must assign the same ranks for any
+    physical partitioning of the input, and each ordering's ranks must be
+    the sorted enumeration."""
+    from hpmr_spark.functions.ranking import global_row_numbers
+
+    base = spark.range(0, 500).select(
+        F.col("id").alias("k"),
+        ((F.col("id") * 37) % 101).alias("a"),
+        ((F.col("id") * 53) % 97).alias("b"),
+    )
+    specs = [(["a", "k"], "rn_a"), (["b", "k"], "rn_b", True)]
+    outs = []
+    for parts in (1, 7, 32):
+        df = base.repartition(parts)
+        r = global_row_numbers(df, specs)
+        outs.append({x["k"]: (x["rn_a"], x["rn_b"]) for x in r.collect()})
+    assert outs[0] == outs[1] == outs[2]
+    rows = sorted(outs[0].items())
+    by_a = sorted(rows, key=lambda kv: ((kv[0] * 37) % 101, kv[0]))
+    for i, (k, (rn_a, _)) in enumerate(by_a, start=1):
+        assert outs[0][k][0] == i
+    # descending=True reverses EVERY order column (mixed direction is done
+    # by negating the key, per pareto) — model is (b DESC, k DESC)
+    by_b_desc = sorted(rows, key=lambda kv: (-((kv[0] * 53) % 97), -kv[0]))
+    for i, (k, _) in enumerate(by_b_desc, start=1):
+        assert outs[0][k][1] == i
