@@ -81,6 +81,7 @@ _MODULES = [
     "hpmr_spark.operators.layout2_queries",
     "hpmr_spark.operators.causal_queries",
     "hpmr_spark.operators.opsmetrics_queries",
+    "hpmr_spark.operators.orderstats2_queries",
 ]
 
 FAILED_MODULES: dict[str, str] = {}

@@ -1,0 +1,179 @@
+"""Order-statistics batch 3 (round 4): grouped weighted median and
+peak-concurrency sweep — two rank/prefix statistics that complete the
+family (weighted quantiles per group; max of a running ±1 walk).
+
+Disciplines: weighted median is a rank selection over the per-group value
+histogram (cumulative weight ≥ half the total by integer
+cross-multiplication — never a float quantile); the concurrency walk is
+the fused two-pass ordered pass over exact integer micros.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from hpmr_spark.catalog import _t, register
+from hpmr_spark.sources.tables import load_events
+
+# ---------------------------------------------------------------------------
+# Weighted median order value per segment (weight = line quantity proxy).
+# ---------------------------------------------------------------------------
+@register(
+    "weighted_median_by_segment",
+    """
+    WITH b AS (
+      SELECT c.c_mktsegment AS segment,
+             CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS cents,
+             CAST(1 + o.o_orderkey % 5 AS BIGINT) AS w
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    ),
+    h AS (SELECT segment, cents, CAST(SUM(w) AS BIGINT) AS wsum
+          FROM b GROUP BY segment, cents),
+    t AS (SELECT segment, CAST(SUM(wsum) AS BIGINT) AS wtotal
+          FROM h GROUP BY segment),
+    cum AS (
+      SELECT h.segment, h.cents, h.wsum, t.wtotal,
+             CAST(SUM(h.wsum) OVER (PARTITION BY h.segment ORDER BY h.cents
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cw
+      FROM h JOIN t ON h.segment = t.segment
+    )
+    SELECT segment,
+           CAST(MIN(cents) AS BIGINT) AS weighted_median_cents,
+           CAST(MAX(wtotal) AS BIGINT) AS total_weight
+    FROM cum WHERE 2 * cw >= wtotal
+    GROUP BY segment
+    """,
+)
+def weighted_median_by_segment(spark, sf_dir):
+    """Weighted median order value per segment (weight = a deterministic
+    1..5 order multiplicity): the least value whose cumulative weight
+    reaches half the group total, decided by the integer
+    cross-multiplication 2·cw ≥ W — no float quantile semantics. The
+    cumulative weight runs over the per-(segment, value) HISTOGRAM with a
+    window PARTITIONED by segment (parallel across groups — the grouped
+    sibling of the global two-pass machinery; per-group value counts are
+    bounded by price distinctness). The robust per-group location metric
+    a weighted survey/panel analysis reports."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    b = o.join(c, o["o_custkey"] == c["c_custkey"]).select(
+        F.col("c_mktsegment").alias("segment"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        (1 + F.col("o_orderkey") % 5).cast("long").alias("w"),
+    )
+    h = b.groupBy("segment", "cents").agg(F.sum("w").cast("long").alias("wsum"))
+    t = h.groupBy("segment").agg(F.sum("wsum").cast("long").alias("wtotal"))
+    wspec = (
+        Window.partitionBy("segment")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = (
+        h.join(t, "segment")
+        .withColumn("cw", F.sum("wsum").over(wspec).cast("long"))
+    )
+    return (
+        cum.where(2 * F.col("cw") >= F.col("wtotal"))
+        .groupBy("segment")
+        .agg(
+            F.min("cents").cast("long").alias("weighted_median_cents"),
+            F.max("wtotal").cast("long").alias("total_weight"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Peak concurrent sessions (sweep-line running-sum maximum).
+# ---------------------------------------------------------------------------
+@register(
+    "peak_concurrent_sessions",
+    """
+    WITH e AS (
+      SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS us FROM events
+    ),
+    m AS (
+      SELECT user_id, us,
+             CASE WHEN us - lag(us) OVER (PARTITION BY user_id ORDER BY us)
+                  > 1800000000
+                  OR lag(us) OVER (PARTITION BY user_id ORDER BY us) IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM e
+    ),
+    s AS (
+      SELECT user_id,
+             CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY us
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS seq, us
+      FROM m
+    ),
+    ses AS (SELECT user_id, seq, CAST(MIN(us) AS BIGINT) AS s_us,
+                   CAST(MAX(us) + 1800000000 AS BIGINT) AS e_us
+            FROM s GROUP BY user_id, seq),
+    pts AS (
+      SELECT s_us AS us, CAST(1 AS BIGINT) AS delta FROM ses
+      UNION ALL
+      SELECT e_us AS us, CAST(-1 AS BIGINT) AS delta FROM ses
+    ),
+    g AS (SELECT us, CAST(SUM(delta) AS BIGINT) AS d FROM pts GROUP BY us),
+    walk AS (
+      SELECT us, CAST(SUM(d) OVER (ORDER BY us ROWS UNBOUNDED PRECEDING)
+                      AS BIGINT) AS live
+      FROM g
+    ),
+    mx AS (SELECT MAX(live) AS peak FROM walk)
+    SELECT CAST((SELECT COUNT(*) FROM ses) AS BIGINT) AS n_sessions,
+           CAST(mx.peak AS BIGINT) AS peak_concurrent,
+           CAST((SELECT MIN(us) FROM walk, mx WHERE live = mx.peak) AS BIGINT)
+             AS peak_at_us
+    FROM mx
+    """,
+)
+def peak_concurrent_sessions(spark, sf_dir):
+    """Peak concurrency of 30-minute-gap sessions (session live interval =
+    [first event, last event + gap]): the sweep-line +1/−1 walk over the
+    grouped boundary histogram, its running sum via the two-pass bucketed
+    machinery (ties merged by grouping on the boundary time FIRST, so the
+    walk is well-defined at simultaneous opens/closes), the max, and the
+    earliest time attaining it. Exact integer micros end to end — the
+    capacity-planning statistic (max simultaneous load) every ops review
+    asks for."""
+    from hpmr_spark.functions.ranking import global_running
+
+    ev = load_events(spark, sf_dir)
+    e = ev.select("user_id", F.unix_micros(F.col("ts")).alias("us"))
+    w = Window.partitionBy("user_id").orderBy("us")
+    m = e.withColumn(
+        "is_new",
+        F.when(
+            (F.col("us") - F.lag("us").over(w) > 1_800_000_000)
+            | F.lag("us").over(w).isNull(),
+            1,
+        ).otherwise(0),
+    )
+    s = m.withColumn(
+        "seq",
+        F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("long"),
+    )
+    ses = s.groupBy("user_id", "seq").agg(
+        F.min("us").cast("long").alias("s_us"),
+        (F.max("us") + 1_800_000_000).cast("long").alias("e_us"),
+    )
+    pts = ses.select(F.col("s_us").alias("us"), F.lit(1).cast("long").alias("delta")).unionAll(
+        ses.select(F.col("e_us").alias("us"), F.lit(-1).cast("long").alias("delta"))
+    )
+    g = pts.groupBy("us").agg(F.sum("delta").cast("long").alias("d"))
+    walk = global_running(g, ["us"], "d", kind="sum", out="live")
+    mx = walk.agg(F.max("live").alias("peak"))
+    n = ses.agg(F.count(F.lit(1)).cast("long").alias("n_sessions"))
+    at = walk.join(F.broadcast(mx), F.col("live") == F.col("peak")).agg(
+        F.min("us").cast("long").alias("peak_at_us")
+    )
+    return (
+        n.crossJoin(F.broadcast(mx))
+        .crossJoin(F.broadcast(at))
+        .select(
+            "n_sessions",
+            F.col("peak").cast("long").alias("peak_concurrent"),
+            "peak_at_us",
+        )
+    )
