@@ -177,3 +177,137 @@ def peak_concurrent_sessions(spark, sf_dir):
             "peak_at_us",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Columnar encoding advisor: dictionary vs RLE size estimates.
+# ---------------------------------------------------------------------------
+@register(
+    "encoding_advisor_columns",
+    """
+    WITH r AS (
+      SELECT o_orderkey,
+             row_number() OVER (ORDER BY o_orderkey) AS rn,
+             o_orderpriority AS prio, o_orderstatus AS status,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ),
+    adj AS (
+      SELECT a.prio AS p1, b.prio AS p2, a.status AS s1, b.status AS s2,
+             a.cents AS c1, b.cents AS c2
+      FROM r a JOIN r b ON b.rn = a.rn + 1
+    ),
+    runs AS (
+      SELECT CAST(1 + SUM(CASE WHEN p1 <> p2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS runs_prio,
+             CAST(1 + SUM(CASE WHEN s1 <> s2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS runs_status,
+             CAST(1 + SUM(CASE WHEN c1 <> c2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS runs_cents
+      FROM adj
+    ),
+    nd AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS ndv_prio,
+             CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS ndv_status,
+             CAST(COUNT(DISTINCT CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS ndv_cents
+      FROM orders
+    )
+    SELECT col, n, ndv, n_runs,
+           CAST(n * (length(bin(ndv)) - 1) + ndv * 64 AS BIGINT)
+             AS est_dict_bits,
+           CAST(n_runs * 96 AS BIGINT) AS est_rle_bits,
+           (CAST(n_runs * 96 AS BIGINT)
+            < CAST(n * (length(bin(ndv)) - 1) + ndv * 64 AS BIGINT))
+             AS prefer_rle
+    FROM (
+      SELECT 'o_orderpriority' AS col, nd.n, nd.ndv_prio AS ndv,
+             runs.runs_prio AS n_runs FROM nd, runs
+      UNION ALL
+      SELECT 'o_orderstatus', nd.n, nd.ndv_status, runs.runs_status
+      FROM nd, runs
+      UNION ALL
+      SELECT 'o_totalprice_cents', nd.n, nd.ndv_cents, runs.runs_cents
+      FROM nd, runs
+    ) u
+    """,
+)
+def encoding_advisor_columns(spark, sf_dir):
+    """Columnar encoding advisor — the layout decision a writer makes per
+    column: for three columns of orders (in the deterministic o_orderkey
+    order), count NDV and VALUE RUNS, then compare a dictionary estimate
+    (n·⌈log₂ndv⌉ index bits + 64-bit dict entries — ⌈log₂⌉ via the
+    length(bin(x))−1 exact-bit identity, a verified cross-engine fact)
+    against an RLE estimate (96 bits per run). Adjacency is the
+    rn ⋈ rn+1 self-join over the two-pass bucketed row_number — no global
+    window; runs and NDV are exact, so the recommendation bit is an
+    integer comparison. Low-NDV orderpriority/status flag RLE-vs-dict
+    honestly; near-unique cents lands on dictionary-off territory (huge
+    both ways — the advisor's 'leave plain' signal)."""
+    from hpmr_spark.functions.ranking import global_row_number
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_orderpriority").alias("prio"),
+        F.col("o_orderstatus").alias("status"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    r = global_row_number(o, ["o_orderkey"], out="rn")
+    a = r.select(
+        (F.col("rn") + 1).alias("rn"),
+        F.col("prio").alias("p1"),
+        F.col("status").alias("s1"),
+        F.col("cents").alias("c1"),
+    )
+    b = r.select("rn", F.col("prio").alias("p2"), F.col("status").alias("s2"), F.col("cents").alias("c2"))
+    runs = (
+        a.join(b, "rn")
+        .agg(
+            (1 + F.sum(F.when(F.col("p1") != F.col("p2"), 1).otherwise(0)))
+            .cast("long")
+            .alias("runs_prio"),
+            (1 + F.sum(F.when(F.col("s1") != F.col("s2"), 1).otherwise(0)))
+            .cast("long")
+            .alias("runs_status"),
+            (1 + F.sum(F.when(F.col("c1") != F.col("c2"), 1).otherwise(0)))
+            .cast("long")
+            .alias("runs_cents"),
+        )
+    )
+    nd = o.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.countDistinct("prio").cast("long").alias("ndv_prio"),
+        F.countDistinct("status").cast("long").alias("ndv_status"),
+        F.countDistinct("cents").cast("long").alias("ndv_cents"),
+    )
+    base = nd.crossJoin(F.broadcast(runs))
+    rows = []
+    for col, ndv, nr in (
+        ("o_orderpriority", "ndv_prio", "runs_prio"),
+        ("o_orderstatus", "ndv_status", "runs_status"),
+        ("o_totalprice_cents", "ndv_cents", "runs_cents"),
+    ):
+        rows.append(
+            base.select(
+                F.lit(col).alias("col"),
+                "n",
+                F.col(ndv).alias("ndv"),
+                F.col(nr).alias("n_runs"),
+            )
+        )
+    u = rows[0].unionAll(rows[1]).unionAll(rows[2])
+    return u.select(
+        "col",
+        "n",
+        "ndv",
+        "n_runs",
+        F.expr(
+            "CAST(n * (length(bin(ndv)) - 1) + ndv * 64 AS BIGINT)"
+        ).alias("est_dict_bits"),
+        F.expr("CAST(n_runs * 96 AS BIGINT)").alias("est_rle_bits"),
+        F.expr(
+            "CAST(n_runs * 96 AS BIGINT)"
+            " < CAST(n * (length(bin(ndv)) - 1) + ndv * 64 AS BIGINT)"
+        ).alias("prefer_rle"),
+    )
