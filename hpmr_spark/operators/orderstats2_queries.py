@@ -311,3 +311,133 @@ def encoding_advisor_columns(spark, sf_dir):
             " < CAST(n * (length(bin(ndv)) - 1) + ndv * 64 AS BIGINT)"
         ).alias("prefer_rle"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-group top-k WITH TIES (DENSE_RANK semantics).
+# ---------------------------------------------------------------------------
+@register(
+    "grouped_topk_with_ties",
+    """
+    WITH w AS (
+      SELECT c.c_mktsegment AS segment, o.o_custkey,
+             CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      GROUP BY c.c_mktsegment, o.o_custkey
+    ),
+    r AS (
+      SELECT segment, o_custkey, cents,
+             dense_rank() OVER (PARTITION BY segment ORDER BY cents DESC)
+               AS rnk
+      FROM w
+    )
+    SELECT segment, o_custkey, cents, CAST(rnk AS BIGINT) AS rnk
+    FROM r WHERE rnk <= 3
+    """,
+)
+def grouped_topk_with_ties(spark, sf_dir):
+    """Per-segment top-3 spenders WITH TIES (DENSE_RANK ≤ k): equal spend
+    levels share a rank and ALL members of a qualifying level are kept —
+    the leaderboard semantic row_number silently breaks (an arbitrary tie
+    member would be dropped) and RANK gaps distort (a 2-way tie at #1
+    would skip #2). The window is PARTITIONED by segment — parallel
+    across groups, never global; the output set is fully deterministic
+    because ties are INCLUDED rather than broken."""
+    from pyspark.sql import Window as W
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    w = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy(F.col("c_mktsegment").alias("segment"), "o_custkey")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents")
+        )
+    )
+    r = w.withColumn(
+        "rnk",
+        F.dense_rank()
+        .over(W.partitionBy("segment").orderBy(F.col("cents").desc()))
+        .cast("long"),
+    )
+    return r.where(F.col("rnk") <= 3).select("segment", "o_custkey", "cents", "rnk")
+
+
+# ---------------------------------------------------------------------------
+# Per-dimension robust scaling stats for the embedding space.
+# ---------------------------------------------------------------------------
+@register(
+    "embedding_robust_scale_stats",
+    """
+    WITH x AS (
+      SELECT u.i AS dim,
+             CAST(FLOOR(CAST(embedding[u.i] AS DOUBLE) * 1000000) AS BIGINT)
+               AS v
+      FROM embeddings,
+           LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) u
+    ),
+    h AS (SELECT dim, v, CAST(COUNT(*) AS BIGINT) AS cnt FROM x GROUP BY dim, v),
+    t AS (SELECT dim, CAST(SUM(cnt) AS BIGINT) AS n FROM h GROUP BY dim),
+    cum AS (
+      SELECT h.dim, h.v, t.n,
+             CAST(SUM(h.cnt) OVER (PARTITION BY h.dim ORDER BY h.v
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cm
+      FROM h JOIN t ON h.dim = t.dim
+    )
+    SELECT dim,
+           CAST(MIN(CASE WHEN 4 * cm >= n THEN v END) AS BIGINT) AS q1_micro,
+           CAST(MIN(CASE WHEN 2 * cm >= n THEN v END) AS BIGINT)
+             AS median_micro,
+           CAST(MIN(CASE WHEN 4 * cm >= 3 * n THEN v END) AS BIGINT)
+             AS q3_micro,
+           CAST(MIN(CASE WHEN 4 * cm >= 3 * n THEN v END)
+                - MIN(CASE WHEN 4 * cm >= n THEN v END) AS BIGINT)
+             AS iqr_micro
+    FROM cum GROUP BY dim
+    """,
+)
+def embedding_robust_scale_stats(spark, sf_dir):
+    """Per-dimension robust-scaling statistics (q1/median/q3/IQR) of the
+    embedding space — the preprocessing table a RobustScaler fits: each
+    float32 component floored to exact integer micro-units (the verified
+    elementwise discipline), per-dimension value histograms, and rank
+    selection by integer cross-multiplication (4·cm ≥ n etc. — never a
+    float quantile). The window partitions BY DIMENSION (embedding width
+    many partitions — parallel, bounded, never global). Feature-wise
+    robust normalization is how embedding outliers get tamed before
+    clustering."""
+    e = _t(spark, sf_dir, "embeddings")
+    x = e.select(
+        F.posexplode("embedding").alias("pos", "comp")
+    ).select(
+        (F.col("pos") + 1).cast("long").alias("dim"),
+        F.expr(
+            "CAST(FLOOR(CAST(comp AS DOUBLE) * 1000000) AS BIGINT)"
+        ).alias("v"),
+    )
+    h = x.groupBy("dim", "v").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    t = h.groupBy("dim").agg(F.sum("cnt").cast("long").alias("n"))
+    from pyspark.sql import Window as W
+
+    wspec = (
+        W.partitionBy("dim").orderBy("v").rowsBetween(W.unboundedPreceding, 0)
+    )
+    cum = h.join(t, "dim").withColumn("cm", F.sum("cnt").over(wspec).cast("long"))
+    return cum.groupBy("dim").agg(
+        F.min(F.when(4 * F.col("cm") >= F.col("n"), F.col("v")))
+        .cast("long")
+        .alias("q1_micro"),
+        F.min(F.when(2 * F.col("cm") >= F.col("n"), F.col("v")))
+        .cast("long")
+        .alias("median_micro"),
+        F.min(F.when(4 * F.col("cm") >= 3 * F.col("n"), F.col("v")))
+        .cast("long")
+        .alias("q3_micro"),
+        (
+            F.min(F.when(4 * F.col("cm") >= 3 * F.col("n"), F.col("v")))
+            - F.min(F.when(4 * F.col("cm") >= F.col("n"), F.col("v")))
+        )
+        .cast("long")
+        .alias("iqr_micro"),
+    )
