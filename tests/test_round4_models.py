@@ -132,3 +132,93 @@ def test_knn_vote_agrees_with_python_model(spark):
         for r in _q("knn_label_vote_eval")(spark, SF).collect()
     }
     assert got == expected
+
+
+def test_token_bucket_count_vs_collect(spark):
+    """The grouped-pandas fold class sanity (CLAUDE.md: self-cogroup
+    miscompiled under count() in Spark 4.1): the applyInPandas token
+    bucket must agree between count() and collect()."""
+    df = _q("token_bucket_replay")(spark, SF)
+    assert df.count() == len(df.collect()) == 150
+
+
+def test_token_bucket_conservation(spark):
+    """allowed + denied must equal each user's event count, and the final
+    bucket level stays within [0, cap]."""
+    rows = {r["user_id"]: r for r in _q("token_bucket_replay")(spark, SF).collect()}
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    counts = {
+        r["user_id"]: r["n"]
+        for r in ev.groupBy("user_id").count().withColumnRenamed("count", "n").collect()
+    }
+    assert set(rows) == set(counts)
+    for uid, r in rows.items():
+        assert r["n_allowed"] + r["n_denied"] == counts[uid]
+        assert 0 <= r["end_tokens_micro"] <= 5_000_000
+
+
+def test_morton_interleave_model(spark):
+    """The Z-order key must equal the pure-Python bit interleave for every
+    (x, y) in the 8-bit domain sample."""
+    from pyspark.sql import functions as F
+    from hpmr_spark.operators.layout2_queries import _morton_spark
+
+    df = spark.range(0, 256).select(
+        (F.col("id") % 16).alias("x"), (F.col("id") % 251 % 16).alias("y")
+    )
+    got = df.select(
+        "x", "y", F.expr(f"CAST({_morton_spark('x', 'y')} AS BIGINT)").alias("z")
+    ).collect()
+
+    def morton(x, y):
+        z = 0
+        for i in range(8):
+            z |= ((x >> i) & 1) << (2 * i)
+            z |= ((y >> i) & 1) << (2 * i + 1)
+        return z
+
+    for r in got:
+        assert r["z"] == morton(r["x"], r["y"]), (r["x"], r["y"])
+
+
+def test_weighted_median_python_model(spark):
+    """Grouped weighted median re-derived in pure Python must match."""
+    rows = _q("weighted_median_by_segment")(spark, SF).collect()
+    o = spark.read.parquet(f"{SF}/orders.parquet").collect()
+    c = {r["c_custkey"]: r["c_mktsegment"] for r in
+         spark.read.parquet(f"{SF}/customer.parquet").collect()}
+    from collections import defaultdict
+
+    hist = defaultdict(lambda: defaultdict(int))
+    for r in o:
+        seg = c.get(r["o_custkey"])
+        if seg is None:
+            continue
+        cents = int(round(r["o_totalprice"] * 100))
+        w = 1 + r["o_orderkey"] % 5
+        hist[seg][cents] += w
+    for row in rows:
+        h = hist[row["segment"]]
+        total = sum(h.values())
+        cw = 0
+        med = None
+        for v in sorted(h):
+            cw += h[v]
+            if 2 * cw >= total:
+                med = v
+                break
+        assert row["weighted_median_cents"] == med
+        assert row["total_weight"] == total
+
+
+def test_apportionment_extra_goes_to_largest_remainders(spark):
+    """The +1 units must land exactly on the languages with the largest
+    remainders (tie-break lang asc) — the Hamilton rule itself."""
+    rows = _q("corpus_mix_apportionment")(spark, SF).collect()
+    tok_total = sum(r["tokens"] for r in rows)
+    rem = {r["lang"]: (1_000_000 * r["tokens"]) % tok_total for r in rows}
+    leftover = 1_000_000 - sum((1_000_000 * r["tokens"]) // tok_total for r in rows)
+    order = sorted(rows, key=lambda r: (-rem[r["lang"]], r["lang"]))
+    expect_extra = {r["lang"] for r in order[:leftover]}
+    for r in rows:
+        assert r["extra"] == (1 if r["lang"] in expect_extra else 0), r["lang"]
