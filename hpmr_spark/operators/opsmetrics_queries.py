@@ -212,3 +212,68 @@ def slo_burn_rate_windows(spark, sf_dir):
             " AND 1000 * err_6h * 100 >= 60 * 10 * n_6h"
         ).alias("page_alert"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Table fingerprint: content-addressed schema+stats hash.
+# ---------------------------------------------------------------------------
+@register(
+    "table_fingerprint_audit",
+    """
+    WITH s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS ndv_key,
+             CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+             CAST(MAX(o_orderkey) AS BIGINT) AS max_key,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS sum_cents,
+             CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS ndv_prio
+      FROM orders
+    )
+    SELECT n, ndv_key, sum_cents,
+           md5('orders|' || CAST(n AS VARCHAR) || '|'
+               || CAST(ndv_key AS VARCHAR) || '|'
+               || CAST(min_key AS VARCHAR) || '|'
+               || CAST(max_key AS VARCHAR) || '|'
+               || CAST(sum_cents AS VARCHAR) || '|'
+               || CAST(ndv_prio AS VARCHAR)) AS fingerprint
+    FROM s
+    """,
+)
+def table_fingerprint_audit(spark, sf_dir):
+    """Content-addressed table fingerprint: md5 over a canonical string of
+    exact statistics (row count, key NDV/min/max, total integer cents,
+    categorical NDV) — the cheap data-version check a pipeline stores per
+    snapshot to detect silent upstream changes without hashing every row
+    (the full-row fingerprint is dedup/exact's job). Every stat is exact
+    integer arithmetic and md5 is the committed cross-engine hash, so
+    both engines derive the IDENTICAL fingerprint — it can gate promotion
+    in either system."""
+    o = _t(spark, sf_dir, "orders")
+    s = o.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.countDistinct("o_orderkey").cast("long").alias("ndv_key"),
+        F.min("o_orderkey").cast("long").alias("min_key"),
+        F.max("o_orderkey").cast("long").alias("max_key"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("sum_cents"),
+        F.countDistinct("o_orderpriority").cast("long").alias("ndv_prio"),
+    )
+    return s.select(
+        "n",
+        "ndv_key",
+        "sum_cents",
+        F.md5(
+            F.concat_ws(
+                "|",
+                F.lit("orders"),
+                F.col("n").cast("string"),
+                F.col("ndv_key").cast("string"),
+                F.col("min_key").cast("string"),
+                F.col("max_key").cast("string"),
+                F.col("sum_cents").cast("string"),
+                F.col("ndv_prio").cast("string"),
+            )
+        ).alias("fingerprint"),
+    )
