@@ -222,3 +222,55 @@ def test_apportionment_extra_goes_to_largest_remainders(spark):
     expect_extra = {r["lang"] for r in order[:leftover]}
     for r in rows:
         assert r["extra"] == (1 if r["lang"] in expect_extra else 0), r["lang"]
+
+
+def test_new_stats_shuffle_partition_invariant(spark):
+    """The round-4 statistics must return identical results under a
+    hostile shuffle-partition count (7 vs the session default) — the
+    partition-invariance discipline, applied to the newest operators."""
+    names = ["sprt_purchase_rate", "mutual_information_nano",
+             "woe_iv_segments", "mann_whitney_u_gate"]
+    def run_all():
+        out = {}
+        for n in names:
+            rows = _q(n)(spark, SF).collect()
+            out[n] = sorted(tuple(r) for r in rows)
+        return out
+    default = spark.conf.get("spark.sql.shuffle.partitions")
+    base = run_all()
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "7")
+        alt = run_all()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", default)
+    assert base == alt
+
+
+def test_dp_noise_matches_python_model(spark):
+    """The deterministic Laplace release must equal the pure-Python
+    recomputation from the same committed md5-derived uniform."""
+    import hashlib
+    import math
+
+    rows = _q("dp_noised_segment_counts")(spark, SF).collect()
+    assert rows
+    for r in rows:
+        h = hashlib.md5(f"dp:{r['segment']}".encode()).hexdigest()[:15]
+        u_e9 = int(h, 16) % 1_000_000_000
+        sign = 1 if 2 * u_e9 + 1 >= 1_000_000_000 else -1
+        z = (1_000_000_000 - abs(2 * u_e9 + 1 - 1_000_000_000)) / 1_000_000_000.0
+        mag = math.floor(-math.log(z) * 1_000_000)
+        assert r["noise_micro"] == sign * mag, r["segment"]
+        assert r["released_micro"] == r["n_true"] * 1_000_000 + sign * mag
+
+
+def test_record_linkage_matches_all_true_twins(spark):
+    """Every planted twin (i, i) must clear the 2.0-nat threshold — even
+    the segment-corrupted (custkey % 7 == 0) ones, whose balance+decade
+    agreement still scores ~3.5 nats."""
+    rows = _q("record_linkage_fs")(spark, SF).collect()
+    pairs = {(r["a_key"], r["b_key"]) for r in rows}
+    keys = [r["c_custkey"] for r in
+            spark.read.parquet(f"{SF}/customer.parquet").collect()]
+    missing = [k for k in keys if (k, k) not in pairs]
+    assert not missing, f"unmatched twins: {missing[:5]}"
