@@ -8,6 +8,12 @@ any scale), each final statistic is ONE double expression over the exact
 moments (identical text both engines — bit-equal, the moment-parity
 commitment); decision quantities (IPS value, DiD) stay in floor-divided
 integer micro-units end to end.
+
+Reference parity: extends the engine surface beyond the reference's
+kv kernel (/root/reference/src/hpmr.h:1-10) along the analytics axis
+the brief makes first-class; every aggregation follows the DistMap
+combine-on-insert ≡ map-side partial agg mapping
+(/root/reference/src/bare_map.h:55-57).
 """
 
 from __future__ import annotations

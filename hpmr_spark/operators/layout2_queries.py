@@ -8,6 +8,12 @@ Cross-engine: the Morton interleave is pure integer bit algebra (Spark
 shiftleft/shiftright functions ≡ DuckDB << >> operators — different
 surface syntax, identical semantics on BIGINT); everything else is exact
 keyed aggregation.
+
+Reference parity: extends the engine surface beyond the reference's
+kv kernel (/root/reference/src/hpmr.h:1-10) along the analytics axis
+the brief makes first-class; every aggregation follows the DistMap
+combine-on-insert ≡ map-side partial agg mapping
+(/root/reference/src/bare_map.h:55-57).
 """
 
 from __future__ import annotations

@@ -7,6 +7,12 @@ Disciplines: every attribution term is a floor-divided integer
 micro-unit with an explicit residual column making the decomposition sum
 EXACTLY to the observed delta (floors never silently lose mass);
 burn-rate thresholds are integer cross-multiplications (no float gates).
+
+Reference parity: extends the engine surface beyond the reference's
+kv kernel (/root/reference/src/hpmr.h:1-10) along the analytics axis
+the brief makes first-class; every aggregation follows the DistMap
+combine-on-insert ≡ map-side partial agg mapping
+(/root/reference/src/bare_map.h:55-57).
 """
 
 from __future__ import annotations

@@ -6,6 +6,12 @@ Disciplines: weighted median is a rank selection over the per-group value
 histogram (cumulative weight ≥ half the total by integer
 cross-multiplication — never a float quantile); the concurrency walk is
 the fused two-pass ordered pass over exact integer micros.
+
+Reference parity: extends the engine surface beyond the reference's
+kv kernel (/root/reference/src/hpmr.h:1-10) along the analytics axis
+the brief makes first-class; every aggregation follows the DistMap
+combine-on-insert ≡ map-side partial agg mapping
+(/root/reference/src/bare_map.h:55-57).
 """
 
 from __future__ import annotations

@@ -7,6 +7,12 @@ The DP mechanism is the repo's strongest demonstration of the committed-
 hash + LN-parity discipline: the Laplace inverse-CDF noise is a pure
 function of an md5-derived uniform, so both engines release the IDENTICAL
 noised value — reproducible privacy, no RNG divergence.
+
+Reference parity: extends the engine surface beyond the reference's
+kv kernel (/root/reference/src/hpmr.h:1-10) along the analytics axis
+the brief makes first-class; every aggregation follows the DistMap
+combine-on-insert ≡ map-side partial agg mapping
+(/root/reference/src/bare_map.h:55-57).
 """
 
 from __future__ import annotations
