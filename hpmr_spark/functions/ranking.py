@@ -70,7 +70,15 @@ def _with_bucket(
     |cutpoints strictly below the key| — which balances skewed
     distributions. Either way the bucket is a pure row-value function, so
     every consumer of the frame computes the same assignment (ties on the
-    leading key always share a bucket, keeping prefix offsets exact)."""
+    leading key always share a bucket, keeping prefix offsets exact).
+
+    NULL leading keys (ADVICE r4): a NULL key would propagate NULL through
+    the bucket arithmetic and be silently DROPPED by the downstream
+    bucket equi-join. They are routed to the bucket matching Spark's
+    default NULL ordering — ascending ⇒ NULLS FIRST ⇒ bucket 0;
+    descending ⇒ NULLS LAST ⇒ last bucket — which is also how the
+    in-bucket window orders them, so the total order stays consistent
+    with a plain ORDER BY."""
     k = first_key.cast("double")
     if cutpoints is not None:
         asc_bkt = None
@@ -78,6 +86,7 @@ def _with_bucket(
             term = (k > F.lit(float(cp))).cast("int")
             asc_bkt = term if asc_bkt is None else asc_bkt + term
         asc_bkt = F.lit(0) if asc_bkt is None else asc_bkt
+        asc_bkt = F.when(k.isNull(), F.lit(0)).otherwise(asc_bkt)
         n = len(cutpoints)
         bkt = (F.lit(n) - asc_bkt) if descending else asc_bkt
         return df.withColumn(_BKT, bkt.cast("int"))
@@ -88,8 +97,11 @@ def _with_bucket(
     span = F.col(_MX) - F.col(_MN)
     pos = (F.col(_MX) - k) if descending else (k - F.col(_MN))
     raw = F.floor(pos * num_buckets / span).cast("int")
-    bkt = F.when(span <= 0, F.lit(0)).otherwise(
-        F.least(F.lit(num_buckets - 1), F.greatest(F.lit(0), raw))
+    null_bkt = F.lit(num_buckets - 1) if descending else F.lit(0)
+    bkt = F.when(k.isNull(), null_bkt).otherwise(
+        F.when(span <= 0, F.lit(0)).otherwise(
+            F.least(F.lit(num_buckets - 1), F.greatest(F.lit(0), raw))
+        )
     )
     return (
         df.crossJoin(F.broadcast(bounds))
@@ -290,10 +302,17 @@ def global_row_numbers(
         span = mx - mn
         pos = (mx - k) if desc else (k - mn)
         raw = F.floor(pos * num_buckets / span).cast("int")
+        # NULL leading keys route to the bucket matching Spark's default
+        # NULL ordering (asc ⇒ NULLS FIRST ⇒ 0; desc ⇒ NULLS LAST ⇒ last)
+        # instead of propagating NULL and being dropped by the offsets
+        # equi-join (ADVICE r4).
+        null_bkt = F.lit(num_buckets - 1) if desc else F.lit(0)
         p = p.withColumn(
             f"_bkt_{i}",
-            F.when(span <= 0, F.lit(0)).otherwise(
-                F.least(F.lit(num_buckets - 1), F.greatest(F.lit(0), raw))
+            F.when(k.isNull(), null_bkt).otherwise(
+                F.when(span <= 0, F.lit(0)).otherwise(
+                    F.least(F.lit(num_buckets - 1), F.greatest(F.lit(0), raw))
+                )
             ),
         )
     p = p.drop(*[c for i in range(len(specs)) for c in (f"_mn_{i}", f"_mx_{i}")])

@@ -12,6 +12,7 @@ cross-products that pass int64, full tie-breaks on every ordering.
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
@@ -99,7 +100,7 @@ def conformal_threshold_coverage(spark, sf_dir):
     # inherently two-consumer (calibration mean + scoring): persist, or the
     # customer⋈orders subtree re-shuffles once per pruned consumer variant
     # (query is in plan_snapshot SKIP for the InMemoryTableScan flake)
-    w = w.persist()
+    w = w.persist(StorageLevel.MEMORY_AND_DISK)
     segm = w.groupBy("segment").agg(
         F.expr(
             "CAST(SUM(CASE WHEN c_custkey % 2 = 1 THEN cents ELSE 0 END)"
@@ -320,7 +321,7 @@ def km_survival_curve(spark, sf_dir):
     # the duration histogram feeds the total, the prefix machinery's three
     # branches, and the final ordered pass — persist the SMALL grouped
     # frame so the events aggregation shuffles once (plan_snapshot SKIP)
-    g = g.persist()
+    g = g.persist(StorageLevel.MEMORY_AND_DISK)
     n = g.agg(F.sum("cnt").cast("long").alias("total"))
     cum = global_running(
         g, ["dur_us"], "cnt", kind="sum", strict=True, out="lt"

@@ -79,8 +79,11 @@ def zorder_clustering_key(spark, sf_dir):
     zone-map skip files for predicates on EITHER column, which a
     single-column sort gives only one of. The interleave is exact integer
     bit algebra (Spark shiftleft/shiftright ≡ DuckDB <</>> on BIGINT —
-    committed identical semantics); spans are exact integers, so the
-    whole layout report hash-matches. At 100 TB this key is what you
+    committed identical semantics); the y bucket is TRUNCATING integer
+    division of cents (Spark `div` ≡ DuckDB `//`, identical on both
+    engines including negative c_acctbal — negatives near zero truncate
+    into bucket 0, not true floor; ADVICE r4); spans are exact integers,
+    so the whole layout report hash-matches. At 100 TB this key is what you
     `repartitionByRange + sortWithinPartitions` the table by before a
     write; here the per-file stats ARE the zone map."""
     c = _t(spark, sf_dir, "customer")

@@ -117,8 +117,12 @@ def k_anonymity_audit(spark, sf_dir):
     quasi-identifier: the re-identification check run before any record
     release — group-size minimum, groups below k=5, and the row count at
     risk. Pure keyed aggregation (one shuffle of the quasi-id tuple); the
-    bucket is an exact integer floor of cents so the grouping is
-    partition- and engine-invariant. Pairs with dp_noised_segment_counts:
+    bucket is TRUNCATING integer division of cents (Spark `div` ≡ DuckDB
+    `//` truncate toward zero, identical on both engines INCLUDING the
+    ~8% negative c_acctbal rows — small negatives share bucket 0 with
+    small positives by design; do NOT "fix" one side to true floor, that
+    breaks cross-engine parity) so the grouping is partition- and
+    engine-invariant. Pairs with dp_noised_segment_counts:
     suppress-or-noise is decided by exactly this report."""
     c = _t(spark, sf_dir, "customer")
     q = c.groupBy(

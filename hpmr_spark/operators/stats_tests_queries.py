@@ -11,6 +11,7 @@ by integer cross-multiplication: no float ever gates significance.
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import functions as F
 
 from hpmr_spark.catalog import register
@@ -278,7 +279,7 @@ def sprt_purchase_rate(spark, sf_dir):
     # the prefix frame feeds four consumers (both crossings, the count,
     # the final value): persist the SMALL (rn, llr) projection
     # (plan-uniqueness via the projection itself; plan_snapshot SKIP)
-    llr = llr.persist()
+    llr = llr.persist(StorageLevel.MEMORY_AND_DISK)
     hi = llr.where(F.col("llr_nano") >= _SPRT_A).agg(F.min("rn").alias("rn_h1"))
     lo = llr.where(F.col("llr_nano") <= -_SPRT_A).agg(F.min("rn").alias("rn_h0"))
     t = llr.agg(

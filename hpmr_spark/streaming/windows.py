@@ -275,6 +275,17 @@ def _token_bucket_fn(
         for ts in pdf["ts_us"].values:
             ts = int(ts)
             if prev >= 0:
+                if ts < prev:
+                    # ADVICE r4: the fold is only exact when batches arrive
+                    # time-ordered (single-file source → one batch today).
+                    # If the data shape ever changes (multi-file dir,
+                    # maxFilesPerTrigger) fail LOUDLY instead of silently
+                    # diverging from the recursive-CTE oracle.
+                    raise ValueError(
+                        "token-bucket state saw an out-of-order micro-batch: "
+                        f"user {user_id} ts {ts} < state prev {prev}; the "
+                        "single-time-ordered-batch contract is broken"
+                    )
                 tokens = min(_TB_CAP, tokens + (ts - prev) // _TB_DIV)
             if tokens >= _TB_COST:
                 allowed += 1

@@ -257,3 +257,40 @@ def test_global_row_numbers_partition_invariant(spark):
     by_b_desc = sorted(rows, key=lambda kv: (-((kv[0] * 53) % 97), -kv[0]))
     for i, (k, _) in enumerate(by_b_desc, start=1):
         assert outs[0][k][1] == i
+
+
+def test_null_keys_not_dropped(spark):
+    """ADVICE r4: NULL leading keys must NOT be silently dropped by the
+    bucket equi-join — they route to the NULLS FIRST (asc) / NULLS LAST
+    (desc) bucket, matching Spark's default window NULL ordering."""
+    from hpmr_spark.functions.ranking import global_row_number, global_row_numbers
+
+    base = spark.range(0, 200).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") % 7 == 0, F.lit(None).cast("long"))
+        .otherwise((F.col("id") * 37) % 101)
+        .alias("x"),
+    )
+    w_asc = Window.orderBy(F.col("x").asc(), F.col("k").asc())
+    ref_asc = {
+        r["k"]: r["rn"]
+        for r in base.withColumn("rn", F.row_number().over(w_asc)).collect()
+    }
+    got_asc = {
+        r["k"]: r["rn"]
+        for r in global_row_number(base, ["x", "k"], out="rn").collect()
+    }
+    assert len(got_asc) == 200, "NULL-keyed rows were dropped"
+    assert got_asc == ref_asc
+
+    w_desc = Window.orderBy(F.col("x").desc(), F.col("k").desc())
+    ref_desc = {
+        r["k"]: r["rn"]
+        for r in base.withColumn("rn", F.row_number().over(w_desc)).collect()
+    }
+    got_desc = {
+        r["k"]: r["rn_d"]
+        for r in global_row_numbers(base, [(["x", "k"], "rn_d", True)]).collect()
+    }
+    assert len(got_desc) == 200
+    assert got_desc == ref_desc
