@@ -82,6 +82,7 @@ _MODULES = [
     "hpmr_spark.operators.causal_queries",
     "hpmr_spark.operators.opsmetrics_queries",
     "hpmr_spark.operators.orderstats2_queries",
+    "hpmr_spark.operators.timeseries3_queries",
 ]
 
 FAILED_MODULES: dict[str, str] = {}

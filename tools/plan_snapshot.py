@@ -74,6 +74,10 @@ SKIP = {
     "km_survival_curve",  # persisted duration histogram, same
     "sprt_purchase_rate",  # persisted llr prefix frame, same
     "streaming_token_bucket",  # runs the stream at build
+    "acf_lags_revenue",  # persisted day rollup (InMemoryTableScan flake)
+    "rolling_median_7day",  # persisted day rollup, same
+    "mann_kendall_trend",  # persisted day rollup, same
+    "runs_test_above_median",  # persisted day rollup, same
 }
 
 SF_DIR = "/root/testdata/sf0.001"
