@@ -83,6 +83,7 @@ _MODULES = [
     "hpmr_spark.operators.opsmetrics_queries",
     "hpmr_spark.operators.orderstats2_queries",
     "hpmr_spark.operators.timeseries3_queries",
+    "hpmr_spark.operators.experiment_stats_queries",
 ]
 
 FAILED_MODULES: dict[str, str] = {}

@@ -78,6 +78,9 @@ SKIP = {
     "rolling_median_7day",  # persisted day rollup, same
     "mann_kendall_trend",  # persisted day rollup, same
     "runs_test_above_median",  # persisted day rollup, same
+    "cuped_adjusted_lift",  # persisted per-user frame, same
+    "theil_sen_slope_milli",  # persisted weekly rollup, same
+    "t_closeness_audit",  # persisted cell frame, same
 }
 
 SF_DIR = "/root/testdata/sf0.001"
