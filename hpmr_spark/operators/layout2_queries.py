@@ -189,3 +189,136 @@ def hotkey_isolated_join(spark, sf_dir):
             F.sum("cents").cast("long").alias("revenue_cents"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Hilbert-curve clustering key (the locality upgrade over Morton).
+# ---------------------------------------------------------------------------
+_H_ORDER = 8  # 256 × 256 grid
+
+
+def _hilbert_step_sql(s: int, prev: str, keep: str) -> str:
+    """One xy2d step at scale s over CTE/subquery `prev`, carrying `keep`
+    columns. Pure integer arithmetic — (3·rx) XOR ry is rewritten as
+    3·rx + ry − 2·rx·ry (exact for rx,ry ∈ {0,1}), so the step text is
+    IDENTICAL on both engines (no engine-specific xor syntax)."""
+    return f"""
+      SELECT {keep},
+             d + {s * s} * (3 * rx + ry - 2 * rx * ry) AS d,
+             CASE WHEN ry = 0 THEN (CASE WHEN rx = 1 THEN {s - 1} - y
+                                         ELSE y END)
+                  ELSE x END AS x,
+             CASE WHEN ry = 0 THEN (CASE WHEN rx = 1 THEN {s - 1} - x
+                                         ELSE x END)
+                  ELSE y END AS y
+      FROM (
+        SELECT {keep}, x, y, d,
+               CASE WHEN (x & {s}) > 0 THEN 1 ELSE 0 END AS rx,
+               CASE WHEN (y & {s}) > 0 THEN 1 ELSE 0 END AS ry
+        FROM {prev}
+      )
+    """
+
+
+def _hilbert_oracle() -> str:
+    steps = []
+    prev = "h0"
+    for i, s in enumerate([1 << (_H_ORDER - 1 - j) for j in range(_H_ORDER)]):
+        name = f"h{i + 1}"
+        steps.append(
+            f"{name} AS "
+            f"({_hilbert_step_sql(s, prev, 'c_custkey, nation, bal')})"
+        )
+        prev = name
+    return f"""
+    WITH h0 AS (
+      SELECT c_custkey,
+             CAST(c_nationkey AS BIGINT) AS nation,
+             CAST(CAST(ROUND(c_acctbal * 100) AS BIGINT) // 5000 AS BIGINT)
+               & 255 AS bal,
+             CAST(c_nationkey AS BIGINT) AS x,
+             CAST(CAST(ROUND(c_acctbal * 100) AS BIGINT) // 5000 AS BIGINT)
+               & 255 AS y,
+             CAST(0 AS BIGINT) AS d
+      FROM customer
+    ),
+    {", ".join(steps)},
+    z AS (SELECT c_custkey, nation, bal, d AS hkey FROM {prev})
+    SELECT CAST(hkey // 1024 AS BIGINT) AS hfile,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT nation) AS BIGINT) AS distinct_nations,
+           CAST(MAX(nation) - MIN(nation) AS BIGINT) AS nation_span,
+           CAST(MAX(bal) - MIN(bal) AS BIGINT) AS bal_span
+    FROM z GROUP BY 1
+    """
+
+
+@register("hilbert_clustering_key", _hilbert_oracle())
+def hilbert_clustering_key(spark, sf_dir):
+    """Hilbert-curve clustering of customers on (nation, balance-bucket)
+    — the locality upgrade over zorder_clustering_key: the Hilbert curve
+    has no Morton "seams" (consecutive keys are always grid-adjacent), so
+    per-file dimension spans are tighter and zone maps skip more. The
+    xy2d transform is 8 unrolled scale steps of pure integer arithmetic
+    — the quadrant term (3·rx) XOR ry is rewritten 3·rx + ry − 2·rx·ry so
+    the step text is engine-identical with no bitwise-xor syntax
+    differences — applied as chained narrow projections (zero shuffles
+    until the final per-file aggregation; at 100 TB this key feeds
+    repartitionByRange + sortWithinPartitions exactly like the Morton
+    one). Output mirrors the zorder report for side-by-side comparison of
+    per-1024-key-file locality."""
+    c = _t(spark, sf_dir, "customer")
+    df = c.select(
+        "c_custkey",
+        F.col("c_nationkey").cast("long").alias("nation"),
+        F.expr(
+            "CAST(ROUND(c_acctbal * 100) AS BIGINT) div 5000 & 255"
+        ).cast("long").alias("bal"),
+        F.col("c_nationkey").cast("long").alias("x"),
+        F.expr(
+            "CAST(ROUND(c_acctbal * 100) AS BIGINT) div 5000 & 255"
+        ).cast("long").alias("y"),
+        F.lit(0).cast("long").alias("d"),
+    )
+    for j in range(_H_ORDER):
+        s = 1 << (_H_ORDER - 1 - j)
+        df = df.select(
+            "c_custkey",
+            "nation",
+            "bal",
+            "x",
+            "y",
+            "d",
+            F.expr(f"CASE WHEN (x & {s}) > 0 THEN 1 ELSE 0 END").alias("rx"),
+            F.expr(f"CASE WHEN (y & {s}) > 0 THEN 1 ELSE 0 END").alias("ry"),
+        ).select(
+            "c_custkey",
+            "nation",
+            "bal",
+            F.expr(f"d + {s * s} * (3 * rx + ry - 2 * rx * ry)").alias("d"),
+            F.expr(
+                f"CASE WHEN ry = 0 THEN (CASE WHEN rx = 1 THEN {s - 1} - y"
+                " ELSE y END) ELSE x END"
+            ).alias("x"),
+            F.expr(
+                f"CASE WHEN ry = 0 THEN (CASE WHEN rx = 1 THEN {s - 1} - x"
+                " ELSE x END) ELSE y END"
+            ).alias("y"),
+        )
+    z = df.select("c_custkey", "nation", "bal", F.col("d").alias("hkey"))
+    return (
+        z.groupBy(F.expr("hkey div 1024").alias("hfile"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.countDistinct("nation").cast("long").alias("distinct_nations"),
+            (F.max("nation") - F.min("nation")).cast("long").alias("nation_span"),
+            (F.max("bal") - F.min("bal")).cast("long").alias("bal_span"),
+        )
+        .select(
+            F.col("hfile").cast("long").alias("hfile"),
+            "n_rows",
+            "distinct_nations",
+            "nation_span",
+            "bal_span",
+        )
+    )

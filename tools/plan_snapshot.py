@@ -81,6 +81,7 @@ SKIP = {
     "cuped_adjusted_lift",  # persisted per-user frame, same
     "theil_sen_slope_milli",  # persisted weekly rollup, same
     "t_closeness_audit",  # persisted cell frame, same
+    "graph_hits_scores",  # persisted edge frames, same
 }
 
 SF_DIR = "/root/testdata/sf0.001"
