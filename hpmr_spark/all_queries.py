@@ -86,6 +86,7 @@ _MODULES = [
     "hpmr_spark.operators.experiment_stats_queries",
     "hpmr_spark.operators.rank_fusion_queries",
     "hpmr_spark.operators.distsys_queries",
+    "hpmr_spark.operators.tokenize2_queries",
 ]
 
 FAILED_MODULES: dict[str, str] = {}
