@@ -87,6 +87,7 @@ _MODULES = [
     "hpmr_spark.operators.rank_fusion_queries",
     "hpmr_spark.operators.distsys_queries",
     "hpmr_spark.operators.tokenize2_queries",
+    "hpmr_spark.operators.pq_quantization_queries",
 ]
 
 FAILED_MODULES: dict[str, str] = {}
