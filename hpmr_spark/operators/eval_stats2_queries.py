@@ -655,3 +655,107 @@ def minhash_merge_property(spark, sf_dir):
             "merged_equals_full"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Nelson-Aalen cumulative hazard (round 5) — the PURE-RATIONAL survival
+# twin of km_survival_curve: H(t) = Σ_{t_i ≤ t} d_i/n_i needs no LN/EXP
+# commitment at all (the strongest cross-engine class; cf. Kneser-Ney).
+# ---------------------------------------------------------------------------
+@register(
+    "nelson_aalen_hazard",
+    """
+    WITH per AS (
+      SELECT user_id,
+             CAST(epoch_us(MIN(ts)) AS BIGINT) AS t0,
+             CAST(epoch_us(MIN(CASE WHEN event_type = 'error' THEN ts END))
+                  AS BIGINT) AS terr,
+             CAST(epoch_us(MAX(ts)) AS BIGINT) AS tlast
+      FROM events GROUP BY user_id
+    ),
+    obs AS (
+      SELECT CASE WHEN terr IS NOT NULL THEN terr - t0 ELSE tlast - t0 END
+               AS dur_us,
+             CASE WHEN terr IS NOT NULL THEN 1 ELSE 0 END AS died
+      FROM per
+    ),
+    g AS (SELECT dur_us, CAST(COUNT(*) AS BIGINT) AS cnt,
+                 CAST(SUM(died) AS BIGINT) AS d
+          FROM obs GROUP BY dur_us),
+    n AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM g),
+    cum AS (SELECT dur_us, d,
+                   CAST(COALESCE(SUM(cnt) OVER (ORDER BY dur_us
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                        AS BIGINT) AS lt
+            FROM g),
+    dt AS (
+      SELECT dur_us, d, n.total - lt AS n_risk,
+             CAST(d * 1000000 // (n.total - lt) AS BIGINT) AS term_ppm
+      FROM cum, n WHERE d > 0
+    )
+    SELECT dur_us, CAST(n_risk AS BIGINT) AS n_risk, CAST(d AS BIGINT) AS d,
+           CAST(SUM(term_ppm) OVER (ORDER BY dur_us
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumhaz_ppm
+    FROM dt
+    """,
+)
+def nelson_aalen_hazard(spark, sf_dir):
+    """Nelson-Aalen cumulative hazard of time-to-first-error (right-
+    censored at last event, same observation model as km_survival_curve):
+    H(t) = Σ_{death times ≤ t} d_i/n_i, with each increment floored to
+    ppm from EXACT integer risk counts (d·10⁶ // n_risk, operands
+    positive) before the running sum — pure rational arithmetic end to
+    end, NO log/exp commitment (the strongest cross-engine class; KM
+    needs the LN/EXP parity pin, Nelson-Aalen doesn't, which is why
+    reliability pipelines that must be bit-reproducible prefer it).
+    n_risk = total − strict-prefix of the grouped duration histogram
+    (two-pass bucketed global_running; the oracle keeps the window
+    form); the running hazard is a second ordered pass over the ≤|death
+    times| frame. Fact-scale work is ONE per-user aggregation."""
+    from hpmr_spark.functions.ranking import global_running
+
+    ev = load_events(spark, sf_dir)
+    per = ev.groupBy("user_id").agg(
+        F.unix_micros(F.min("ts")).alias("t0"),
+        F.unix_micros(
+            F.min(F.when(F.col("event_type") == "error", F.col("ts")))
+        ).alias("terr"),
+        F.unix_micros(F.max("ts")).alias("tlast"),
+    )
+    obs = per.select(
+        F.when(F.col("terr").isNotNull(), F.col("terr") - F.col("t0"))
+        .otherwise(F.col("tlast") - F.col("t0"))
+        .alias("dur_us"),
+        F.when(F.col("terr").isNotNull(), 1).otherwise(0).alias("died"),
+    )
+    g = obs.groupBy("dur_us").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+        F.sum("died").cast("long").alias("d"),
+        # plan-uniqueness dummy (persisted below — cache-aliasing rule;
+        # km's histogram has the same canonical plan otherwise)
+        F.max(F.lit(1)).alias("_uq_na"),
+    ).drop("_uq_na")
+    g = g.persist(StorageLevel.MEMORY_AND_DISK)
+    n = g.agg(F.sum("cnt").cast("long").alias("total"))
+    cum = global_running(
+        g, ["dur_us"], "cnt", kind="sum", strict=True, out="lt"
+    ).withColumn("lt", F.coalesce(F.col("lt"), F.lit(0)))
+    dt = (
+        cum.crossJoin(F.broadcast(n))
+        .where(F.col("d") > 0)
+        .select(
+            "dur_us",
+            "d",
+            (F.col("total") - F.col("lt")).alias("n_risk"),
+            F.expr("CAST(d * 1000000 div (total - lt) AS BIGINT)").alias(
+                "term_ppm"
+            ),
+        )
+    )
+    s = global_running(dt, ["dur_us"], "term_ppm", kind="sum", out="cumhaz_ppm")
+    return s.select(
+        "dur_us",
+        F.col("n_risk").cast("long").alias("n_risk"),
+        F.col("d").cast("long").alias("d"),
+        F.col("cumhaz_ppm").cast("long").alias("cumhaz_ppm"),
+    )

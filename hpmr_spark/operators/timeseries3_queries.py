@@ -379,3 +379,86 @@ def runs_test_above_median(spark, sf_dir):
             " * (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) - 1.0)))"
         ).alias("z"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Weekday seasonality profile (engine-neutral day-of-week arithmetic).
+# ---------------------------------------------------------------------------
+# dow differs across engines (Spark Sun=1, DuckDB Sun=0 — CLAUDE.md: never
+# emit engine dayofweek), so the emitted key is pure integer arithmetic on
+# days-since-epoch: (d + 3) % 7 gives Monday=0 on both (1970-01-01 was a
+# Thursday; d ≥ 0 so % is identical).
+_WD_ORACLE = f"""
+    WITH day AS ({_DAY_SQL}),
+    m AS (
+      SELECT (d + 3) % 7 AS dow_idx,
+             CAST(COUNT(*) AS BIGINT) AS n_days,
+             CAST(SUM(CAST(cents AS HUGEINT)) AS HUGEINT) AS s,
+             CAST(SUM(CAST(cents AS HUGEINT) * cents) AS HUGEINT) AS q
+      FROM day GROUP BY 1
+    ),
+    g AS (
+      SELECT CAST(SUM(s) AS HUGEINT) AS st,
+             CAST(SUM(q) AS HUGEINT) AS qt,
+             CAST(SUM(n_days) AS BIGINT) AS nt
+      FROM m
+    ),
+    w AS (
+      SELECT CAST(SUM((n_days * q - s * s) * 1000000 * nt
+                      // (n_days * (nt * qt - st * st))) AS BIGINT) AS ssw_ppm
+      FROM m, g
+    )
+    SELECT CAST(dow_idx AS BIGINT) AS dow_idx, n_days,
+           CAST(s AS BIGINT) AS sum_cents,
+           CAST(s AS DOUBLE) / CAST(n_days AS DOUBLE) AS mean_cents,
+           CAST(1000000 - ssw_ppm AS BIGINT) AS eta2_ppm
+    FROM m, w
+"""
+
+
+@register("weekday_seasonality_profile", _WD_ORACLE)
+def weekday_seasonality_profile(spark, sf_dir):
+    """Day-of-week revenue profile + variance explained: per weekday
+    (Monday=0, computed as (days_since_epoch + 3) % 7 — pure integer, so
+    the emitted key is engine-neutral despite Spark/DuckDB disagreeing on
+    dayofweek numbering) the day count, exact revenue sum, and mean; plus
+    the one-way eta² of the weekday factor in ppm — how much of the daily
+    revenue variance the weekly cycle explains (the quantitative twin of
+    acf_lags_revenue's lag-7 spike). Each weekday's SSW share is floored
+    DIRECTLY to its ppm-of-SST contribution —
+    ⌊(n_k·Q_k − S_k²)·10⁶·n / (n_k·(n·Q − S²))⌋, int128 numerator and
+    denominator, ppm-sized quotient (never floor to a magnitude that
+    outgrows BIGINT; Spark `div` yields LONG) — then summed exactly; the
+    per-term floor before the cross-group sum is the
+    deterministic-parallel-sum rule."""
+    day = _day_frame(spark, sf_dir, "_uq_wd").persist(StorageLevel.MEMORY_AND_DISK)
+    m = day.groupBy(F.expr("(d + 3) % 7").alias("dow_idx")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum(F.expr("CAST(cents AS DECIMAL(38,0))")).alias("s"),
+        F.sum(F.expr("CAST(cents AS DECIMAL(38,0)) * cents")).alias("q"),
+    )
+    g = m.agg(
+        F.sum("s").alias("st"),
+        F.sum("q").alias("qt"),
+        F.sum("n_days").cast("long").alias("nt"),
+    )
+    w = (
+        m.crossJoin(F.broadcast(g))
+        .agg(
+            F.sum(
+                F.expr(
+                    "(n_days * q - s * s) * 1000000 * nt"
+                    " div (n_days * (nt * qt - st * st))"
+                )
+            )
+            .cast("long")
+            .alias("ssw_ppm")
+        )
+    )
+    return m.crossJoin(F.broadcast(w)).select(
+        F.col("dow_idx").cast("long").alias("dow_idx"),
+        "n_days",
+        F.expr("CAST(s AS BIGINT)").alias("sum_cents"),
+        F.expr("CAST(s AS DOUBLE) / CAST(n_days AS DOUBLE)").alias("mean_cents"),
+        F.expr("CAST(1000000 - ssw_ppm AS BIGINT)").alias("eta2_ppm"),
+    )

@@ -82,6 +82,8 @@ SKIP = {
     "theil_sen_slope_milli",  # persisted weekly rollup, same
     "t_closeness_audit",  # persisted cell frame, same
     "graph_hits_scores",  # persisted edge frames, same
+    "weekday_seasonality_profile",  # persisted day rollup, same
+    "nelson_aalen_hazard",  # persisted duration histogram, same
 }
 
 SF_DIR = "/root/testdata/sf0.001"
