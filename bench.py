@@ -95,6 +95,16 @@ BENCH_EXTRA = [
     "record_linkage_fs",            # blocked Fellegi-Sunter scoring
     "token_bucket_replay",          # grouped-pandas sequential fold
     "conformal_threshold_coverage", # rank-selected conformal threshold
+    # round-5 family: time-series diagnostics, experimentation stats,
+    # fusion/PQ retrieval, distsys primitives, pure-Catalyst DP
+    "acf_lags_revenue",             # int128-moment autocorrelation
+    "theil_sen_slope_milli",        # pairwise-slope robust trend median
+    "cuped_adjusted_lift",          # variance-reduced A/B readout
+    "consistent_hash_ring",         # interval-join ring placement
+    "unigram_viterbi_segment",      # unrolled-DP subword segmentation
+    "pq_encode_subvectors",         # PQ codebook assignment census
+    "hilbert_clustering_key",       # 8-step integer Hilbert transform
+    "rrf_fused_ranking",            # bounded-rank reciprocal-rank fusion
 ]
 
 
