@@ -130,6 +130,22 @@ REPRESENTATIVE = [
     "crossmodal_text_to_vec_topk",
     "matryoshka_truncation_recall",
     "l_diversity_audit",
+    # round-5 representatives: two-pass ranking machinery consumers, pair
+    # joins on bounded rollups, committed-hash structures, unrolled DP
+    "acf_lags_revenue",
+    "runs_test_above_median",
+    "theil_sen_slope_milli",
+    "cuped_adjusted_lift",
+    "kmv_distinct_estimate",
+    "t_closeness_audit",
+    "consistent_hash_ring",
+    "rrf_fused_ranking",
+    "graph_hits_scores",
+    "hilbert_clustering_key",
+    "unigram_viterbi_segment",
+    "pq_encode_subvectors",
+    "nelson_aalen_hazard",
+    "weekday_seasonality_profile",
 ]
 
 

@@ -360,6 +360,61 @@ def ranking_probe(spark, n: int):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def round5_probe(spark, n: int):
+    """Round-5 family at synthetic scale: the time-series diagnostics run
+    over a CALENDAR-BOUNDED day/week rollup (pair joins must stay
+    constant-cost while fact rows grow — this probe proves it), the
+    experimentation stats shuffle per-customer aggregates only, and the
+    ring join must stay a zero-blowup broadcast band join."""
+    import shutil
+    import tempfile
+
+    from __spark_entry__ import queries
+
+    qs = queries()
+    tmp = tempfile.mkdtemp(prefix="scale_r5_")
+    try:
+        prio = F.array(*[F.lit(p) for p in ("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT", "5-LOW")])
+        orders = spark.range(n).select(
+            F.col("id").alias("o_orderkey"),
+            ((F.xxhash64(F.col("id") + 29) % (n // 10) + n // 10) % (n // 10)).alias("o_custkey"),
+            (((F.xxhash64("id") % 49000000 + 49000000) % 49000000 + 100000) / 100.0).alias("o_totalprice"),
+            F.timestamp_micros(
+                F.lit(820454400000000)
+                + ((F.xxhash64(F.col("id") + 13) % 63072000000000 + 63072000000000) % 63072000000000)
+            ).alias("o_orderdate"),
+            F.element_at(prio, ((F.xxhash64(F.col("id") + 3) % 5 + 5) % 5 + 1).cast("int")).alias("o_orderpriority"),
+            F.lit("O").alias("o_orderstatus"),
+        )
+        orders.write.mode("overwrite").parquet(f"{tmp}/orders.parquet")
+        segs = F.array(*[F.lit(s) for s in ("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")])
+        cust = spark.range(n // 10).select(
+            F.col("id").alias("c_custkey"),
+            (F.col("id") % 25).cast("long").alias("c_nationkey"),
+            F.element_at(segs, (F.col("id") % 5 + 1).cast("int")).alias("c_mktsegment"),
+            (((F.xxhash64(F.col("id") + 41) % 1100000 + 1100000) % 1100000 - 100000) / 100.0).alias("c_acctbal"),
+            F.concat(F.lit("Customer#"), F.col("id").cast("string")).alias("c_name"),
+        )
+        cust.write.mode("overwrite").parquet(f"{tmp}/customer.parquet")
+        for name in [
+            "acf_lags_revenue",
+            "rolling_median_7day",
+            "mann_kendall_trend",
+            "runs_test_above_median",
+            "weekday_seasonality_profile",
+            "kmv_distinct_estimate",
+            "theil_sen_slope_milli",
+            "cuped_adjusted_lift",
+            "t_closeness_audit",
+            "consistent_hash_ring",
+        ]:
+            t0 = time.time()
+            cnt = qs[name](spark, tmp).count()
+            print(f"{name}: {cnt} rows in {time.time()-t0:.1f}s")
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def main():
     # `python tools/scale_probe.py ranking <n>` runs ONLY the ranking/
     # order-statistics probe at n synthetic orders (the 1x/3x/10x sweep
@@ -369,6 +424,13 @@ def main():
 
         spark = get_spark("scale-probe-ranking")
         ranking_probe(spark, int(sys.argv[2]) if len(sys.argv) > 2 else 1_000_000)
+        spark.stop()
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "round5":
+        from hpmr_spark.engine import get_spark
+
+        spark = get_spark("scale-probe-round5")
+        round5_probe(spark, int(sys.argv[2]) if len(sys.argv) > 2 else 1_000_000)
         spark.stop()
         return
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
