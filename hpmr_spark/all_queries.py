@@ -175,6 +175,27 @@ for _m in _MODULES:
 # scd2; ranking: rfm/pareto/gini/ks/spearman; mapInPandas: mapinarrow +
 # multimodal; temporal: scd2 + interpolate; RDD path: graph_pagerank_trade
 # uses the same iterative driver loop; sketches: heavy_hitters_mg).
+# Round-5 rotation (VERDICT r3 item 4 standing rule — rotate every round):
+# the 14 riskiest round-5 rows in — unigram_viterbi_segment (unrolled
+# Catalyst DP), pq_encode_subvectors (committed-seed codebook argmin),
+# consistent_hash_ring (interval band join + minimal-movement proof),
+# theil_sen_slope_milli + cuped_adjusted_lift + acf_lags_revenue +
+# mann_kendall_trend + runs_test_above_median (the new time-series/
+# experiment statistics), t_closeness_audit (int128 rational TVD),
+# rrf_fused_ranking + graph_hits_scores (fusion/link analysis),
+# hilbert_clustering_key (engine-identical bit algebra),
+# kmv_distinct_estimate (bottom-k sketch gate), nelson_aalen_hazard
+# (pure-rational survival) — for 14 multi-round-green rows (cusum,
+# mann_whitney, theil_index, ks_two_sample, spearman — drift/order-stats
+# keep label_drift_hellinger + gini; recursive_month_series — recursion
+# rep stays via token_bucket_replay's recursive-CTE oracle;
+# dedup_cross_source_matrix; interpolate_hourly_gaps — temporal keeps
+# scd2; session_overlap_pairs; heavy_hitters_mg — sketch rep is now kmv;
+# binary_classifier_eval_auc — mleval keeps knn vote;
+# bm25_topk_docs — IR rep is now rrf; embedding_quantize_int8 — embedding
+# reps are pq + dedup_embedding_cosine; vocab_topn_encode — corpus keeps
+# novelty/udtf/viterbi). rolling_median_7day / weekday_seasonality_profile
+# / kmv_merge_property stay outside the window (full sweep covers them).
 _CHECK_FIRST = [
     "mapreduce_revenue_by_order",  # flagship — keep first (entry() twin)
     "graph_lpa_communities",
@@ -188,29 +209,29 @@ _CHECK_FIRST = [
     "udtf_chunk_documents",
     "variant_events_extract",
     "graph_pagerank_trade",
-    "cusum_changepoint_hours",
-    "theil_index_revenue",
+    "unigram_viterbi_segment",
+    "consistent_hash_ring",
     "label_drift_hellinger_nano",
-    "mann_whitney_u_gate",
+    "pq_encode_subvectors",
     "dedup_substring_ngram",
     "gini_wealth_coefficient",
-    "session_overlap_pairs",
-    "ks_two_sample_prices",
+    "t_closeness_audit",
+    "theil_sen_slope_milli",
     "scd2_user_event_history",
-    "spearman_freq_revenue",
-    "recursive_month_series",
-    "dedup_cross_source_matrix",
+    "cuped_adjusted_lift",
+    "acf_lags_revenue",
+    "mann_kendall_trend",
     "knn_label_vote_eval",
     "km_survival_curve",
-    "interpolate_hourly_gaps",
-    "heavy_hitters_mg",
+    "runs_test_above_median",
+    "rrf_fused_ranking",
     "token_bucket_replay",
     "graph_triangle_count",
-    "binary_classifier_eval_auc",
-    "bm25_topk_docs",
+    "graph_hits_scores",
+    "hilbert_clustering_key",
     "record_linkage_fs",
     "sprt_purchase_rate",
-    "embedding_quantize_int8",
+    "kmv_distinct_estimate",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "doc_lm_score_ppm",
@@ -224,7 +245,7 @@ _CHECK_FIRST = [
     "streaming_stateful_user_totals",
     "pii_scrub_props",
     "skew_salted_join_revenue",
-    "vocab_topn_encode",
+    "nelson_aalen_hazard",
     "sink_xml_roundtrip",
 ]
 
