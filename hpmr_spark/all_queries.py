@@ -88,6 +88,7 @@ _MODULES = [
     "hpmr_spark.operators.distsys_queries",
     "hpmr_spark.operators.tokenize2_queries",
     "hpmr_spark.operators.pq_quantization_queries",
+    "hpmr_spark.operators.mining2_queries",
 ]
 
 FAILED_MODULES: dict[str, str] = {}

@@ -84,6 +84,8 @@ SKIP = {
     "graph_hits_scores",  # persisted edge frames, same
     "weekday_seasonality_profile",  # persisted day rollup, same
     "nelson_aalen_hazard",  # persisted duration histogram, same
+    "frequent_triples_support",  # persisted basket frames, same
+    "source_unique_coverage_value",  # persisted gram frame, same
 }
 
 SF_DIR = "/root/testdata/sf0.001"
