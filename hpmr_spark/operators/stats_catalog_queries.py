@@ -323,3 +323,190 @@ def l_diversity_audit(spark, sf_dir):
         .cast("long")
         .alias("n_exposed_rows"),
     )
+
+
+# ---------------------------------------------------------------------------
+# V-optimal histogram construction as relational DP (round 5).
+# ---------------------------------------------------------------------------
+_VO_K = 16  # coarse pre-buckets
+_VO_B = 4   # output bins
+
+
+def _vo_cost(div: str) -> str:
+    """SST-normalized ppm cost of bin (i..j] from prefix diffs — the
+    committed integer floor (quotient ppm-sized)."""
+    return (
+        "CAST(CASE WHEN (bc - ac) > 0 THEN"
+        " ((bc - ac) * (bq - aq) - (bs - as_) * (bs - as_))"
+        f" * 1000000 * n0 {div} ((bc - ac) * d0)"
+        " ELSE 0 END AS BIGINT)"
+    )
+
+
+def _vo_oracle() -> str:
+    # The packed value min(total*32 + i) IS the lexicographic
+    # (total, argmin-i) minimum since i < 32 — argmin rides in one MIN.
+    layers = []
+    prev = "f1"
+    for b in range(2, _VO_B + 1):
+        layers.append(f"""
+    f{b} AS (
+      SELECT c.j,
+             CAST(MIN((p.packed // 32 + c.cost) * 32 + c.i) AS BIGINT)
+               AS packed
+      FROM cost c JOIN {prev} p ON p.j = c.i
+      WHERE c.j >= {b}
+      GROUP BY c.j
+    )""")
+        prev = f"f{b}"
+    sel = " UNION ALL ".join(
+        f"SELECT CAST({b} AS BIGINT) AS n_bins, CAST(j AS BIGINT) AS boundary,"
+        f" CAST(packed // 32 AS BIGINT) AS cost_ppm,"
+        f" CAST(packed % 32 AS BIGINT) AS from_boundary FROM f{b}"
+        for b in range(1, _VO_B + 1)
+    )
+    return f"""
+    WITH cents AS (
+      SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS v FROM orders
+    ),
+    bounds AS (SELECT MIN(v) AS mn, MAX(v) AS mx FROM cents),
+    mq AS (
+      SELECT k,
+             CAST(COUNT(*) AS BIGINT) AS cnt,
+             CAST(SUM(CAST(v AS HUGEINT)) AS HUGEINT) AS s,
+             CAST(SUM(CAST(v AS HUGEINT) * v) AS HUGEINT) AS q
+      FROM (
+        SELECT CASE WHEN mx > mn
+                 THEN LEAST({_VO_K} - 1, ((v - mn) * {_VO_K}) // (mx - mn + 1))
+                 ELSE 0 END AS k, v
+        FROM cents, bounds
+      ) GROUP BY k
+    ),
+    grid AS (SELECT UNNEST(range(0, {_VO_K} + 1)) AS j),
+    pfx AS (
+      SELECT g.j,
+             CAST(COALESCE(SUM(mq.cnt), 0) AS BIGINT) AS pc,
+             CAST(COALESCE(SUM(mq.s), 0) AS HUGEINT) AS ps,
+             CAST(COALESCE(SUM(mq.q), 0) AS HUGEINT) AS pq
+      FROM grid g LEFT JOIN mq ON mq.k < g.j
+      GROUP BY g.j
+    ),
+    tot AS (
+      SELECT CAST(pc AS BIGINT) AS n0,
+             CAST(pc * pq - ps * ps AS HUGEINT) AS d0
+      FROM pfx WHERE j = {_VO_K}
+    ),
+    cost AS (
+      SELECT i, j, {_vo_cost('//')} AS cost
+      FROM (
+        SELECT a.j AS i, b.j AS j, a.pc AS ac, b.pc AS bc,
+               a.ps AS as_, b.ps AS bs, a.pq AS aq, b.pq AS bq
+        FROM pfx a JOIN pfx b ON b.j > a.j
+      ), tot
+    ),
+    f1 AS (
+      SELECT j, CAST(cost * 32 + 0 AS BIGINT) AS packed
+      FROM cost WHERE i = 0
+    ),
+    {",".join(layers)}
+    {sel}
+    """
+
+
+@register("voptimal_histogram_dp", _vo_oracle())
+def voptimal_histogram_dp(spark, sf_dir):
+    """V-optimal histogram construction — the optimizer-statistics
+    primitive (choose B=4 bin boundaries over K=16 ordered pre-buckets
+    minimizing within-bin SSE) — as pure relational dynamic programming:
+    exact int128 moments per pre-bucket, bin costs committed to
+    SST-normalized ppm integers (quotients ppm-sized per the
+    div-yields-LONG rule; the int128 numerator caps around 10⁸ input
+    rows — pre-aggregate to coarser cents beyond that), and
+    f[b][j] = min_i (f[b−1][i] + cost(i,j)) as B−1 chained join+min
+    layers over the ≤K²/2 cost frame. The DP value is PACKED as
+    total·32 + argmin_i — since i < 32, min(packed) IS the
+    lexicographic (total, i) minimum, so the argmin rides along in one
+    integer min with no struct ordering (cf. the Viterbi 16·score−1
+    fold). Output = the full DP table; the optimal histogram is read by
+    walking from_boundary back from (4, 16). Everything after the one
+    fact aggregation runs on ≤17-row broadcast frames."""
+    o = _t(spark, sf_dir, "orders")
+    cents = o.select(F.round(F.col("o_totalprice") * 100).cast("long").alias("v"))
+    bounds = cents.agg(F.min("v").alias("mn"), F.max("v").alias("mx"))
+    bk = cents.crossJoin(F.broadcast(bounds)).select(
+        F.expr(
+            f"CASE WHEN mx > mn THEN LEAST({_VO_K} - 1,"
+            f" ((v - mn) * {_VO_K}) div (mx - mn + 1)) ELSE 0 END"
+        ).alias("k"),
+        "v",
+    )
+    mq = bk.groupBy("k").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+        F.sum(F.expr("CAST(v AS DECIMAL(38,0))")).alias("s"),
+        F.sum(F.expr("CAST(v AS DECIMAL(38,0)) * v")).alias("q"),
+    )
+    grid = spark.range(0, _VO_K + 1).select(F.col("id").cast("long").alias("j"))
+    pfx = (
+        grid.join(F.broadcast(mq), F.col("k") < F.col("j"), "left")
+        .groupBy("j")
+        .agg(
+            F.coalesce(F.sum("cnt"), F.lit(0)).cast("long").alias("pc"),
+            F.coalesce(F.sum("s"), F.expr("CAST(0 AS DECIMAL(38,0))")).alias("ps"),
+            F.coalesce(F.sum("q"), F.expr("CAST(0 AS DECIMAL(38,0))")).alias("pq"),
+        )
+        .persist()
+    )
+    tot = pfx.where(F.col("j") == _VO_K).select(
+        F.col("pc").cast("long").alias("n0"),
+        F.expr("CAST(pc * pq - ps * ps AS DECIMAL(38,0))").alias("d0"),
+    )
+    a = pfx.select(
+        F.col("j").alias("i"), F.col("pc").alias("ac"), F.col("ps").alias("as_"),
+        F.col("pq").alias("aq"),
+    )
+    b = pfx.select(
+        F.col("j").alias("j"), F.col("pc").alias("bc"), F.col("ps").alias("bs"),
+        F.col("pq").alias("bq"),
+    )
+    cost = (
+        a.join(F.broadcast(b), F.col("j") > F.col("i"))
+        .crossJoin(F.broadcast(tot))
+        .select("i", "j", F.expr(_vo_cost("div")).alias("cost"))
+        .persist()
+    )
+    f = cost.where(F.col("i") == 0).select(
+        "j", F.expr("CAST(cost * 32 + 0 AS BIGINT)").alias("packed")
+    )
+    outs = [
+        f.select(
+            F.lit(1).cast("long").alias("n_bins"),
+            F.col("j").cast("long").alias("boundary"),
+            F.expr("CAST(packed div 32 AS BIGINT)").alias("cost_ppm"),
+            F.expr("CAST(packed % 32 AS BIGINT)").alias("from_boundary"),
+        )
+    ]
+    for nb in range(2, _VO_B + 1):
+        prev = f.select(F.col("j").alias("pi"), F.col("packed").alias("ppk"))
+        f = (
+            cost.where(F.col("j") >= nb)
+            .join(F.broadcast(prev), F.col("pi") == F.col("i"))
+            .groupBy("j")
+            .agg(
+                F.min(
+                    F.expr("(ppk div 32 + cost) * 32 + i")
+                )
+                .cast("long")
+                .alias("packed")
+            )
+        )
+        outs.append(
+            f.select(
+                F.lit(nb).cast("long").alias("n_bins"),
+                F.col("j").cast("long").alias("boundary"),
+                F.expr("CAST(packed div 32 AS BIGINT)").alias("cost_ppm"),
+                F.expr("CAST(packed % 32 AS BIGINT)").alias("from_boundary"),
+            )
+        )
+    from functools import reduce as _reduce
+
+    return _reduce(lambda x, y: x.unionAll(y), outs)

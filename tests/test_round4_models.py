@@ -274,3 +274,66 @@ def test_record_linkage_matches_all_true_twins(spark):
             spark.read.parquet(f"{SF}/customer.parquet").collect()]
     missing = [k for k in keys if (k, k) not in pairs]
     assert not missing, f"unmatched twins: {missing[:5]}"
+
+
+def test_voptimal_dp_matches_bruteforce(spark, sf_dir):
+    """voptimal_histogram_dp (round 5) — independent Python model: exact
+    integer moments per pre-bucket, the SAME committed ppm cost floor,
+    then BRUTE-FORCE enumeration of all C(15,3) boundary triples. Guards
+    against a shared bug in the generated DP text (both engines execute
+    identical SQL, so oracle parity alone can't catch it)."""
+    import itertools
+
+    import pandas as pd
+
+    from hpmr_spark.operators.stats_catalog_queries import (
+        _VO_B,
+        _VO_K,
+        voptimal_histogram_dp,
+    )
+
+    o = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    v = (o["o_totalprice"] * 100).round().astype("int64")
+    mn, mx = int(v.min()), int(v.max())
+    k = (
+        ((v - mn) * _VO_K) // (mx - mn + 1)
+    ).clip(upper=_VO_K - 1) if mx > mn else v * 0
+    pc = [0] * (_VO_K + 1)
+    ps = [0] * (_VO_K + 1)
+    pq = [0] * (_VO_K + 1)
+    for j in range(1, _VO_K + 1):
+        sel = v[k < j]
+        pc[j] = int(len(sel))
+        ps[j] = int(sel.sum())
+        pq[j] = int((sel.astype(object) * sel.astype(object)).sum())
+    n0 = pc[_VO_K]
+    d0 = n0 * pq[_VO_K] - ps[_VO_K] * ps[_VO_K]
+
+    def cost(i, j):
+        c = pc[j] - pc[i]
+        if c <= 0:
+            return 0
+        raw = c * (pq[j] - pq[i]) - (ps[j] - ps[i]) ** 2
+        return (raw * 1000000 * n0) // (c * d0)
+
+    # brute force optimum for exactly _VO_B bins ending at K
+    best = None
+    for cuts in itertools.combinations(range(1, _VO_K), _VO_B - 1):
+        bounds = (0,) + cuts + (_VO_K,)
+        tot = sum(cost(bounds[t], bounds[t + 1]) for t in range(_VO_B))
+        if best is None or tot < best:
+            best = tot
+
+    rows = {
+        (r["n_bins"], r["boundary"]): (r["cost_ppm"], r["from_boundary"])
+        for r in voptimal_histogram_dp(spark, sf_dir).collect()
+    }
+    got_best, _ = rows[(_VO_B, _VO_K)]
+    assert got_best == best, (got_best, best)
+    # walk the backtrack chain: must be strictly decreasing to 0 in B steps
+    b, j = _VO_B, _VO_K
+    while b > 1:
+        _, prev = rows[(b, j)]
+        assert 0 < prev < j
+        b, j = b - 1, prev
+    assert rows[(1, j)][1] == 0

@@ -86,6 +86,7 @@ SKIP = {
     "nelson_aalen_hazard",  # persisted duration histogram, same
     "frequent_triples_support",  # persisted basket frames, same
     "source_unique_coverage_value",  # persisted gram frame, same
+    "voptimal_histogram_dp",  # persisted prefix/cost frames, same
 }
 
 SF_DIR = "/root/testdata/sf0.001"
