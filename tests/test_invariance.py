@@ -146,6 +146,11 @@ REPRESENTATIVE = [
     "pq_encode_subvectors",
     "nelson_aalen_hazard",
     "weekday_seasonality_profile",
+    "frequent_triples_support",
+    "source_unique_coverage_value",
+    "silhouette_centroid_ppm",
+    "voptimal_histogram_dp",
+    "pq_adc_topk_search",
 ]
 
 
