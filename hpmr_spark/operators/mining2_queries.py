@@ -66,9 +66,15 @@ def frequent_triples_support(spark, sf_dir):
     triple once; supports are exact. Extends assoc_rules_support_ppm
     (2-itemsets) one lattice level up."""
     li = _t(spark, sf_dir, "lineitem")
+    # distinct via a dummy-carrying aggregate so the PERSISTED basket frame
+    # is plan-unique (assoc_rules builds the same canonical distinct —
+    # cache-aliasing rule)
     b = (
-        li.select(F.col("l_orderkey").alias("oid"), F.col("l_partkey").alias("item"))
-        .distinct()
+        li.groupBy(
+            F.col("l_orderkey").alias("oid"), F.col("l_partkey").alias("item")
+        )
+        .agg(F.max(F.lit(0)).alias("_uq_tri"))
+        .drop("_uq_tri")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     a = b.select(F.col("oid").alias("o1"), F.col("item").alias("i1"))
@@ -169,7 +175,14 @@ def source_unique_coverage_value(spark, sf_dir):
             ).alias("gram"),
         )
     )
-    sg = grams.distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    # distinct via dummy aggregate: split_leakage_audit fingerprints the
+    # same 5-gram windows — the persisted frame must be plan-unique
+    sg = (
+        grams.groupBy("source", "gram")
+        .agg(F.max(F.lit(0)).alias("_uq_cov"))
+        .drop("_uq_cov")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     owners = sg.groupBy("gram").agg(F.count(F.lit(1)).cast("long").alias("n_sources"))
     ps = (
         sg.join(owners, "gram")

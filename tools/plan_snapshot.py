@@ -87,7 +87,6 @@ SKIP = {
     "frequent_triples_support",  # persisted basket frames, same
     "source_unique_coverage_value",  # persisted gram frame, same
     "voptimal_histogram_dp",  # persisted prefix/cost frames, same
-    "pq_adc_topk_search",  # persisted vector frame, same
 }
 
 SF_DIR = "/root/testdata/sf0.001"
