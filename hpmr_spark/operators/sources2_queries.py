@@ -112,3 +112,51 @@ def partition_pruning_proof(spark, sf_dir):
         "n_rows",
         "n_source_files",
     )
+
+
+@register(
+    "dpp_join_pruned_counts",
+    """
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events WHERE event_type IN ('purchase', 'signup')
+    GROUP BY event_type
+    """,
+)
+def dpp_join_pruned_counts(spark, sf_dir):
+    """Dynamic partition pruning (round 5): the fact side lands as
+    partitionBy(event_type) parquet; the query joins it against a tiny
+    event-type dimension FILTERED ON A DIM-ONLY COLUMN (klass =
+    'conversion'), so no literal predicate on the fact's partition column
+    exists at plan time — the classic star-schema shape where only DPP
+    can skip partitions. Spark inserts a SubqueryAdaptiveBroadcast
+    dynamicpruning PartitionFilter at runtime (reusing the join's
+    broadcast), so the fact scan reads ONLY the purchase/signup
+    directories; tests/test_sources2.py asserts the dynamicpruning
+    expression on this exact plan. At 100 TB this is THE mechanism that
+    turns a date-dim filter into a fact-partition skip without
+    hand-written predicates. Result is the joined per-type count,
+    oracle-pinned."""
+    key = f"dpp_{os.path.basename(str(sf_dir).rstrip('/'))}"
+    out = os.path.join(_tmpdir(key), "events_by_type_dpp")
+    marker = os.path.join(out, "_SUCCESS")
+    if not os.path.exists(marker):
+        ev = load_events(spark, sf_dir).select("event_id", "user_id", "event_type")
+        ev.coalesce(1).write.mode("overwrite").partitionBy("event_type").parquet(
+            out
+        )
+    dim = spark.createDataFrame(
+        [
+            ("purchase", "conversion"),
+            ("signup", "conversion"),
+            ("view", "browse"),
+            ("click", "browse"),
+            ("error", "noise"),
+        ],
+        "event_type string, klass string",
+    )
+    fact = spark.read.parquet(out)
+    return (
+        fact.join(F.broadcast(dim.where(F.col("klass") == "conversion")), "event_type")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    )

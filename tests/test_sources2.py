@@ -38,3 +38,15 @@ def test_binaryfile_fingerprints_match_source(spark, sf_dir):
     for r in src:
         b = r.text.encode("utf-8")
         assert got[r.doc_id] == (len(b), hashlib.md5(b).hexdigest()), r.doc_id
+
+
+def test_dpp_dynamic_pruning_in_plan(spark, sf_dir):
+    """dpp_join_pruned_counts must carry a runtime dynamicpruning
+    PartitionFilter on the fact scan (no literal partition predicate
+    exists — only DPP can skip the non-conversion directories)."""
+    from hpmr_spark.operators.sources2_queries import dpp_join_pruned_counts
+
+    df = dpp_join_pruned_counts(spark, sf_dir)
+    df.collect()  # DPP subquery materializes at execution
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:2000]

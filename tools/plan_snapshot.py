@@ -87,6 +87,7 @@ SKIP = {
     "frequent_triples_support",  # persisted basket frames, same
     "source_unique_coverage_value",  # persisted gram frame, same
     "voptimal_histogram_dp",  # persisted prefix/cost frames, same
+    "dpp_join_pruned_counts",  # writes the partitioned layout at build
 }
 
 SF_DIR = "/root/testdata/sf0.001"
