@@ -224,3 +224,112 @@ def calibration_bins_ppm(spark, sf_dir):
             "gap_ppm", F.expr("abs(mean_score_ppm - pos_rate_ppm)").cast("long")
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Isotonic calibration via the minimax identity (round 5).
+# ---------------------------------------------------------------------------
+_ISO_BINS = 20
+
+_ISO_ORACLE = f"""
+    WITH s AS ({_SCORED_SQL}),
+    bins AS (
+      SELECT CAST(score_ppm // 50000 AS BIGINT) AS bin,
+             CAST(COUNT(*) AS BIGINT) AS w,
+             CAST(SUM(y) AS BIGINT) AS p
+      FROM s GROUP BY bin
+    ),
+    grid AS (SELECT UNNEST(range(0, {_ISO_BINS} + 1)) AS j),
+    pfx AS (
+      SELECT g.j,
+             CAST(COALESCE(SUM(b.w), 0) AS BIGINT) AS cw,
+             CAST(COALESCE(SUM(b.p), 0) AS BIGINT) AS cp
+      FROM grid g LEFT JOIN bins b ON b.bin < g.j
+      GROUP BY g.j
+    ),
+    seg AS (
+      SELECT a.j AS a, b.j AS b,
+             CAST((b.cp - a.cp) * 1000000 // (b.cw - a.cw) AS BIGINT) AS c
+      FROM pfx a JOIN pfx b ON b.j > a.j
+      WHERE b.cw > a.cw
+    ),
+    inner_min AS (
+      SELECT bins.bin, seg.a, CAST(MIN(seg.c) AS BIGINT) AS m
+      FROM bins JOIN seg ON seg.a <= bins.bin AND seg.b >= bins.bin + 1
+      GROUP BY bins.bin, seg.a
+    ),
+    iso AS (
+      SELECT bin, CAST(MAX(m) AS BIGINT) AS iso_rate_ppm
+      FROM inner_min GROUP BY bin
+    )
+    SELECT bins.bin, bins.w AS n,
+           CAST(bins.p * 1000000 // bins.w AS BIGINT) AS raw_rate_ppm,
+           iso.iso_rate_ppm
+    FROM bins JOIN iso ON iso.bin = bins.bin
+"""
+
+
+@register("isotonic_calibration_minimax", _ISO_ORACLE)
+def isotonic_calibration_minimax(spark, sf_dir):
+    """Isotonic (monotone) calibration of the classifier's reliability
+    curve — what sklearn's IsotonicRegression / PAVA fits — computed NOT
+    by the sequential pool-adjacent-violators loop but by the closed-form
+    MINIMAX identity: ŷ(i) = max_{j≤i} min_{k≥i} pooled_rate(j..k). The
+    solution is unique, so the identity gives the same fit as PAVA with
+    zero sequential state — on 20 score bins it is a triple-bounded
+    join over the prefix frame (≤20³ combinations, broadcast-sized
+    regardless of corpus scale; the corpus contributes ONE binned
+    aggregation). Pooled rates are committed floor-ppm integers (the
+    min/max ordering is exact unless two pooled rates tie within 1 ppm —
+    a committed quantization like the LSH constants); the floored
+    minimax stays monotone by construction (shrinking min-sets, growing
+    max-sets). Output: per-bin raw vs isotonic rate — the calibration
+    map a serving system applies at inference."""
+    s = _scored(spark, sf_dir)
+    bins = (
+        s.groupBy(F.expr("score_ppm div 50000").cast("long").alias("bin"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("w"),
+            F.sum("y").cast("long").alias("p"),
+        )
+        .persist()
+    )
+    grid = spark.range(0, _ISO_BINS + 1).select(F.col("id").cast("long").alias("j"))
+    pfx = (
+        grid.join(F.broadcast(bins), F.col("bin") < F.col("j"), "left")
+        .groupBy("j")
+        .agg(
+            F.coalesce(F.sum("w"), F.lit(0)).cast("long").alias("cw"),
+            F.coalesce(F.sum("p"), F.lit(0)).cast("long").alias("cp"),
+        )
+    )
+    a = pfx.select(F.col("j").alias("a"), F.col("cw").alias("aw"), F.col("cp").alias("ap"))
+    b = pfx.select(F.col("j").alias("b"), F.col("cw").alias("bw"), F.col("cp").alias("bp"))
+    seg = (
+        a.join(F.broadcast(b), F.col("b") > F.col("a"))
+        .where(F.col("bw") > F.col("aw"))
+        .select(
+            "a",
+            "b",
+            F.expr("CAST((bp - ap) * 1000000 div (bw - aw) AS BIGINT)").alias("c"),
+        )
+    )
+    inner_min = (
+        bins.select("bin")
+        .join(
+            F.broadcast(seg),
+            (F.col("a") <= F.col("bin")) & (F.col("b") >= F.col("bin") + 1),
+        )
+        .groupBy("bin", "a")
+        .agg(F.min("c").alias("m"))
+    )
+    iso = inner_min.groupBy("bin").agg(F.max("m").cast("long").alias("iso_rate_ppm"))
+    return (
+        bins.join(F.broadcast(iso), "bin")
+        .select(
+            "bin",
+            F.col("w").alias("n"),
+            F.expr("CAST(p * 1000000 div w AS BIGINT)").alias("raw_rate_ppm"),
+            "iso_rate_ppm",
+        )
+    )

@@ -337,3 +337,81 @@ def test_voptimal_dp_matches_bruteforce(spark, sf_dir):
         assert 0 < prev < j
         b, j = b - 1, prev
     assert rows[(1, j)][1] == 0
+
+
+def test_isotonic_minimax_matches_pava(spark, sf_dir):
+    """isotonic_calibration_minimax (round 5): recompute the floored
+    minimax in plain Python from the raw parquet (independent of the
+    generated SQL), assert exact equality; then fit true PAVA with exact
+    rational pooling and assert the floored minimax is within 1 ppm of
+    it (the committed quantization bound) and monotone."""
+    import pandas as pd
+
+    from hpmr_spark.functions.hashing import hash60  # noqa: F401 (doc)
+    from hpmr_spark.operators.mleval_queries import (
+        _ISO_BINS,
+        _scored,
+        isotonic_calibration_minimax,
+    )
+
+    sdf = _scored(spark, sf_dir).toPandas()
+    sdf["bin"] = sdf["score_ppm"] // 50000
+    g = sdf.groupby("bin").agg(w=("y", "size"), p=("y", "sum")).sort_index()
+    bins = list(g.index)
+    cw = {0: (0, 0)}
+    run_w = run_p = 0
+    for j in range(1, _ISO_BINS + 1):
+        if (j - 1) in g.index:
+            run_w += int(g.loc[j - 1, "w"])
+            run_p += int(g.loc[j - 1, "p"])
+        cw[j] = (run_w, run_p)
+
+    def seg(a, b):
+        wa, pa = cw[a]
+        wb, pb = cw[b]
+        if wb <= wa:
+            return None
+        return ((pb - pa) * 1000000) // (wb - wa)
+
+    expected = {}
+    for i in bins:
+        best = None
+        for a in range(0, i + 1):
+            inner = None
+            for b in range(i + 1, _ISO_BINS + 1):
+                c = seg(a, b)
+                if c is not None and (inner is None or c < inner):
+                    inner = c
+            if inner is not None and (best is None or inner > best):
+                best = inner
+        expected[i] = best
+
+    got = {
+        r["bin"]: r["iso_rate_ppm"]
+        for r in isotonic_calibration_minimax(spark, sf_dir).collect()
+    }
+    assert got == expected
+
+    # exact-rational PAVA as the ground truth (blocks pooled with Fractions)
+    from fractions import Fraction
+
+    blocks = [
+        (int(g.loc[b, "w"]), int(g.loc[b, "p"]), [b]) for b in bins
+    ]
+    merged = []
+    for blk in blocks:
+        merged.append(blk)
+        while len(merged) >= 2 and Fraction(merged[-2][1], merged[-2][0]) > Fraction(
+            merged[-1][1], merged[-1][0]
+        ):
+            w2, p2, b2 = merged.pop()
+            w1, p1, b1 = merged.pop()
+            merged.append((w1 + w2, p1 + p2, b1 + b2))
+    pava = {}
+    for w, p, bs in merged:
+        for b in bs:
+            pava[b] = Fraction(p * 1000000, w)
+    vals = [got[b] for b in bins]
+    assert vals == sorted(vals), "isotonic output must be monotone"
+    for b in bins:
+        assert abs(got[b] - pava[b]) <= 1, (b, got[b], float(pava[b]))

@@ -88,6 +88,7 @@ SKIP = {
     "source_unique_coverage_value",  # persisted gram frame, same
     "voptimal_histogram_dp",  # persisted prefix/cost frames, same
     "dpp_join_pruned_counts",  # writes the partitioned layout at build
+    "isotonic_calibration_minimax",  # persisted bin frame, same
 }
 
 SF_DIR = "/root/testdata/sf0.001"
