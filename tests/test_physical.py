@@ -70,3 +70,52 @@ def test_attribution_credits_sum_to_one_per_conversion(spark, sf_dir):
     assert per_user
     for r in per_user:
         assert r.total == 1000000, r.user_id
+
+
+def test_aqe_skew_join_splits_partition(spark):
+    """AQE's runtime skew-join handling (the zero-code complement to
+    operators/skew.py's salting): a 90%-one-key join must come back as
+    SortMergeJoin(skew=true) with an AQEShuffleRead that is 'coalesced
+    and skewed' — proof the hot partition was SPLIT at runtime, the
+    mitigation a 1000-executor deployment leans on when keys skew
+    unpredictably. Thresholds are lowered to make the local fixture's
+    partitions register as skewed; results are checked exactly too."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        left = spark.range(0, 200000).select(
+            F.when(F.col("id") % 10 != 0, 0).otherwise(F.col("id")).alias("k"),
+            F.col("id").alias("v"),
+        )
+        right = spark.range(0, 1000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("w")
+        )
+        j = left.join(right, "k").groupBy().agg(
+            F.sum("v").alias("sv"), F.count("*").alias("n")
+        )
+        row = j.collect()[0]
+        # exact expectation: key 0 matches the 180000 non-multiple rows
+        # PLUS id=0 itself; right keys 10..990 (multiples of 10) match once
+        tens = [k for k in range(10, 1000, 10)]
+        assert row["n"] == 180001 + len(tens)
+        assert row["sv"] == sum(
+            v for v in range(200000) if v % 10 != 0
+        ) + 0 + sum(tens)
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan[:1500]
+        assert "coalesced and skewed" in plan, plan[:1500]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
