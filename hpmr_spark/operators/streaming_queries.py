@@ -367,3 +367,30 @@ def streaming_token_bucket(spark, sf_dir):
     from hpmr_spark.streaming.windows import streaming_token_bucket as _run
 
     return _run(spark, sf_dir)
+
+
+@register(
+    "streaming_checkpoint_exactly_once",
+    """
+    WITH both_phases AS (
+      SELECT user_id, value FROM events
+      UNION ALL
+      SELECT user_id, value * 2 AS value FROM events
+      WHERE event_type = 'purchase'
+    )
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+             AS value_cents
+    FROM both_phases GROUP BY user_id
+    """,
+)
+def streaming_checkpoint_exactly_once(spark, sf_dir):
+    """Checkpointed restart: phase 1 aggregates file A with a persistent
+    checkpoint, file B (purchase replay, doubled value) lands, phase 2
+    RESTARTS the same query on the same checkpoint and processes only B.
+    Final totals ≡ batch aggregation of A ∪ B (this oracle);
+    tests/test_streaming.py pins phase-2 numInputRows = |B| — the
+    exactly-once accounting proof."""
+    from hpmr_spark.streaming.windows import checkpoint_exactly_once
+
+    return checkpoint_exactly_once(spark, sf_dir)

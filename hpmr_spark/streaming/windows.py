@@ -334,3 +334,82 @@ def streaming_token_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("end_tokens_micro"),
     )
     return fin
+
+
+def checkpoint_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checkpointed RESTART with exactly-once accounting — the operational
+    contract every production stream depends on: phase 1 runs an
+    AvailableNow aggregation over file A with a PERSISTENT checkpoint and
+    stops; file B (the purchase events replayed at doubled value — a
+    deterministic delta) then lands in the source dir; phase 2 restarts
+    the SAME query on the SAME checkpoint and must process ONLY B — file-
+    source offsets live in the checkpoint, aggregation state in the state
+    store, so nothing is re-read and nothing is lost. The returned
+    per-user totals equal the batch aggregation of A ∪ B (the oracle);
+    tests/test_streaming.py additionally pins numInputRows of phase 2 to
+    EXACTLY |B|. Each invocation uses fresh source/checkpoint dirs (the
+    memory-sink counter discipline) so double-builds stay deterministic."""
+    import os
+    import tempfile
+
+    from hpmr_spark.sources.tables import load_events
+
+    run = next(_ctr)
+    base = tempfile.mkdtemp(prefix=f"hpmr_ckpt_once_{run}_")
+    src = os.path.join(base, "src")
+    ckpt = os.path.join(base, "ckpt")
+    os.makedirs(src, exist_ok=True)
+
+    ev = load_events(spark, sf_dir).select("user_id", "value")
+    ev.coalesce(1).write.mode("append").parquet(src)
+
+    def run_phase(label: str):
+        stream = (
+            spark.readStream.schema("user_id long, value double")
+            .parquet(src)
+            .groupBy("user_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum(F.round(F.col("value") * 100).cast("long")).alias(
+                    "value_cents"
+                ),
+            )
+        )
+        name = f"mem_ckptonce_{run}_{label}"
+        orig = spark.conf.get("spark.sql.shuffle.partitions")
+        try:
+            spark.conf.set("spark.sql.shuffle.partitions", "16")
+            q = (
+                stream.writeStream.format("memory")
+                .queryName(name)
+                .outputMode("complete")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            progress = [p for p in q.recentProgress]
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", orig)
+        return name, progress
+
+    _, p1 = run_phase("p1")
+
+    delta = (
+        load_events(spark, sf_dir)
+        .where(F.col("event_type") == "purchase")
+        .select("user_id", (F.col("value") * 2).alias("value"))
+    )
+    delta.coalesce(1).write.mode("append").parquet(src)
+    n_delta = delta.count()
+
+    name2, p2 = run_phase("p2")
+    phase2_rows = sum(int(p["numInputRows"]) for p in p2)
+    # stash for the pytest assertion (module-level, last run wins)
+    global _CKPT_ONCE_LAST
+    _CKPT_ONCE_LAST = {"n_delta": int(n_delta), "phase2_rows": phase2_rows}
+
+    return spark.table(name2).select("user_id", "n_events", "value_cents")
+
+
+_CKPT_ONCE_LAST: dict | None = None

@@ -49,3 +49,17 @@ def test_ngram_prefix_filter_equals_naive(spark, sf_dir):
         for r in ngram_jaccard_pairs(docs, 90, prefix_filter=False).collect()
     }
     assert fast == naive and len(fast) > 0
+
+
+def test_checkpoint_restart_processes_only_delta(spark, sf_dir):
+    """streaming_checkpoint_exactly_once: phase 2 (restart on the same
+    checkpoint) must ingest EXACTLY the delta file's rows — the file
+    source's offsets live in the checkpoint, so nothing from phase 1 is
+    re-read (exactly-once accounting)."""
+    from hpmr_spark.streaming import windows as W
+
+    W.checkpoint_exactly_once(spark, sf_dir).collect()
+    info = W._CKPT_ONCE_LAST
+    assert info is not None
+    assert info["phase2_rows"] == info["n_delta"], info
+    assert info["n_delta"] > 0

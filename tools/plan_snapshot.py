@@ -89,6 +89,7 @@ SKIP = {
     "voptimal_histogram_dp",  # persisted prefix/cost frames, same
     "dpp_join_pruned_counts",  # writes the partitioned layout at build
     "isotonic_calibration_minimax",  # persisted bin frame, same
+    "streaming_checkpoint_exactly_once",  # runs two stream phases at build
 }
 
 SF_DIR = "/root/testdata/sf0.001"
