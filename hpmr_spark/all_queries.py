@@ -197,6 +197,18 @@ for _m in _MODULES:
 # reps are pq + dedup_embedding_cosine; vocab_topn_encode — corpus keeps
 # novelty/udtf/viterbi). rolling_median_7day / weekday_seasonality_profile
 # / kmv_merge_property stay outside the window (full sweep covers them).
+# Second round-5 rotation: the post-first-rotation additions' riskiest six
+# in — voptimal_histogram_dp (packed-argmin DP), isotonic_calibration_minimax
+# (floored minimax ≡ PAVA), pq_adc_topk_search (code+LUT search),
+# frequent_triples_support (A-priori prune), streaming_checkpoint_exactly_once
+# (checkpoint restart), dpp_join_pruned_counts (dynamic partition pruning) —
+# for six multi-round-green rows (pipeline_pretraining_report,
+# transpose_flag_metrics, pii_scrub_props — text family keeps
+# dedup_substring/viterbi; streaming_session_windows — streaming keeps
+# left-outer/stateful-totals/token-bucket/exactly-once;
+# graph_triangle_count — graph keeps lpa/pagerank/hits; doc_lm_score_ppm —
+# LM scoring keeps kneser_ney). silhouette_centroid_ppm /
+# source_unique_coverage_value / nelson... remain full-sweep-covered.
 _CHECK_FIRST = [
     "mapreduce_revenue_by_order",  # flagship — keep first (entry() twin)
     "graph_lpa_communities",
@@ -205,7 +217,7 @@ _CHECK_FIRST = [
     "streaming_left_outer_join",
     "rfm_user_scores",
     "kneser_ney_bigram_ppb",
-    "pipeline_pretraining_report",
+    "voptimal_histogram_dp",
     "pareto_revenue_concentration",
     "udtf_chunk_documents",
     "variant_events_extract",
@@ -227,7 +239,7 @@ _CHECK_FIRST = [
     "runs_test_above_median",
     "rrf_fused_ranking",
     "token_bucket_replay",
-    "graph_triangle_count",
+    "streaming_checkpoint_exactly_once",
     "graph_hits_scores",
     "hilbert_clustering_key",
     "record_linkage_fs",
@@ -235,16 +247,16 @@ _CHECK_FIRST = [
     "kmv_distinct_estimate",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
-    "doc_lm_score_ppm",
+    "dpp_join_pruned_counts",
     "dedup_cluster_components",
     "dedup_embedding_cosine",
     "similarity_planted_neardup_lsh",
-    "transpose_flag_metrics",
+    "isotonic_calibration_minimax",
     "multimodal_audio_features",
     "ngram_novelty_by_bucket",
-    "streaming_session_windows",
+    "frequent_triples_support",
     "streaming_stateful_user_totals",
-    "pii_scrub_props",
+    "pq_adc_topk_search",
     "skew_salted_join_revenue",
     "nelson_aalen_hazard",
     "sink_xml_roundtrip",
