@@ -136,19 +136,34 @@ def main() -> int:
 
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "extra_queries": extra,
-                "extra_total_sec": round(sum(extra.values()), 3),
-                "sf": float(sf),
-            }
-        )
-    )
+    result = {
+        "metric": "headline_queries_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "extra_queries": extra,
+        "extra_total_sec": round(sum(extra.values()), 3),
+        "sf": float(sf),
+    }
+    # VERDICT r5 lead item: BENCH_r05's stdout line (headline + 53 extras,
+    # ~3 KB) overran the driver's bounded tail capture and lost its opening
+    # brace ("parsed": null). Two-channel fix: the FULL artifact goes to
+    # bench_result.json next to this script, and stdout carries a COMPACT
+    # line (headline queries only — extras summarized by their total) that
+    # always fits the tail window. Both are self-contained valid JSON.
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "bench_result.json"),
+            "w",
+        ) as fh:
+            fh.write(json.dumps(result) + "\n")
+    except OSError:
+        pass  # read-only cwd — the stdout line below still carries the result
+    compact = {k: v for k, v in result.items() if k != "extra_queries"}
+    compact["n_extra_queries"] = len(extra)
+    compact["full_artifact"] = "bench_result.json"
+    print(json.dumps(compact))
     spark.stop()
     return 0
 

@@ -179,8 +179,11 @@ def contamination_check_5gram(spark, sf_dir):
         "doc_id",
         "source",
         F.explode(
-            F.expr("transform(sequence(1, greatest(size(a) - 4, 0)), "
-                   "i -> array_join(slice(a, i, 5), ' '))")
+            # sequence(1, 0) DESCENDS and slice(arr, 0, 5) throws — guard
+            # short docs into the empty-array branch (oracle: len(ts) >= 5).
+            F.expr("CASE WHEN size(a) >= 5 THEN "
+                   "transform(sequence(1, size(a) - 4), "
+                   "i -> array_join(slice(a, i, 5), ' ')) ELSE array() END")
         ).alias("gram"),
     ).select("doc_id", "source", hash60(F.col("gram")).alias("gh"))
     bench = g.where(F.col("source") == "src0").select("gh").distinct()

@@ -166,11 +166,14 @@ def source_unique_coverage_value(spark, sf_dir):
     grams = (
         docs.select(
             "source",
+            # sequence(1, 0) DESCENDS ([1, 0]) and slice(arr, 0, n) throws —
+            # short docs must hit the empty-array branch, never sequence().
             F.explode(
                 F.expr(
-                    "transform("
-                    f"sequence(1, greatest(size(split(text, ' ')) - {_VAL_N} + 1, 0)),"
+                    f"CASE WHEN size(split(text, ' ')) >= {_VAL_N} THEN transform("
+                    f"sequence(1, size(split(text, ' ')) - {_VAL_N} + 1),"
                     f" i -> md5(array_join(slice(split(text, ' '), i, {_VAL_N}), ' ')))"
+                    " ELSE array() END"
                 )
             ).alias("gram"),
         )

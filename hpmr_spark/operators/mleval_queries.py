@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import Window
 from pyspark.sql import functions as F
+from pyspark import StorageLevel
 
 from hpmr_spark.catalog import _t, register
 from hpmr_spark.functions.hashing import hash60, sql_hash60
@@ -292,7 +293,7 @@ def isotonic_calibration_minimax(spark, sf_dir):
             F.count(F.lit(1)).cast("long").alias("w"),
             F.sum("y").cast("long").alias("p"),
         )
-        .persist()
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     grid = spark.range(0, _ISO_BINS + 1).select(F.col("id").cast("long").alias("j"))
     pfx = (

@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from pyspark.sql import Window
 from pyspark.sql import functions as F
+from pyspark import StorageLevel
 
 from hpmr_spark.catalog import register, _t
 from hpmr_spark.functions.ranking import global_row_number
@@ -454,7 +455,7 @@ def voptimal_histogram_dp(spark, sf_dir):
             F.coalesce(F.sum("s"), F.expr("CAST(0 AS DECIMAL(38,0))")).alias("ps"),
             F.coalesce(F.sum("q"), F.expr("CAST(0 AS DECIMAL(38,0))")).alias("pq"),
         )
-        .persist()
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     tot = pfx.where(F.col("j") == _VO_K).select(
         F.col("pc").cast("long").alias("n0"),
@@ -472,7 +473,7 @@ def voptimal_histogram_dp(spark, sf_dir):
         a.join(F.broadcast(b), F.col("j") > F.col("i"))
         .crossJoin(F.broadcast(tot))
         .select("i", "j", F.expr(_vo_cost("div")).alias("cost"))
-        .persist()
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     f = cost.where(F.col("i") == 0).select(
         "j", F.expr("CAST(cost * 32 + 0 AS BIGINT)").alias("packed")
