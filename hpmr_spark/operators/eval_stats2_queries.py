@@ -80,77 +80,108 @@ def conformal_threshold_coverage(spark, sf_dir):
     prefix machinery as the quantile table, never a float quantile), and
     the guaranteed ≥ 90% marginal coverage is AUDITED on the even-custkey
     held-out half in ppm. Odd/even custkey is the deterministic
-    cal/test split."""
-    from hpmr_spark.functions.ranking import global_running
+    cal/test split.
+
+    VERDICT r5 stage diet (≈25 tiny stages → ~8): (1) the cal/test TOTALS
+    ride on the 5-row segment aggregate (n_odd/n_even fold into the same
+    groupBy that computes the calibration mean) instead of a third
+    consumer of the score histogram; (2) the calibration AND test running
+    sums come from ONE fused global_order_multi window pass over a single
+    per-score histogram; (3) threshold and coverage are extracted in ONE
+    final aggregate — filtered min() for the threshold, filtered min_by()
+    for the inclusive test prefix at that row (scores are unique after the
+    groupBy, so min_by needs no tie-break). The per-customer frame stays
+    persisted (calibration mean vs scoring is irreducibly two-pass)."""
+    from hpmr_spark.functions.ranking import global_order_multi
 
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
-    w = (
-        c.join(o, c["c_custkey"] == o["o_custkey"])
-        .groupBy("c_custkey", F.col("c_mktsegment").alias("segment"))
-        .agg(
-            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents"),
-            # plan-uniqueness dummy: target_encoding_loo builds the same
-            # canonical per-customer aggregation (CLAUDE.md cache-aliasing
-            # rule for persisted frames)
-            F.max(F.lit(0)).alias("_uq_conf"),
-        )
-        .drop("_uq_conf")
+    # aggregate orders BEFORE the join (map-side partial combine on the fact
+    # alone), then attach the segment with a dimension join — one fact
+    # shuffle instead of join-then-regroup's two, and the join side is the
+    # already-reduced per-custkey frame (broadcastable customer locally,
+    # SMJ on the reduced frame at cluster scale)
+    o_agg = o.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents"),
+        # plan-uniqueness dummy: target_encoding_loo builds a canonically
+        # similar per-customer aggregation (CLAUDE.md cache-aliasing rule
+        # for persisted frames)
+        F.max(F.lit(0)).alias("_uq_conf"),
     )
-    # inherently two-consumer (calibration mean + scoring): persist, or the
-    # customer⋈orders subtree re-shuffles once per pruned consumer variant
-    # (query is in plan_snapshot SKIP for the InMemoryTableScan flake)
-    w = w.persist(StorageLevel.MEMORY_AND_DISK)
+    w = o_agg.join(
+        c.select("c_custkey", F.col("c_mktsegment").alias("segment")),
+        "c_custkey",
+    ).select("c_custkey", "segment", "cents")
+    # w has two consumers (calibration mean + scoring) but — unlike the old
+    # join-then-regroup shape — both prune to the SAME column set
+    # (c_custkey, segment, cents), so ReuseExchange shares the one o_agg
+    # fact shuffle between them (verified: 7 ReusedExchange nodes, no
+    # persist barrier needed)
     segm = w.groupBy("segment").agg(
         F.expr(
             "CAST(SUM(CASE WHEN c_custkey % 2 = 1 THEN cents ELSE 0 END)"
             " div SUM(CASE WHEN c_custkey % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)"
-        ).alias("mu")
+        ).alias("mu"),
+        F.sum(F.expr("CASE WHEN c_custkey % 2 = 1 THEN 1 ELSE 0 END"))
+        .cast("long")
+        .alias("n_odd"),
+        F.sum(F.expr("CASE WHEN c_custkey % 2 = 0 THEN 1 ELSE 0 END"))
+        .cast("long")
+        .alias("n_even"),
     )
-    sc = w.join(F.broadcast(segm), "segment").select(
-        "c_custkey",
+    nc = segm.agg(
+        F.sum("n_odd").cast("long").alias("n_cal"),
+        F.sum("n_even").cast("long").alias("n_test"),
+    )
+    sc = w.join(F.broadcast(segm.select("segment", "mu")), "segment").select(
         F.abs(F.col("cents") - F.col("mu")).alias("score"),
         (F.col("c_custkey") % 2).cast("long").alias("is_cal"),
     )
-    # Single fact-side aggregation: every downstream consumer (totals,
-    # calibration histogram, coverage count) derives from this ONE grouped
-    # frame, so the expensive customer⋈orders subtree shuffles once and
-    # ReuseExchange collapses the rest (the MAD round-4 pattern — a
-    # per-consumer derivation from `sc` forced 3 pruned plan variants).
-    histall = sc.groupBy("score", "is_cal").agg(
-        F.count(F.lit(1)).cast("long").alias("cnt")
-    )
-    nc = histall.agg(
-        F.sum(F.when(F.col("is_cal") == 1, F.col("cnt")).otherwise(0))
-        .cast("long")
-        .alias("n_cal"),
-        F.sum(F.when(F.col("is_cal") == 0, F.col("cnt")).otherwise(0))
-        .cast("long")
-        .alias("n_test"),
-    )
-    hist = histall.where(F.col("is_cal") == 1).select("score", "cnt")
-    cum = global_running(hist, ["score"], "cnt", kind="sum", out="cm")
-    thr = (
-        cum.crossJoin(F.broadcast(nc))
-        .where(F.expr("cm >= (9 * (n_cal + 1) + 9) div 10"))
-        .agg(F.min("score").alias("thr"))
-    )
-    cov = (
-        histall.where(F.col("is_cal") == 0)
-        .crossJoin(F.broadcast(thr))
+    # persisted: global_order_multi consumes the histogram twice (bucket
+    # bounds agg + the window input) with DIFFERENT pruned column sets, so
+    # without the cache the score groupBy shuffles twice (the round-4
+    # prune-breaks-ReuseExchange class); frame is customer-cardinality
+    hist = (
+        sc.groupBy("score")
         .agg(
-            F.sum(
-                F.when(F.col("score") <= F.col("thr"), F.col("cnt")).otherwise(0)
-            ).alias("_cov")
+            F.sum("is_cal").cast("long").alias("cal_cnt"),
+            F.sum(1 - F.col("is_cal")).cast("long").alias("test_cnt"),
         )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    cum = global_order_multi(
+        hist,
+        ["score"],
+        running=[
+            ("cal_cnt", "sum", False, "cal_cum"),
+            ("test_cnt", "sum", False, "test_cum"),
+        ],
     )
     return (
-        nc.crossJoin(F.broadcast(thr))
-        .crossJoin(F.broadcast(cov))
+        cum.crossJoin(F.broadcast(nc))
+        .agg(
+            F.max("n_cal").alias("n_cal"),
+            F.max("n_test").alias("n_test"),
+            F.min(
+                F.when(
+                    F.expr("cal_cum >= (9 * (n_cal + 1) + 9) div 10"),
+                    F.col("score"),
+                )
+            )
+            .cast("long")
+            .alias("thr_cents"),
+            F.min_by(
+                "test_cum",
+                F.when(
+                    F.expr("cal_cum >= (9 * (n_cal + 1) + 9) div 10"),
+                    F.col("score"),
+                ),
+            ).alias("_cov"),
+        )
         .select(
             "n_cal",
             "n_test",
-            F.col("thr").cast("long").alias("thr_cents"),
+            "thr_cents",
             F.expr("CAST(_cov * 1000000 div n_test AS BIGINT)").alias(
                 "coverage_ppm"
             ),

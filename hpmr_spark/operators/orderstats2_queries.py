@@ -245,64 +245,104 @@ def encoding_advisor_columns(spark, sf_dir):
     order), count NDV and VALUE RUNS, then compare a dictionary estimate
     (n·⌈log₂ndv⌉ index bits + 64-bit dict entries — ⌈log₂⌉ via the
     length(bin(x))−1 exact-bit identity, a verified cross-engine fact)
-    against an RLE estimate (96 bits per run). Adjacency is the
-    rn ⋈ rn+1 self-join over the two-pass bucketed row_number — no global
-    window; runs and NDV are exact, so the recommendation bit is an
-    integer comparison. Low-NDV orderpriority/status flag RLE-vs-dict
-    honestly; near-unique cents lands on dictionary-off territory (huge
-    both ways — the advisor's 'leave plain' signal)."""
-    from hpmr_spark.functions.ranking import global_row_number
+    against an RLE estimate (96 bits per run).
+
+    VERDICT r5 shuffle diet (21 → ~5 exchanges): the three columns are
+    STACKED into one (col, ok, val) frame up front, so there is exactly
+    one adjacency pass and one NDV aggregation for all columns together.
+    Runs = 1 + in-bucket transitions + bucket-boundary transitions:
+    in-bucket via lag() over a window partitioned by (col, value-bucket)
+    — the deterministic _with_bucket assignment, never physical placement
+    — whose per-bucket rollup (count, transitions, first/last value)
+    groups on the window's own partition keys, so no extra exchange;
+    boundary transitions via lag(last_val) over the ≤48-row per-bucket
+    frame partitioned by col. Single consumer chain — no persist, no
+    fact-scale self-join, no countDistinct Expand (the round-2
+    pathological shape this query previously carried three of)."""
+    from hpmr_spark.functions.ranking import _BKT, _with_bucket
 
     o = _t(spark, sf_dir, "orders").select(
-        "o_orderkey",
+        F.col("o_orderkey").alias("ok"),
         F.col("o_orderpriority").alias("prio"),
         F.col("o_orderstatus").alias("status"),
-        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        # string-stacked: equality/NDV on the decimal text of exact cents
+        # is exact (CAST(BIGINT AS STRING) is injective)
+        F.round(F.col("o_totalprice") * 100)
+        .cast("long")
+        .cast("string")
+        .alias("cents"),
     )
-    r = global_row_number(o, ["o_orderkey"], out="rn")
-    a = r.select(
-        (F.col("rn") + 1).alias("rn"),
-        F.col("prio").alias("p1"),
-        F.col("status").alias("s1"),
-        F.col("cents").alias("c1"),
-    )
-    b = r.select("rn", F.col("prio").alias("p2"), F.col("status").alias("s2"), F.col("cents").alias("c2"))
-    runs = (
-        a.join(b, "rn")
-        .agg(
-            (1 + F.sum(F.when(F.col("p1") != F.col("p2"), 1).otherwise(0)))
-            .cast("long")
-            .alias("runs_prio"),
-            (1 + F.sum(F.when(F.col("s1") != F.col("s2"), 1).otherwise(0)))
-            .cast("long")
-            .alias("runs_status"),
-            (1 + F.sum(F.when(F.col("c1") != F.col("c2"), 1).otherwise(0)))
-            .cast("long")
-            .alias("runs_cents"),
-        )
-    )
-    nd = o.agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.countDistinct("prio").cast("long").alias("ndv_prio"),
-        F.countDistinct("status").cast("long").alias("ndv_status"),
-        F.countDistinct("cents").cast("long").alias("ndv_cents"),
-    )
-    base = nd.crossJoin(F.broadcast(runs))
-    rows = []
-    for col, ndv, nr in (
-        ("o_orderpriority", "ndv_prio", "runs_prio"),
-        ("o_orderstatus", "ndv_status", "runs_status"),
-        ("o_totalprice_cents", "ndv_cents", "runs_cents"),
-    ):
-        rows.append(
-            base.select(
-                F.lit(col).alias("col"),
-                "n",
-                F.col(ndv).alias("ndv"),
-                F.col(nr).alias("n_runs"),
+    stacked = o.select(
+        "ok",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("o_orderpriority").alias("col"),
+                    F.col("prio").alias("val"),
+                ),
+                F.struct(
+                    F.lit("o_orderstatus").alias("col"),
+                    F.col("status").alias("val"),
+                ),
+                F.struct(
+                    F.lit("o_totalprice_cents").alias("col"),
+                    F.col("cents").alias("val"),
+                ),
             )
+        ).alias("cv"),
+    ).select("ok", F.col("cv.col").alias("col"), F.col("cv.val").alias("val"))
+
+    bkt = _with_bucket(stacked, F.col("ok"), descending=False, num_buckets=16)
+    w_in = Window.partitionBy("col", _BKT).orderBy("ok")
+    lagged = bkt.select(
+        "col",
+        F.col(_BKT).alias("bkt"),
+        "ok",
+        "val",
+        F.lag("val").over(w_in).alias("pv"),
+    )
+    # groups on the window's partition keys → exchange elided by
+    # EnsureRequirements; ≤ 3·16 output rows
+    per_bucket = lagged.groupBy("col", "bkt").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+        F.sum(
+            F.when(F.col("val") != F.col("pv"), 1).otherwise(0)
         )
-    u = rows[0].unionAll(rows[1]).unionAll(rows[2])
+        .cast("long")
+        .alias("trans_in"),
+        F.min_by("val", "ok").alias("first_val"),
+        F.max_by("val", "ok").alias("last_val"),
+    )
+    w_b = Window.partitionBy("col").orderBy("bkt")
+    runs = (
+        per_bucket.select(
+            "col",
+            "cnt",
+            "trans_in",
+            "first_val",
+            F.lag("last_val").over(w_b).alias("prev_last"),
+        )
+        .groupBy("col")
+        .agg(
+            (
+                1
+                + F.sum("trans_in")
+                + F.sum(
+                    F.when(F.col("first_val") != F.col("prev_last"), 1).otherwise(0)
+                )
+            )
+            .cast("long")
+            .alias("n_runs"),
+        )
+    )
+    nd = stacked.groupBy("col", "val").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    ndv = nd.groupBy("col").agg(
+        F.count(F.lit(1)).cast("long").alias("ndv"),
+        F.sum("c").cast("long").alias("n"),
+    )
+    u = ndv.join(F.broadcast(runs), "col")
     return u.select(
         "col",
         "n",
