@@ -294,6 +294,21 @@ def similarity_ivf_trained_topk(spark, sf_dir):
     return ivf_topk_trained(e, e.where(F.col("vec_id") < 10), k=10, n_cells=8)
 
 
+@register("ivfpq_topk_search", None)  # approximate — rows-only check
+def ivfpq_topk_search(spark, sf_dir):
+    """IVF-PQ composed end-to-end (similarity/ivfpq.py): trained coarse
+    cells route queries to n_probe=2 of 8 cells; corpus residuals are
+    PQ-encoded (8 subspaces × 16 codes = 4 bytes/vector); ADC scores the
+    probed cells' CODES against per-query integer LUTs; the shortlist is
+    re-ranked with exact cosine. Approximate by design → no SQL oracle;
+    recall ≥ 0.9 on the clustered fixture is asserted in
+    tests/test_dedup.py::test_ivfpq_recall_clustered."""
+    from hpmr_spark.similarity.ivfpq import ivfpq_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    return ivfpq_topk(e, e.where(F.col("vec_id") < 10), k=10, n_cells=8)
+
+
 _CONTAINMENT_ORACLE = f"""
     WITH {SQL_SHINGLE_CTE}
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,

@@ -217,6 +217,91 @@ def ivf_topk(
     )
 
 
+def nearest_cell(vcol, centroids) -> "F.Column":
+    """Index of the max-cosine centroid for a vector column. Array argmax,
+    NOT a chained when(): a fold of conditionals embeds the running best
+    THREE times per centroid — a 3^n_cells expression blowup that hangs
+    analysis. array_max over (sim, -cell) structs is linear and ties break
+    to the LOWEST cell id."""
+    from hpmr_spark.functions.vectors import cosine
+
+    sims = F.array(
+        *[
+            F.struct(
+                cosine(vcol, F.array(*[F.lit(x) for x in cv])).alias("sim"),
+                F.lit(-ci).alias("negcell"),
+            )
+            for ci, cv in enumerate(centroids)
+        ]
+    )
+    return -F.array_max(sims)["negcell"]
+
+
+def nearest_cells(vcol, centroids, n_probe: int) -> "F.Column":
+    """Array of the n_probe max-cosine centroid indices for a vector
+    column (descending similarity; ties break to the HIGHER cell id via
+    the array_sort/reverse order — stable and deterministic)."""
+    from hpmr_spark.functions.vectors import cosine
+
+    sims = F.array(
+        *[
+            F.struct(
+                cosine(vcol, F.array(*[F.lit(x) for x in cv])).alias("sim"),
+                F.lit(ci).alias("cell"),
+            )
+            for ci, cv in enumerate(centroids)
+        ]
+    )
+    top = F.slice(F.reverse(F.array_sort(sims)), 1, n_probe)
+    return F.transform(top, lambda s: s["cell"])
+
+
+def train_centroids(
+    d: DataFrame, n_cells: int, train_iters: int, salt: str = "ivf:"
+) -> list[list[float]]:
+    """Deterministic coarse-quantizer training shared by trained-IVF and
+    IVF-PQ: seeds are the vectors whose committed hash ranks lowest;
+    `train_iters` synchronous k-means steps (cosine assignment, mean
+    update). Float centroid sums are order-sensitive but only STEER the
+    index — callers re-score every emitted neighbor exactly. `d` must have
+    (id, vec) columns; returns n_cells python float lists (collect is
+    bounded: n_cells × dim doubles per iteration)."""
+    from hpmr_spark.functions.hashing import hash60
+
+    seeds = [
+        r["vec"]
+        for r in d.select(
+            "vec",
+            hash60(F.concat(F.lit(salt), F.col("id").cast("string"))).alias("h"),
+        )
+        .orderBy("h")
+        .limit(n_cells)
+        .collect()
+    ]
+    cents = [[float(x) for x in v] for v in seeds]
+    for _ in range(train_iters):
+        assigned = d.select("vec", nearest_cell(F.col("vec"), cents).alias("cell"))
+        upd = (
+            assigned.select("cell", F.posexplode(F.col("vec")).alias("dim", "x"))
+            .groupBy("cell", "dim")
+            .agg(
+                F.sum(F.col("x").cast("double")).alias("s"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .groupBy("cell")
+            .agg(
+                F.expr(
+                    "transform(array_sort(collect_list(struct(dim, s / n AS m))),"
+                    " p -> p.m)"
+                ).alias("centroid")
+            )
+            .collect()
+        )
+        new = dict((r["cell"], [float(x) for x in r["centroid"]]) for r in upd)
+        cents = [new.get(ci, cents[ci]) for ci in range(n_cells)]
+    return cents
+
+
 def ivf_topk_trained(
     corpus: DataFrame,
     queries: DataFrame,
@@ -240,58 +325,9 @@ def ivf_topk_trained(
     queries probe their `n_probe` nearest cells only, so the search join
     grazes ~n_probe/n_cells of the corpus. Rows-only (approximate recall),
     gated by the clustered-fixture pytest like ivf_topk."""
-    from hpmr_spark.functions.hashing import hash60
-    from hpmr_spark.functions.vectors import cosine
-
-    spark = corpus.sparkSession
     d = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
-    # deterministic seeds: lowest committed-hash vectors
-    seeds = [
-        r["vec"]
-        for r in d.select(
-            "vec", hash60(F.concat(F.lit("ivf:"), F.col("id").cast("string"))).alias("h")
-        )
-        .orderBy("h")
-        .limit(n_cells)
-        .collect()
-    ]
-    cents = [[float(x) for x in v] for v in seeds]
-
-    def nearest(vcol, centroids):
-        # array argmax, NOT a chained when(): a fold of conditionals embeds
-        # the running best THREE times per centroid — a 3^n_cells expression
-        # blowup that hangs analysis. array_max over (sim, -cell) structs is
-        # linear and ties break to the LOWEST cell id.
-        sims = F.array(
-            *[
-                F.struct(
-                    cosine(vcol, F.array(*[F.lit(x) for x in cv])).alias("sim"),
-                    F.lit(-ci).alias("negcell"),
-                )
-                for ci, cv in enumerate(centroids)
-            ]
-        )
-        return -F.array_max(sims)["negcell"]
-
-    for _ in range(train_iters):
-        assigned = d.select("vec", nearest(F.col("vec"), cents).alias("cell"))
-        upd = (
-            assigned.select(
-                "cell", F.posexplode(F.col("vec")).alias("dim", "x")
-            )
-            .groupBy("cell", "dim")
-            .agg(F.sum(F.col("x").cast("double")).alias("s"), F.count(F.lit(1)).alias("n"))
-            .groupBy("cell")
-            .agg(
-                F.expr(
-                    "transform(array_sort(collect_list(struct(dim, s / n AS m))),"
-                    " p -> p.m)"
-                ).alias("centroid")
-            )
-            .collect()
-        )
-        new = dict((r["cell"], [float(x) for x in r["centroid"]]) for r in upd)
-        cents = [new.get(ci, cents[ci]) for ci in range(n_cells)]
+    cents = train_centroids(d, n_cells=n_cells, train_iters=train_iters)
+    nearest = nearest_cell
 
     c = d.select(
         F.col("id").alias("neighbor_id"),
@@ -299,24 +335,10 @@ def ivf_topk_trained(
         nearest(F.col("vec"), cents).alias("cell"),
     )
 
-    # per-query probe list: n_probe nearest centroids
-    def probe_cells(vcol):
-        sims = F.array(
-            *[
-                F.struct(
-                    cosine(vcol, F.array(*[F.lit(x) for x in cv])).alias("sim"),
-                    F.lit(ci).alias("cell"),
-                )
-                for ci, cv in enumerate(cents)
-            ]
-        )
-        top = F.slice(F.reverse(F.array_sort(sims)), 1, n_probe)
-        return F.transform(top, lambda s: s["cell"])
-
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
-        F.explode(probe_cells(F.col(vec_col))).alias("cell"),
+        F.explode(nearest_cells(F.col(vec_col), cents, n_probe)).alias("cell"),
     )
     scored = (
         F.broadcast(q)

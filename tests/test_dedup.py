@@ -164,6 +164,27 @@ def test_ivf_trained_recall_clustered(spark):
     assert recall >= 0.9, f"trained-IVF recall on clustered embeddings: {recall}"
 
 
+def test_ivfpq_recall_clustered(spark):
+    """Composed IVF-PQ (coarse routing + residual PQ/ADC + exact refine)
+    must reach recall@10 ≥ 0.9 on the clustered fixture — same bar as the
+    IVF variants (VERDICT r5 item 6)."""
+    from hpmr_spark.similarity.ivfpq import ivfpq_topk
+
+    emb = _clustered_embeddings(spark).cache()
+    queries = emb.where(F.col("vec_id") % 100 == 0)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk(emb, queries, k=10).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivfpq_topk(emb, queries, k=10, n_cells=16, n_probe=2).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    emb.unpersist()
+    assert recall >= 0.9, f"IVF-PQ recall on clustered embeddings: {recall}"
+
+
 def test_gemm_block_pruning_clustered(spark):
     """Angular block-pair pruning (the spherical DIMSUM analogue in
     threshold_pairs_gemm): on a corpus whose clusters spread ALONG the

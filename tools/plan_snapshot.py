@@ -90,6 +90,7 @@ SKIP = {
     "dpp_join_pruned_counts",  # writes the partitioned layout at build
     "isotonic_calibration_minimax",  # persisted bin frame, same
     "streaming_checkpoint_exactly_once",  # runs two stream phases at build
+    "ivfpq_topk_search",  # k-means training + codebook seeds collect at build
 }
 
 SF_DIR = "/root/testdata/sf0.001"
