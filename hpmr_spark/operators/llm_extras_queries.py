@@ -105,3 +105,140 @@ def bpe_merge_step(spark, sf_dir):
     top = agg.orderBy(F.col("cnt").desc(), F.col("pair")).limit(10)
     # 10-row re-rank as a broadcast non-equi join — no window at all
     return bounded_rank(top, "cnt", "pair", out="rnk").select("pair", "cnt", "rnk")
+
+
+# ---------------------------------------------------------------------------
+# Multi-step BPE trainer: 8 chained merges (VERDICT r5 item 7).
+# ---------------------------------------------------------------------------
+N_MERGES = 8
+
+
+def _bpe_oracle(n_merges: int) -> str:
+    """Generate the chained-merge oracle: per step i, count adjacent symbol
+    pairs of the current tokenization, pick the (cnt DESC, pair ASC)
+    argmax via ROW_NUMBER (DuckDB arg_min can't take struct ordering), and
+    re-tokenize with a list_reduce STRING fold — the accumulator is the
+    '|'-delimited symbol string, so 'ends with |l AND next is r' is the
+    exact left-to-right non-overlapping merge (a fresh merge result is
+    strictly longer than l and can never re-match in the same pass;
+    verified: 'aaa'+(a,a) -> |aa|a, 'abab'+(a,b) -> |ab|ab)."""
+    parts = [
+        """
+    WITH tok AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+                 FROM documents),
+    w AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS n FROM tok
+          WHERE length(token) >= 2 GROUP BY token),
+    t0 AS (SELECT n, regexp_replace(token, '(.)', '|\\1', 'g') AS tk FROM w)"""
+    ]
+    for i in range(1, n_merges + 1):
+        parts.append(f"""
+    p{i} AS (
+      SELECT u.pr, t.n
+      FROM t{i - 1} t, LATERAL (
+        SELECT unnest(list_transform(
+                 range(1, len(string_split(substr(t.tk, 2), '|'))),
+                 _pi -> string_split(substr(t.tk, 2), '|')[_pi] || ' ' ||
+                        string_split(substr(t.tk, 2), '|')[_pi + 1])) AS pr
+      ) u
+    ),
+    a{i} AS (SELECT pr, CAST(SUM(n) AS BIGINT) AS cnt FROM p{i} GROUP BY pr),
+    b{i} AS (
+      SELECT split_part(pr, ' ', 1) AS l, split_part(pr, ' ', 2) AS r, cnt
+      FROM (SELECT pr, cnt, row_number() OVER (ORDER BY cnt DESC, pr) AS rn
+            FROM a{i})
+      WHERE rn = 1
+    ),
+    t{i} AS (
+      SELECT t.n,
+             list_reduce(
+               list_prepend('', string_split(substr(t.tk, 2), '|')),
+               (_acc, _s) -> CASE
+                 WHEN length(_acc) >= length(b.l) + 1
+                      AND substr(_acc, length(_acc) - length(b.l)) = '|' || b.l
+                      AND _s = b.r
+                 THEN _acc || b.r ELSE _acc || '|' || _s END) AS tk
+      FROM t{i - 1} t CROSS JOIN b{i} b
+    )""")
+    selects = [
+        f"SELECT CAST({i} AS BIGINT) AS step, l AS lhs, r AS rhs, cnt FROM b{i}"
+        for i in range(1, n_merges + 1)
+    ]
+    return ",".join(parts) + "\n    " + "\n    UNION ALL ".join(selects)
+
+
+@register("bpe_train_8_merges", _bpe_oracle(N_MERGES))
+def bpe_train_8_merges(spark, sf_dir):
+    """BPE TRAINER, 8 chained merges (completes the tokenizer-training
+    surface next to bpe_merge_step's single step and the Viterbi
+    segmenter): per step, adjacent symbol-pair counts weighted by word
+    frequency, argmax merge rule (cnt DESC, pair ASC — min of
+    (-cnt, pair) structs), then every word re-tokenized by the exact
+    left-to-right non-overlapping merge before the next count.
+
+    Spark shape: the word-frequency table (vocab-bounded, not
+    corpus-bounded — the real trainer loop's working set) is persisted
+    once; each step's argmax is ONE bounded collect (a single row), and
+    the merge is applied as a pure aggregate() string-fold expression with
+    the collected literals — the tokenization column is a lazily-stacked
+    expression over the persisted vocab, so no step adds a consumer or a
+    shuffle beyond its own pair count. The fold accumulator is the
+    '|'-delimited symbol string ('ends with |l and next is r' ⟹ append r,
+    else append |s) — identical semantics to the oracle's list_reduce;
+    a brute-force Python model test guards the generator
+    (tests/test_tokenize2.py::test_bpe_train_matches_python_model).
+    8 collects at build ⟹ plan_snapshot SKIP."""
+    from pyspark import StorageLevel
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z0-9]+"), F.lit(0))
+    w = (
+        docs.select(F.explode(toks).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .where(F.length("token") >= 2)
+        # plan-uniqueness dummy (CLAUDE.md cache-aliasing rule):
+        # bpe_merge_step builds the same canonical word-count frame
+        .withColumn("_uq_bpe", F.lit(0))
+        .drop("_uq_bpe")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    t = w.select("n", F.regexp_replace("token", "(.)", r"|$1").alias("tk"))
+    rules = []
+    for step in range(1, N_MERGES + 1):
+        sy = "split(substring(tk, 2), '\\\\|')"
+        pairs = t.select(
+            "n",
+            # sequence(1, 0) DESCENDS ([1, 0]) — a fully-merged word has one
+            # symbol, so short arrays must hit the empty branch (the ADVICE
+            # r5 short-doc rule; DuckDB's range(1, 1) is naturally empty)
+            F.explode(
+                F.expr(
+                    f"CASE WHEN size({sy}) >= 2 THEN"
+                    f" transform(sequence(1, size({sy}) - 1),"
+                    f" _pi -> concat(element_at({sy}, _pi), ' ',"
+                    f" element_at({sy}, _pi + 1)))"
+                    " ELSE array() END"
+                )
+            ).alias("pr"),
+        )
+        best = (
+            pairs.groupBy("pr")
+            .agg(F.sum("n").cast("long").alias("cnt"))
+            .agg(F.min(F.struct((-F.col("cnt")).alias("nc"), F.col("pr"))).alias("m"))
+            .select(F.col("m.pr").alias("pr"), (-F.col("m.nc")).cast("long").alias("cnt"))
+            .collect()[0]
+        )
+        lhs, rhs = best["pr"].split(" ")
+        rules.append((step, lhs, rhs, int(best["cnt"])))
+        fold = (
+            f"aggregate({sy}, '', (_acc, _s) -> CASE"
+            f" WHEN length(_acc) >= {len(lhs)} + 1"
+            f" AND substring(_acc, length(_acc) - {len(lhs)}) = '|{lhs}'"
+            f" AND _s = '{rhs}'"
+            f" THEN _acc || '{rhs}' ELSE _acc || '|' || _s END)"
+        )
+        t = t.select("n", F.expr(fold).alias("tk"))
+    w.unpersist()
+    return spark.createDataFrame(
+        rules, "step long, lhs string, rhs string, cnt long"
+    )

@@ -84,3 +84,65 @@ def test_viterbi_matches_bruteforce(spark, sf_dir):
     assert set(got) == set(expected)
     for w in expected:
         assert got[w] == expected[w], (w, got[w], expected[w])
+
+
+# ---------------------------------------------------------------------------
+# BPE trainer: brute-force Python model (guards the fold/argmax generator —
+# cross-engine parity cannot catch a bug in generated text both engines
+# share, CLAUDE.md round-5 rule).
+# ---------------------------------------------------------------------------
+def _python_bpe(texts, n_merges=8):
+    import re
+    from collections import Counter
+
+    w = Counter()
+    for t in texts:
+        for tok in re.findall(r"[a-z0-9]+", t.lower()):
+            if len(tok) >= 2:
+                w[tok] += 1
+    toks = {t: list(t) for t in w}
+    rules = []
+    for step in range(1, n_merges + 1):
+        pc = Counter()
+        for t, n in w.items():
+            sy = toks[t]
+            for i in range(len(sy) - 1):
+                pc[(sy[i], sy[i + 1])] += n
+        assert pc, "corpus exhausted before n_merges"
+        best = min(pc.items(), key=lambda kv: (-kv[1], kv[0][0] + " " + kv[0][1]))
+        (l, r), cnt = best
+        rules.append((step, l, r, cnt))
+        for t in toks:
+            sy, out = toks[t], []
+            for s in sy:
+                if out and out[-1] == l and s == r:
+                    out[-1] = l + r
+                else:
+                    out.append(s)
+            toks[t] = out
+    return rules
+
+
+def test_bpe_train_matches_python_model(spark, tmp_path):
+    import hpmr_spark.all_queries  # noqa: F401
+    from hpmr_spark.catalog import QUERIES
+
+    texts = [
+        "the cat sat on the mat with the other cat",
+        "banana bandana ananas",
+        "aaa abab abba baab",
+        "low lower lowest newer newest wider wide",
+        "the the the them theme anthem",
+    ]
+    df = spark.createDataFrame(
+        [(i, "srcx", t) for i, t in enumerate(texts)],
+        ["doc_id", "source", "text"],
+    )
+    d = str(tmp_path / "bpe_docs")
+    df.coalesce(1).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    got = [
+        (r["step"], r["lhs"], r["rhs"], r["cnt"])
+        for r in QUERIES["bpe_train_8_merges"](spark, d).collect()
+    ]
+    expected = _python_bpe(texts, 8)
+    assert sorted(got) == expected, (sorted(got), expected)

@@ -91,6 +91,7 @@ SKIP = {
     "isotonic_calibration_minimax",  # persisted bin frame, same
     "streaming_checkpoint_exactly_once",  # runs two stream phases at build
     "ivfpq_topk_search",  # k-means training + codebook seeds collect at build
+    "bpe_train_8_merges",  # 8 argmax collects + persisted vocab at build
 }
 
 SF_DIR = "/root/testdata/sf0.001"
