@@ -209,57 +209,92 @@ for _m in _MODULES:
 # graph_triangle_count — graph keeps lpa/pagerank/hits; doc_lm_score_ppm —
 # LM scoring keeps kneser_ney). silhouette_centroid_ppm /
 # source_unique_coverage_value / nelson... remain full-sweep-covered.
+# Round-6 rotation: the ENTIRE r5 window is driver-green (140 rows ever
+# checked, zero failures), so all 49 non-flagship slots rotate to
+# never-checked rows (VERDICT r5 item 5). Composition: the 4 queries new
+# or rewritten this round, then the oldest never-checked RISKY families —
+# all 8 sinks, the RDD custom reducer, the skew family, all 11
+# never-checked streaming rows, write-heavy sources, Python DataSource,
+# IVM, iterative graph, UDF-matrix, multimodal, and two never-checked
+# TPC-H rows. Out (all driver-green r1–r5): graph_lpa_communities,
+# sql_udf_quality_report, reducer_keep_overwrite, streaming_left_outer_join,
+# rfm_user_scores, kneser_ney_bigram_ppb, voptimal_histogram_dp,
+# pareto_revenue_concentration, udtf_chunk_documents, variant_events_extract,
+# graph_pagerank_trade, unigram_viterbi_segment, consistent_hash_ring,
+# label_drift_hellinger_nano, pq_encode_subvectors, dedup_substring_ngram,
+# gini_wealth_coefficient, t_closeness_audit, theil_sen_slope_milli,
+# scd2_user_event_history, cuped_adjusted_lift, acf_lags_revenue,
+# mann_kendall_trend, knn_label_vote_eval, km_survival_curve,
+# runs_test_above_median, rrf_fused_ranking, token_bucket_replay,
+# streaming_checkpoint_exactly_once, graph_hits_scores,
+# hilbert_clustering_key, record_linkage_fs, sprt_purchase_rate,
+# kmv_distinct_estimate, dedup_ngram_jaccard, dedup_minhash_lsh,
+# dpp_join_pruned_counts, dedup_cluster_components, dedup_embedding_cosine,
+# similarity_planted_neardup_lsh, isotonic_calibration_minimax,
+# multimodal_audio_features, ngram_novelty_by_bucket,
+# frequent_triples_support, streaming_stateful_user_totals,
+# pq_adc_topk_search, skew_salted_join_revenue, nelson_aalen_hazard,
+# sink_xml_roundtrip.
 _CHECK_FIRST = [
     "mapreduce_revenue_by_order",  # flagship — keep first (entry() twin)
-    "graph_lpa_communities",
-    "sql_udf_quality_report",
-    "reducer_keep_overwrite",
-    "streaming_left_outer_join",
-    "rfm_user_scores",
-    "kneser_ney_bigram_ppb",
-    "voptimal_histogram_dp",
-    "pareto_revenue_concentration",
-    "udtf_chunk_documents",
-    "variant_events_extract",
-    "graph_pagerank_trade",
-    "unigram_viterbi_segment",
-    "consistent_hash_ring",
-    "label_drift_hellinger_nano",
-    "pq_encode_subvectors",
-    "dedup_substring_ngram",
-    "gini_wealth_coefficient",
-    "t_closeness_audit",
-    "theil_sen_slope_milli",
-    "scd2_user_event_history",
-    "cuped_adjusted_lift",
-    "acf_lags_revenue",
-    "mann_kendall_trend",
-    "knn_label_vote_eval",
-    "km_survival_curve",
-    "runs_test_above_median",
-    "rrf_fused_ranking",
-    "token_bucket_replay",
-    "streaming_checkpoint_exactly_once",
-    "graph_hits_scores",
-    "hilbert_clustering_key",
-    "record_linkage_fs",
-    "sprt_purchase_rate",
-    "kmv_distinct_estimate",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "dpp_join_pruned_counts",
-    "dedup_cluster_components",
-    "dedup_embedding_cosine",
-    "similarity_planted_neardup_lsh",
-    "isotonic_calibration_minimax",
-    "multimodal_audio_features",
-    "ngram_novelty_by_bucket",
-    "frequent_triples_support",
-    "streaming_stateful_user_totals",
-    "pq_adc_topk_search",
-    "skew_salted_join_revenue",
-    "nelson_aalen_hazard",
-    "sink_xml_roundtrip",
+    # new / rewritten this round
+    "bpe_train_8_merges",
+    "ivfpq_topk_search",
+    "encoding_advisor_columns",
+    "conformal_threshold_coverage",
+    # sinks (serialization surface, SURVEY §2 row 18)
+    "sink_parquet_roundtrip",
+    "sink_csv_roundtrip",
+    "sink_json_roundtrip",
+    "sink_orc_roundtrip",
+    "sink_text_roundtrip",
+    "sink_dynamic_partition_overwrite",
+    "sink_partitioned_pruned",
+    "sink_versioned_snapshots",
+    # reducer + skew families
+    "custom_reducer_max_qty",
+    "skew_diagnostics_orders",
+    "skew_salted_sum_by_status",
+    "skew_kurtosis_quantity",
+    # every never-checked streaming row
+    "streaming_tumbling_counts",
+    "streaming_sliding_activity",
+    "streaming_dedup_events",
+    "streaming_stream_stream_join",
+    "streaming_append_closed_windows",
+    "streaming_funnel_stages",
+    "streaming_static_enrich",
+    "streaming_foreachbatch_sink",
+    "streaming_token_bucket",
+    "streaming_bloom_prune_counts",
+    "streaming_dedup_against_corpus",
+    # write-heavy sources + Python DataSource + IVM
+    "source_csv_permissive_quarantine",
+    "source_binaryfile_fingerprints",
+    "partition_pruning_proof",
+    "pydatasource_sink_roundtrip",
+    "pydatasource_seq_agg",
+    "ivm_checkpoint_resume",
+    "ivm_join_delta_merge",
+    # iterative graph + dedup variants
+    "graph_kcore_2",
+    "graph_bfs_3hop",
+    "dedup_incremental_epochs",
+    "dedup_simhash_pairs",
+    # kv-surface + join semantics
+    "merge_upsert_customers",
+    "notin_null_aware_customers",
+    "argmax_customer_per_nation",
+    "asof_join_with_tolerance",
+    "match_recognize_vcp",
+    # never-checked TPC-H representatives
+    "q9_product_type_profit",
+    "q13_customer_distribution",
+    # multimodal + observability + UDF matrix
+    "multimodal_content_dedup",
+    "accumulator_row_audit",
+    "observe_metrics_audit",
+    "applyinarrow_lang_stats",
 ]
 
 
