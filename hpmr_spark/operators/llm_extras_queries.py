@@ -113,18 +113,31 @@ def bpe_merge_step(spark, sf_dir):
 N_MERGES = 8
 
 
-def _bpe_oracle(n_merges: int) -> str:
-    """Generate the chained-merge oracle: per step i, count adjacent symbol
+_DUCK_FOLD = """
+             list_reduce(
+               list_prepend('', string_split(substr({t}.tk, 2), '|')),
+               (_acc, _s) -> CASE
+                 WHEN length(_acc) >= length(b.l) + 1
+                      AND substr(_acc, length(_acc) - length(b.l)) = '|' || b.l
+                      AND _s = b.r
+                 THEN _acc || b.r ELSE _acc || '|' || _s END) AS tk"""
+
+
+def _bpe_cte_parts(n_merges: int) -> str:
+    """Shared chained-merge CTE prefix: per step i, count adjacent symbol
     pairs of the current tokenization, pick the (cnt DESC, pair ASC)
     argmax via ROW_NUMBER (DuckDB arg_min can't take struct ordering), and
     re-tokenize with a list_reduce STRING fold — the accumulator is the
     '|'-delimited symbol string, so 'ends with |l AND next is r' is the
     exact left-to-right non-overlapping merge (a fresh merge result is
     strictly longer than l and can never re-match in the same pass;
-    verified: 'aaa'+(a,a) -> |aa|a, 'abab'+(a,b) -> |ab|ab)."""
+    verified: 'aaa'+(a,a) -> |aa|a, 'abab'+(a,b) -> |ab|ab). Exposes
+    b1..bN (merge rules) and t0..tN (global-vocab tokenizations)."""
     parts = [
         """
-    WITH tok AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+    WITH tok AS (SELECT source,
+                        unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+                          AS token
                  FROM documents),
     w AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS n FROM tok
           WHERE length(token) >= 2 GROUP BY token),
@@ -149,21 +162,18 @@ def _bpe_oracle(n_merges: int) -> str:
       WHERE rn = 1
     ),
     t{i} AS (
-      SELECT t.n,
-             list_reduce(
-               list_prepend('', string_split(substr(t.tk, 2), '|')),
-               (_acc, _s) -> CASE
-                 WHEN length(_acc) >= length(b.l) + 1
-                      AND substr(_acc, length(_acc) - length(b.l)) = '|' || b.l
-                      AND _s = b.r
-                 THEN _acc || b.r ELSE _acc || '|' || _s END) AS tk
+      SELECT t.n,{_DUCK_FOLD.format(t='t')}
       FROM t{i - 1} t CROSS JOIN b{i} b
     )""")
+    return ",".join(parts)
+
+
+def _bpe_oracle(n_merges: int) -> str:
     selects = [
         f"SELECT CAST({i} AS BIGINT) AS step, l AS lhs, r AS rhs, cnt FROM b{i}"
         for i in range(1, n_merges + 1)
     ]
-    return ",".join(parts) + "\n    " + "\n    UNION ALL ".join(selects)
+    return _bpe_cte_parts(n_merges) + "\n    " + "\n    UNION ALL ".join(selects)
 
 
 @register("bpe_train_8_merges", _bpe_oracle(N_MERGES))
@@ -189,23 +199,58 @@ def bpe_train_8_merges(spark, sf_dir):
     8 collects at build ⟹ plan_snapshot SKIP."""
     from pyspark import StorageLevel
 
+    w = _bpe_vocab(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
+    rules = _bpe_train_rules(w, N_MERGES)
+    w.unpersist()
+    return spark.createDataFrame(
+        rules, "step long, lhs string, rhs string, cnt long"
+    )
+
+
+_SY = "split(substring(tk, 2), '\\\\|')"
+
+
+def _bpe_vocab(spark, sf_dir):
+    """(source, token, n) word-frequency table — the trainer's working set.
+    Carries source so the apply/report query can reuse the same frame; the
+    trainer's global counts are a SUM over sources of the same rows."""
     docs = _t(spark, sf_dir, "documents")
     toks = F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z0-9]+"), F.lit(0))
-    w = (
-        docs.select(F.explode(toks).alias("token"))
-        .groupBy("token")
+    return (
+        docs.select("source", F.explode(toks).alias("token"))
+        .groupBy("source", "token")
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
         .where(F.length("token") >= 2)
         # plan-uniqueness dummy (CLAUDE.md cache-aliasing rule):
-        # bpe_merge_step builds the same canonical word-count frame
+        # bpe_merge_step builds a canonically similar word-count frame
         .withColumn("_uq_bpe", F.lit(0))
         .drop("_uq_bpe")
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    t = w.select("n", F.regexp_replace("token", "(.)", r"|$1").alias("tk"))
+
+
+def _bpe_fold_expr(lhs: str, rhs: str) -> str:
+    """The literal-rule merge fold (same semantics as the oracle's
+    list_reduce: 'accumulator ends with |lhs and next symbol is rhs' ⟹
+    append rhs, else append |symbol)."""
+    return (
+        f"aggregate({_SY}, '', (_acc, _s) -> CASE"
+        f" WHEN length(_acc) >= {len(lhs)} + 1"
+        f" AND substring(_acc, length(_acc) - {len(lhs)}) = '|{lhs}'"
+        f" AND _s = '{rhs}'"
+        f" THEN _acc || '{rhs}' ELSE _acc || '|' || _s END)"
+    )
+
+
+def _bpe_train_rules(ws, n_merges: int):
+    """Run the merge-training loop over a (source, token, n) vocab frame
+    (ideally persisted by the caller): n_merges bounded 1-row collects,
+    each followed by a pure fold re-tokenization expression. Returns
+    [(step, lhs, rhs, cnt)]."""
+    t = ws.groupBy("token").agg(F.sum("n").cast("long").alias("n")).select(
+        "n", F.regexp_replace("token", "(.)", r"|$1").alias("tk")
+    )
     rules = []
-    for step in range(1, N_MERGES + 1):
-        sy = "split(substring(tk, 2), '\\\\|')"
+    for step in range(1, n_merges + 1):
         pairs = t.select(
             "n",
             # sequence(1, 0) DESCENDS ([1, 0]) — a fully-merged word has one
@@ -213,10 +258,10 @@ def bpe_train_8_merges(spark, sf_dir):
             # r5 short-doc rule; DuckDB's range(1, 1) is naturally empty)
             F.explode(
                 F.expr(
-                    f"CASE WHEN size({sy}) >= 2 THEN"
-                    f" transform(sequence(1, size({sy}) - 1),"
-                    f" _pi -> concat(element_at({sy}, _pi), ' ',"
-                    f" element_at({sy}, _pi + 1)))"
+                    f"CASE WHEN size({_SY}) >= 2 THEN"
+                    f" transform(sequence(1, size({_SY}) - 1),"
+                    f" _pi -> concat(element_at({_SY}, _pi), ' ',"
+                    f" element_at({_SY}, _pi + 1)))"
                     " ELSE array() END"
                 )
             ).alias("pr"),
@@ -230,15 +275,78 @@ def bpe_train_8_merges(spark, sf_dir):
         )
         lhs, rhs = best["pr"].split(" ")
         rules.append((step, lhs, rhs, int(best["cnt"])))
-        fold = (
-            f"aggregate({sy}, '', (_acc, _s) -> CASE"
-            f" WHEN length(_acc) >= {len(lhs)} + 1"
-            f" AND substring(_acc, length(_acc) - {len(lhs)}) = '|{lhs}'"
-            f" AND _s = '{rhs}'"
-            f" THEN _acc || '{rhs}' ELSE _acc || '|' || _s END)"
-        )
-        t = t.select("n", F.expr(fold).alias("tk"))
-    w.unpersist()
-    return spark.createDataFrame(
-        rules, "step long, lhs string, rhs string, cnt long"
+        t = t.select("n", F.expr(_bpe_fold_expr(lhs, rhs)).alias("tk"))
+    return rules
+
+
+def _bpe_apply_oracle(n_merges: int) -> str:
+    parts = [
+        _bpe_cte_parts(n_merges),
+        """,
+    ws AS (SELECT source, token, CAST(COUNT(*) AS BIGINT) AS n FROM tok
+           WHERE length(token) >= 2 GROUP BY source, token),
+    s0 AS (SELECT source, n, regexp_replace(token, '(.)', '|\\1', 'g') AS tk
+           FROM ws)""",
+    ]
+    for i in range(1, n_merges + 1):
+        parts.append(f""",
+    s{i} AS (
+      SELECT t.source, t.n,{_DUCK_FOLD.format(t='t')}
+      FROM s{i - 1} t CROSS JOIN b{i} b
+    )""")
+    parts.append(f"""
+    SELECT source,
+           CAST(SUM(n) AS BIGINT) AS n_words,
+           CAST(SUM(n * length(replace(substr(tk, 2), '|', ''))) AS BIGINT)
+             AS n_chars,
+           CAST(SUM(n * len(string_split(substr(tk, 2), '|'))) AS BIGINT)
+             AS n_tokens,
+           CAST(SUM(n * len(string_split(substr(tk, 2), '|'))) * 1000000
+                // SUM(n * length(replace(substr(tk, 2), '|', '')))
+                AS BIGINT) AS tokens_per_char_ppm
+    FROM s{n_merges}
+    GROUP BY source""")
+    return "".join(parts)
+
+
+@register("bpe_apply_compression_report", _bpe_apply_oracle(N_MERGES))
+def bpe_apply_compression_report(spark, sf_dir):
+    """Apply the trained BPE merges back to the corpus — the second half of
+    the tokenizer-training loop (train on global counts, then measure what
+    the vocabulary buys per data source): after the same 8 chained merges
+    as bpe_train_8_merges, re-tokenize the per-source vocabulary and
+    report words, characters, post-merge token counts, and the
+    tokens-per-character ratio in exact integer ppm — the compression /
+    fertility readout a tokenizer-training pipeline uses to compare
+    sources (lower = the learned merges fit that source better).
+
+    Spark shape: ONE persisted (source, token, n) vocab frame feeds both
+    the training loop (global counts = a SUM over sources) and the apply
+    pass; the 8 merge rules arrive as bounded 1-row collects and are
+    applied as literal fold expressions — the apply side is a pure
+    projection + one final agg, no joins, no windows. 8 collects at
+    build ⟹ plan_snapshot SKIP."""
+    from pyspark import StorageLevel
+
+    ws = _bpe_vocab(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
+    rules = _bpe_train_rules(ws, N_MERGES)
+    t = ws.select(
+        "source", "n", F.regexp_replace("token", "(.)", r"|$1").alias("tk")
     )
+    for _step, lhs, rhs, _cnt in rules:
+        t = t.select("source", "n", F.expr(_bpe_fold_expr(lhs, rhs)).alias("tk"))
+    out = t.groupBy("source").agg(
+        F.sum("n").cast("long").alias("n_words"),
+        F.sum(
+            F.col("n") * F.length(F.expr("replace(substring(tk, 2), '|', '')"))
+        )
+        .cast("long")
+        .alias("n_chars"),
+        F.sum(F.col("n") * F.expr(f"size({_SY})")).cast("long").alias("n_tokens"),
+        F.expr(
+            f"CAST(SUM(n * size({_SY})) * 1000000"
+            " div SUM(n * length(replace(substring(tk, 2), '|', '')))"
+            " AS BIGINT)"
+        ).alias("tokens_per_char_ppm"),
+    )
+    return out

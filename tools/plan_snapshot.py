@@ -92,6 +92,7 @@ SKIP = {
     "streaming_checkpoint_exactly_once",  # runs two stream phases at build
     "ivfpq_topk_search",  # k-means training + codebook seeds collect at build
     "bpe_train_8_merges",  # 8 argmax collects + persisted vocab at build
+    "bpe_apply_compression_report",  # same trainer collects at build
 }
 
 SF_DIR = "/root/testdata/sf0.001"
