@@ -439,3 +439,120 @@ def t_closeness_audit(spark, sf_dir):
         F.expr(tvd).alias("tvd_ppm"),
         F.expr(f"{tvd} > 200000").alias("breach_t02"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Holt linear-trend forecast over per-nation weekly revenue (round 6).
+# ---------------------------------------------------------------------------
+# α = β = 1/4 with PYTHON-FLOOR division as the committed contract: the
+# Spark side folds in grouped pandas (// floors), so the oracle's recursion
+# must sign-split every step whose numerator can be negative (the trend b
+# goes negative on downswings; DuckDB // truncates — CLAUDE.md rule).
+def _pyfloor4(x: str) -> str:
+    return (
+        f"CASE WHEN ({x}) >= 0 THEN ({x}) // 4"
+        f" ELSE 0 - ((0 - ({x}) + 3) // 4) END"
+    )
+
+
+_HOLT_ORACLE = f"""
+    WITH RECURSIVE wk AS (
+      SELECT n.n_name AS nation,
+             CAST(date_trunc('week', CAST(o.o_orderdate AS DATE)) AS DATE)
+               AS week,
+             CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS y
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      GROUP BY n.n_name, date_trunc('week', CAST(o.o_orderdate AS DATE))
+    ),
+    e AS (
+      SELECT nation, week, y,
+             row_number() OVER (PARTITION BY nation ORDER BY week) AS rn
+      FROM wk
+    ),
+    mx AS (SELECT nation, CAST(MAX(rn) AS BIGINT) AS n_weeks
+           FROM e GROUP BY nation),
+    walk(nation, rn, l, b) AS (
+      SELECT e1.nation, 1,
+             CAST(e1.y AS BIGINT),
+             CAST(COALESCE(e2.y - e1.y, 0) AS BIGINT)
+      FROM e e1 LEFT JOIN e e2 ON e2.nation = e1.nation AND e2.rn = 2
+      WHERE e1.rn = 1
+      UNION ALL
+      SELECT w.nation, w.rn + 1,
+             {_pyfloor4("cur.y + 3 * (w.l + w.b)")},
+             {_pyfloor4(_pyfloor4("cur.y + 3 * (w.l + w.b)") + " - w.l + 3 * w.b")}
+      FROM walk w
+      JOIN e cur ON cur.nation = w.nation AND cur.rn = w.rn + 1
+    )
+    SELECT walk.nation, mx.n_weeks,
+           CAST(walk.l AS BIGINT) AS level_cents,
+           CAST(walk.b AS BIGINT) AS trend_cents,
+           CAST(walk.l + 4 * walk.b AS BIGINT) AS forecast_4w_cents
+    FROM walk JOIN mx ON walk.nation = mx.nation AND walk.rn = mx.n_weeks
+"""
+
+
+@register("holt_linear_forecast_weekly", _HOLT_ORACLE)
+def holt_linear_forecast_weekly(spark, sf_dir):
+    """Holt double-exponential smoothing (level + linear trend) over each
+    nation's weekly revenue, α = β = 1/4 in EXACT integer cents with
+    Python-floor division as the committed recurrence:
+      l_t = ⌊(y_t + 3·(l₋₁ + b₋₁)) / 4⌋,  b_t = ⌊(l_t − l₋₁ + 3·b₋₁) / 4⌋,
+      init l₁ = y₁, b₁ = y₂ − y₁ (0 if a single week);
+    output = final level/trend and the 4-week-ahead forecast l + 4b. The
+    min-free recurrence still has no dyadic closed form once floors are
+    taken each step, so the engine folds it in an Arrow-batched
+    grouped-pandas scan (keyed parallelism across nations, O(1) state —
+    the token_bucket_replay pattern) over the CALENDAR-BOUNDED weekly
+    rollup (≤ ~350 rows per nation regardless of fact scale: the round-5
+    scale-free shape); the oracle walks the identical recurrence as a
+    recursive CTE with sign-split floors (trend can be negative; DuckDB
+    // truncates where Python floors)."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    wk = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.date_trunc("week", F.col("o_orderdate").cast("date").cast("timestamp"))
+            .cast("date")
+            .alias("week"),
+        )
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("y")
+        )
+    )
+
+    import pandas as pd
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("week")
+        ys = [int(v) for v in pdf["y"].values]
+        l = ys[0]
+        b = (ys[1] - ys[0]) if len(ys) >= 2 else 0
+        for y in ys[1:]:
+            l_new = (y + 3 * (l + b)) // 4
+            b = (l_new - l + 3 * b) // 4
+            l = l_new
+        return pd.DataFrame(
+            {
+                "nation": [str(pdf["nation"].iloc[0])],
+                "n_weeks": [len(ys)],
+                "level_cents": [l],
+                "trend_cents": [b],
+                "forecast_4w_cents": [l + 4 * b],
+            }
+        )
+
+    return wk.groupBy("nation").applyInPandas(
+        fold,
+        "nation string, n_weeks long, level_cents long, trend_cents long,"
+        " forecast_4w_cents long",
+    )
