@@ -261,3 +261,170 @@ def graph_hits_scores(spark, sf_dir):
         F.expr("CAST(auth * 1000000 div ma AS BIGINT)").alias("auth_ppm"),
         F.expr("CAST(hub * 1000000 div mh AS BIGINT)").alias("hub_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# MMR diversified top-k re-ranking (round 6).
+# ---------------------------------------------------------------------------
+_MMR_NQ = 3  # query vectors: vec_id < 3
+_MMR_CAND = 20  # bounded candidate pool per query (exact top-20 by rel)
+_MMR_K = 8  # diversified selections per query
+
+# exact integer-quantized dot product of two micro-int vectors (64-dim
+# float·1e6 → |dot| ≤ 64·(1e6·4)² ≈ 1e15, well inside BIGINT)
+_MMR_DOT_DUCK = (
+    "CAST(list_sum(list_transform(range(1, 65),"
+    " _mk -> {a}[_mk] * {b}[_mk])) AS BIGINT)"
+)
+
+
+def _mmr_oracle() -> str:
+    head = f"""
+    WITH vi AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS v
+      FROM embeddings
+    ),
+    qs AS (SELECT vec_id AS q, v AS qv FROM vi WHERE vec_id < {_MMR_NQ}),
+    scored AS (
+      SELECT qs.q, vi.vec_id AS id, vi.v,
+             {_MMR_DOT_DUCK.format(a="qs.qv", b="vi.v")} AS rel
+      FROM qs JOIN vi ON vi.vec_id <> qs.q
+    ),
+    cand AS MATERIALIZED (
+      SELECT q, id, v, rel FROM (
+        SELECT q, id, v, rel,
+               row_number() OVER (PARTITION BY q ORDER BY rel DESC, id) AS rn
+        FROM scored
+      ) WHERE rn <= {_MMR_CAND}
+    ),
+    pp AS MATERIALIZED (
+      SELECT a.q, a.id AS a, b.id AS b,
+             {_MMR_DOT_DUCK.format(a="a.v", b="b.v")} AS sim
+      FROM cand a JOIN cand b ON b.q = a.q AND b.id <> a.id
+    ),
+    sel1 AS MATERIALIZED (
+      SELECT q, id, CAST(rel AS BIGINT) AS score2, CAST(1 AS BIGINT) AS rnk
+      FROM (SELECT q, id, rel,
+                   row_number() OVER (PARTITION BY q ORDER BY rel DESC, id)
+                     AS rn
+            FROM cand) WHERE rn = 1
+    ),
+    all1 AS MATERIALIZED (SELECT q, id FROM sel1)"""
+    parts = [head]
+    for t in range(2, _MMR_K + 1):
+        parts.append(f""",
+    p{t} AS MATERIALIZED (
+      SELECT c.q, c.id,
+             c.rel - (SELECT MAX(p.sim) FROM pp p
+                      JOIN all{t - 1} s ON s.q = p.q AND s.id = p.b
+                      WHERE p.q = c.q AND p.a = c.id) AS s2
+      FROM cand c
+      WHERE NOT EXISTS (SELECT 1 FROM all{t - 1} s
+                        WHERE s.q = c.q AND s.id = c.id)
+    ),
+    sel{t} AS MATERIALIZED (
+      SELECT q, id, CAST(s2 AS BIGINT) AS score2, CAST({t} AS BIGINT) AS rnk
+      FROM (SELECT q, id, s2,
+                   row_number() OVER (PARTITION BY q ORDER BY s2 DESC, id)
+                     AS rn
+            FROM p{t}) WHERE rn = 1
+    ),
+    all{t} AS MATERIALIZED (SELECT q, id FROM all{t - 1}
+               UNION ALL SELECT q, id FROM sel{t})""")
+    selects = " UNION ALL ".join(
+        f"SELECT * FROM sel{t}" for t in range(1, _MMR_K + 1)
+    )
+    return (
+        "".join(parts)
+        + f"\n    SELECT q AS query_id, rnk, id AS vec_id, score2 FROM ({selects})"
+    )
+
+
+@register("mmr_diversified_topk", _mmr_oracle())
+def mmr_diversified_topk(spark, sf_dir):
+    """Maximal Marginal Relevance re-ranking — the diversity-aware top-k a
+    retrieval pipeline runs AFTER similarity search (and the sampling
+    shape a dedup-aware data-mix curator uses): greedily pick
+    argmax[λ·rel − (1−λ)·max sim-to-selected] with λ = 1/2, scores
+    doubled into exact integers (score2 = rel − maxsim; rank 1 has no
+    diversity term). rel and sim are integer-quantized dot products
+    (floor(x·1e6) micros — the committed float parity rule), so even the
+    greedy path is deterministic with a (score2, id) tie-break.
+
+    Spark shape: candidates are the exact top-20 per query (broadcast
+    queries × one corpus scan, qid-partitioned window), the 20×20 pair
+    sims are a broadcast self-join of the 60-row candidate frame, and the
+    inherently sequential greedy selection folds per query in grouped
+    pandas over that bounded state (the token_bucket/holt pattern) —
+    keyed parallelism across queries, candidate pools never leave their
+    task. The oracle unrolls the same 8 selections as chained CTEs."""
+    import pandas as pd
+
+    e = _t(spark, sf_dir, "embeddings")
+    vi = e.select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000)"
+            " AS BIGINT))"
+        ).alias("v"),
+    )
+    qs = vi.where(F.col("vec_id") < _MMR_NQ).select(
+        F.col("vec_id").alias("q"), F.col("v").alias("qv")
+    )
+    dot = (
+        "aggregate(zip_with({a}, {b}, (_x, _y) -> _x * _y),"
+        " CAST(0 AS BIGINT), (_acc, _z) -> _acc + _z)"
+    )
+    scored = (
+        vi.join(F.broadcast(qs), vi["vec_id"] != qs["q"])
+        .select("q", F.col("vec_id").alias("id"), "v",
+                F.expr(dot.format(a="qv", b="v")).alias("rel"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("q").orderBy(F.desc("rel"), F.asc("id"))
+    cand = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= _MMR_CAND)
+        .drop("rn")
+    )
+    a = cand.select("q", F.col("id").alias("a"), F.col("rel").alias("rel_a"),
+                    F.col("v").alias("va"))
+    b = cand.select(F.col("q").alias("qb"), F.col("id").alias("b"),
+                    F.col("v").alias("vb"))
+    pp = (
+        a.join(F.broadcast(b), (a["q"] == b["qb"]) & (a["a"] != b["b"]))
+        .select("q", "a", "rel_a", "b",
+                F.expr(dot.format(a="va", b="vb")).alias("sim"))
+    )
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        q = int(pdf["q"].iloc[0])
+        rel = {}
+        sim = {}
+        for r in pdf.itertuples(index=False):
+            rel[int(r.a)] = int(r.rel_a)
+            sim[(int(r.a), int(r.b))] = int(r.sim)
+        selected, rows = [], []
+        remaining = set(rel)
+        for rnk in range(1, _MMR_K + 1):
+            best = None
+            for cid in remaining:
+                ms = max(sim[(cid, s)] for s in selected) if selected else 0
+                s2 = rel[cid] - ms if selected else rel[cid]
+                key = (-s2, cid)
+                if best is None or key < best[0]:
+                    best = (key, cid, s2)
+            _, cid, s2 = best
+            selected.append(cid)
+            remaining.discard(cid)
+            rows.append((q, rnk, cid, s2))
+        return pd.DataFrame(
+            rows, columns=["query_id", "rnk", "vec_id", "score2"]
+        )
+
+    return pp.groupBy("q").applyInPandas(
+        fold, "query_id long, rnk long, vec_id long, score2 long"
+    )
