@@ -105,6 +105,15 @@ BENCH_EXTRA = [
     "pq_encode_subvectors",         # PQ codebook assignment census
     "hilbert_clustering_key",       # 8-step integer Hilbert transform
     "rrf_fused_ranking",            # bounded-rank reciprocal-rank fusion
+    # round-6 additions (same rule: extras only, headline frozen) — the
+    # new trainer/retrieval/forecast family plus the shuffle-diet rewrite
+    "encoding_advisor_columns",     # stacked run/NDV advisor (21->6 shuffles)
+    "bpe_train_8_merges",           # chained-merge BPE trainer (8 collects)
+    "bpe_apply_compression_report", # trained merges applied per source
+    "ivfpq_topk_search",            # IVF-PQ + exact refine ANN
+    "holt_linear_forecast_weekly",  # grouped-pandas Holt fold
+    "mmr_diversified_topk",         # MMR greedy re-rank (bounded state)
+    "pit_join_feature_spend",       # union-and-carry point-in-time join
 ]
 
 

@@ -89,6 +89,7 @@ _MODULES = [
     "hpmr_spark.operators.tokenize2_queries",
     "hpmr_spark.operators.pq_quantization_queries",
     "hpmr_spark.operators.mining2_queries",
+    "hpmr_spark.operators.feature_store_queries",
 ]
 
 FAILED_MODULES: dict[str, str] = {}
