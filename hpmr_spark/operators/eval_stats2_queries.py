@@ -790,3 +790,168 @@ def nelson_aalen_hazard(spark, sf_dir):
         F.col("d").cast("long").alias("d"),
         F.col("cumhaz_ppm").cast("long").alias("cumhaz_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Log-rank test between user cohorts (round 6) — completes the survival
+# family next to km_survival_curve / nelson_aalen_hazard.
+# ---------------------------------------------------------------------------
+# χ²(1) critical value at α=0.05, committed as micros (3.841459).
+_LOGRANK_CRIT_MICRO = 3_841_459
+
+_LOGRANK_ORACLE = f"""
+    WITH per AS (
+      SELECT user_id,
+             CAST(user_id % 2 AS BIGINT) AS grp,
+             CAST(epoch_us(MIN(ts)) AS BIGINT) AS t0,
+             CAST(epoch_us(MIN(CASE WHEN event_type = 'error' THEN ts END))
+                  AS BIGINT) AS terr,
+             CAST(epoch_us(MAX(ts)) AS BIGINT) AS tlast
+      FROM events GROUP BY user_id
+    ),
+    obs AS (
+      SELECT grp,
+             CASE WHEN terr IS NOT NULL THEN terr - t0
+                  ELSE tlast - t0 END AS dur_us,
+             CASE WHEN terr IS NOT NULL THEN 1 ELSE 0 END AS died
+      FROM per
+    ),
+    g AS (
+      SELECT dur_us,
+             CAST(SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+             CAST(SUM(CASE WHEN grp = 1 THEN died ELSE 0 END) AS BIGINT) AS d1,
+             CAST(COUNT(*) AS BIGINT) AS c,
+             CAST(SUM(died) AS BIGINT) AS d
+      FROM obs GROUP BY dur_us
+    ),
+    tot AS (SELECT CAST(SUM(c1) AS BIGINT) AS n1tot,
+                   CAST(SUM(c) AS BIGINT) AS ntot FROM g),
+    risk AS (
+      SELECT g.dur_us, g.d1, g.d,
+             tot.n1tot - CAST(COALESCE(SUM(g.c1) OVER (ORDER BY g.dur_us
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS n1,
+             tot.ntot - CAST(COALESCE(SUM(g.c) OVER (ORDER BY g.dur_us
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS n
+      FROM g CROSS JOIN tot
+    ),
+    terms AS (
+      SELECT d1,
+             CASE WHEN d > 0 AND n > 1 THEN
+               CAST(CAST(d AS HUGEINT) * n1 * 1000000000 // n AS BIGINT)
+             ELSE 0 END AS e1_nano,
+             CASE WHEN d > 0 AND n > 1 THEN
+               CAST(CAST(d AS HUGEINT) * n1 * (n - n1) * (n - d)
+                    * 1000000000
+                    // (CAST(n AS HUGEINT) * n * (n - 1)) AS BIGINT)
+             ELSE 0 END AS v_nano
+      FROM risk
+    )
+    SELECT tot.n1tot AS n_grp1, tot.ntot - tot.n1tot AS n_grp0,
+           CAST(SUM(terms.d1) AS BIGINT) AS o1,
+           CAST(SUM(terms.e1_nano) AS BIGINT) AS e1_nano,
+           CAST(SUM(terms.v_nano) AS BIGINT) AS v_nano,
+           (CAST(SUM(terms.d1) * 1000000000 - SUM(terms.e1_nano) AS HUGEINT)
+            * CAST(SUM(terms.d1) * 1000000000 - SUM(terms.e1_nano) AS HUGEINT)
+            * 1000000
+            >= CAST({_LOGRANK_CRIT_MICRO} AS HUGEINT)
+               * CAST(SUM(terms.v_nano) AS HUGEINT) * 1000000000)
+             AS significant_05
+    FROM terms CROSS JOIN tot
+    GROUP BY tot.n1tot, tot.ntot
+"""
+
+
+@register("logrank_test_cohorts", _LOGRANK_ORACLE)
+def logrank_test_cohorts(spark, sf_dir):
+    """Log-rank test: do odd- and even-user_id cohorts have the same
+    time-to-first-error survival (same durations as km_survival_curve —
+    censored at last event)? At each pooled death time, observed group-1
+    deaths vs hypergeometric expectation E = d·n1/n and variance
+    V = d·n1(n−n1)(n−d)/(n²(n−1)) — both EXACT integer nanos via int128
+    floor division (never a float ratio); χ² ≥ 3.841459 decided by int128
+    cross-multiplication ((O·10⁹−E)²·10⁶ ≥ crit·V·10⁹ — products ≤ 10³²,
+    inside DECIMAL(38,0)/HUGEINT). Risk sets come from strict-prefix
+    running sums over the grouped duration histogram in ONE fused
+    global_order_multi pass (both cohort and pooled counts) — the KM
+    machinery, zero global windows, one fact-keyed shuffle."""
+    from hpmr_spark.functions.ranking import global_order_multi
+
+    ev = load_events(spark, sf_dir)
+    per = ev.groupBy("user_id").agg(
+        F.unix_micros(F.min("ts")).alias("t0"),
+        F.unix_micros(
+            F.min(F.when(F.col("event_type") == "error", F.col("ts")))
+        ).alias("terr"),
+        F.unix_micros(F.max("ts")).alias("tlast"),
+    )
+    obs = per.select(
+        (F.col("user_id") % 2).cast("long").alias("grp"),
+        F.when(F.col("terr").isNotNull(), F.col("terr") - F.col("t0"))
+        .otherwise(F.col("tlast") - F.col("t0"))
+        .alias("dur_us"),
+        F.when(F.col("terr").isNotNull(), 1).otherwise(0).alias("died"),
+    )
+    g = obs.groupBy("dur_us").agg(
+        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("c1"),
+        F.sum(F.when(F.col("grp") == 1, F.col("died")).otherwise(0))
+        .cast("long")
+        .alias("d1"),
+        F.count(F.lit(1)).cast("long").alias("c"),
+        F.sum("died").cast("long").alias("d"),
+    )
+    cum = global_order_multi(
+        g,
+        ["dur_us"],
+        running=[
+            ("c1", "sum", True, "p1"),  # strict prefix of cohort-1 entries
+            ("c", "sum", True, "p"),  # strict prefix of pooled entries
+        ],
+    )
+    tot = g.agg(
+        F.sum("c1").cast("long").alias("n1tot"),
+        F.sum("c").cast("long").alias("ntot"),
+    )
+    risk = cum.crossJoin(F.broadcast(tot)).select(
+        "d1",
+        "d",
+        (F.col("n1tot") - F.coalesce(F.col("p1"), F.lit(0))).alias("n1"),
+        (F.col("ntot") - F.coalesce(F.col("p"), F.lit(0))).alias("n"),
+        "n1tot",
+        "ntot",
+    )
+    terms = risk.select(
+        "d1",
+        "n1tot",
+        "ntot",
+        F.expr(
+            "CASE WHEN d > 0 AND n > 1 THEN"
+            " CAST(CAST(d AS DECIMAL(38,0)) * n1 * 1000000000 div n AS BIGINT)"
+            " ELSE 0 END"
+        ).alias("e1_nano"),
+        F.expr(
+            "CASE WHEN d > 0 AND n > 1 THEN"
+            " CAST(CAST(d AS DECIMAL(38,0)) * n1 * (n - n1) * (n - d)"
+            " * 1000000000"
+            " div (CAST(n AS DECIMAL(38,0)) * n * (n - 1)) AS BIGINT)"
+            " ELSE 0 END"
+        ).alias("v_nano"),
+    )
+    return terms.groupBy(
+        F.col("n1tot").alias("n_grp1"),
+        (F.col("ntot") - F.col("n1tot")).alias("n_grp0"),
+    ).agg(
+        F.sum("d1").cast("long").alias("o1"),
+        F.sum("e1_nano").cast("long").alias("e1_nano"),
+        F.sum("v_nano").cast("long").alias("v_nano"),
+        F.expr(
+            "CAST(SUM(d1) * 1000000000 - SUM(e1_nano) AS DECIMAL(38,0))"
+            " * CAST(SUM(d1) * 1000000000 - SUM(e1_nano) AS DECIMAL(38,0))"
+            f" * 1000000"
+            f" >= CAST({_LOGRANK_CRIT_MICRO} AS DECIMAL(38,0))"
+            " * CAST(SUM(v_nano) AS DECIMAL(38,0)) * 1000000000"
+        ).alias("significant_05"),
+    )
