@@ -329,3 +329,69 @@ def dedup_containment_pairs(spark, sf_dir):
     from hpmr_spark.dedup.ngram import containment_pairs
 
     return containment_pairs(_t(spark, sf_dir, "documents"), threshold_pct=70)
+
+
+# ------------------------------------------------- threshold sweep (round 6)
+
+_SWEEP_THRESHOLDS = (50, 60, 70, 80, 90)
+
+_SWEEP_ORACLE = f"""
+    WITH {SQL_SHINGLE_CTE},
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS n_common,
+             CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))
+                  AS BIGINT) AS n_union
+      FROM shingled a, shingled b
+      WHERE a.doc_id < b.doc_id
+        AND 100 * len(list_intersect(a.sh, b.sh))
+            >= 50 * (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+    ),
+    th AS (SELECT unnest([{", ".join(str(t) for t in _SWEEP_THRESHOLDS)}]) AS t),
+    hit AS (
+      SELECT th.t, p.doc_a, p.doc_b
+      FROM pairs p JOIN th ON 100 * p.n_common >= th.t * p.n_union
+    ),
+    docs_hit AS (
+      SELECT t, doc_a AS d FROM hit UNION SELECT t, doc_b FROM hit
+    )
+    SELECT CAST(h.t AS BIGINT) AS threshold_pct,
+           CAST(h.n_pairs AS BIGINT) AS n_pairs,
+           CAST(d.n_docs AS BIGINT) AS n_docs
+    FROM (SELECT t, COUNT(*) AS n_pairs FROM hit GROUP BY t) h
+    JOIN (SELECT t, COUNT(*) AS n_docs FROM docs_hit GROUP BY t) d
+      ON d.t = h.t
+"""
+
+
+@register("dedup_threshold_sweep", _SWEEP_ORACLE)
+def dedup_threshold_sweep(spark, sf_dir):
+    """Dedup threshold TUNING curve — the report a corpus curator reads
+    before committing a Jaccard cutoff: exact pair and affected-document
+    counts at θ ∈ {{50..90}}%, from ONE prefix-filtered pass at the
+    loosest threshold (every θ ≥ 50 pair is a subset — candidates are
+    generated once, each surviving pair is bucketed by integer
+    cross-multiplication 100·inter ≥ θ·union, never a float ratio).
+    At 100 TB this costs the same as a single θ=50 dedup run and prices
+    all five policies at once."""
+    pairs = ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), threshold_pct=50)
+    th = spark.createDataFrame(
+        [(t,) for t in _SWEEP_THRESHOLDS], "t int"
+    )
+    hit = pairs.join(
+        F.broadcast(th),
+        F.lit(100) * F.col("n_common") >= F.col("t") * F.col("n_union"),
+    )
+    np_ = hit.groupBy("t").agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+    docs_hit = hit.select("t", F.col("doc_a").alias("d")).unionAll(
+        hit.select("t", F.col("doc_b").alias("d"))
+    )
+    nd = docs_hit.groupBy("t").agg(
+        F.countDistinct("d").cast("long").alias("n_docs")
+    )
+    return (
+        np_.join(nd, "t")
+        .select(
+            F.col("t").cast("long").alias("threshold_pct"), "n_pairs", "n_docs"
+        )
+    )

@@ -415,7 +415,90 @@ def round5_probe(spark, n: int):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def round6_probe(spark, n: int):
+    """Round-6 family at synthetic scale: the two shuffle-diet rewrites
+    (stacked encoding advisor, fused conformal) must scale with ONE fact
+    shuffle each; the Holt fold runs on the calendar-bounded weekly
+    rollup (flat); the BPE trainer's per-step cost is VOCAB-bounded (the
+    corpus only pays the initial word count); the PIT join is one
+    user-keyed window; the threshold sweep prices all five policies at
+    one θ=50 pass."""
+    import shutil
+    import tempfile
+
+    from __spark_entry__ import queries
+
+    qs = queries()
+    tmp = tempfile.mkdtemp(prefix="scale_r6_")
+    try:
+        prio = F.array(*[F.lit(p) for p in ("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT", "5-LOW")])
+        orders = spark.range(n).select(
+            F.col("id").alias("o_orderkey"),
+            ((F.xxhash64(F.col("id") + 29) % (n // 10) + n // 10) % (n // 10)).alias("o_custkey"),
+            (((F.xxhash64("id") % 49000000 + 49000000) % 49000000 + 100000) / 100.0).alias("o_totalprice"),
+            F.timestamp_micros(
+                F.lit(820454400000000)
+                + ((F.xxhash64(F.col("id") + 13) % 63072000000000 + 63072000000000) % 63072000000000)
+            ).alias("o_orderdate"),
+            F.element_at(prio, ((F.xxhash64(F.col("id") + 3) % 5 + 5) % 5 + 1).cast("int")).alias("o_orderpriority"),
+            F.lit("O").alias("o_orderstatus"),
+        )
+        orders.write.mode("overwrite").parquet(f"{tmp}/orders.parquet")
+        segs = F.array(*[F.lit(s) for s in ("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")])
+        cust = spark.range(n // 10).select(
+            F.col("id").alias("c_custkey"),
+            (F.col("id") % 25).cast("long").alias("c_nationkey"),
+            F.element_at(segs, (F.col("id") % 5 + 1).cast("int")).alias("c_mktsegment"),
+        )
+        cust.write.mode("overwrite").parquet(f"{tmp}/customer.parquet")
+        nation = spark.range(25).select(
+            F.col("id").alias("n_nationkey"),
+            F.concat(F.lit("NATION_"), F.col("id").cast("string")).alias("n_name"),
+        )
+        nation.write.mode("overwrite").parquet(f"{tmp}/nation.parquet")
+        docs = synth_docs(spark, max(n // 50, 1000)).select(
+            "doc_id",
+            F.concat(F.lit("src"), (F.col("doc_id") % 20).cast("string")).alias("source"),
+            "text",
+        )
+        docs.write.mode("overwrite").parquet(f"{tmp}/documents.parquet")
+        types = F.array(*[F.lit(t) for t in ("view", "click", "purchase", "error", "signup")])
+        events = spark.range(n // 10).select(
+            F.col("id").alias("event_id"),
+            ((F.xxhash64("id") % (n // 1000) + n // 1000) % (n // 1000)).alias("user_id"),
+            F.timestamp_micros(
+                F.lit(1700000000000000)
+                + ((F.xxhash64(F.col("id") + 7) % 86400000000 + 86400000000) % 86400000000)
+            ).alias("ts"),
+            F.element_at(types, ((F.xxhash64(F.col("id") + 5) % 5 + 5) % 5 + 1).cast("int")).alias("event_type"),
+            (((F.xxhash64(F.col("id") + 11) % 10000 + 10000) % 10000) / 100.0).alias("value"),
+        )
+        events.write.mode("overwrite").parquet(f"{tmp}/events.parquet")
+        for name in [
+            "encoding_advisor_columns",
+            "conformal_threshold_coverage",
+            "holt_linear_forecast_weekly",
+            "bpe_train_8_merges",
+            "bpe_apply_compression_report",
+            "dedup_threshold_sweep",
+            "pit_join_feature_spend",
+            "logrank_test_cohorts",
+        ]:
+            t0 = time.time()
+            cnt = qs[name](spark, tmp).count()
+            print(f"{name}: {cnt} rows in {time.time()-t0:.1f}s")
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def main():
+    if len(sys.argv) > 1 and sys.argv[1] == "round6":
+        from hpmr_spark.engine import get_spark
+
+        spark = get_spark("scale-probe-round6")
+        round6_probe(spark, int(sys.argv[2]) if len(sys.argv) > 2 else 1_000_000)
+        spark.stop()
+        return
     # `python tools/scale_probe.py ranking <n>` runs ONLY the ranking/
     # order-statistics probe at n synthetic orders (the 1x/3x/10x sweep
     # driver for SCALE.md's statistics table)
