@@ -282,15 +282,18 @@ _CHECK_FIRST = [
     "graph_bfs_3hop",
     "dedup_incremental_epochs",
     "dedup_simhash_pairs",
-    # kv-surface + join semantics
-    "merge_upsert_customers",
-    "notin_null_aware_customers",
-    "argmax_customer_per_nation",
-    "asof_join_with_tolerance",
+    # second round-6 wave (newest code = highest risk; in place of the six
+    # plain-relational rows merge_upsert_customers, notin_null_aware_
+    # customers, argmax_customer_per_nation, asof_join_with_tolerance,
+    # q9_product_type_profit, q13_customer_distribution — direct SQL
+    # twins, the least likely family to hide cross-engine bugs)
+    "bpe_apply_compression_report",
+    "holt_linear_forecast_weekly",
+    "mmr_diversified_topk",
+    "pit_join_feature_spend",
+    "logrank_test_cohorts",
+    "dedup_threshold_sweep",
     "match_recognize_vcp",
-    # never-checked TPC-H representatives
-    "q9_product_type_profit",
-    "q13_customer_distribution",
     # multimodal + observability + UDF matrix
     "multimodal_content_dedup",
     "accumulator_row_audit",
