@@ -333,7 +333,7 @@ def dedup_containment_pairs(spark, sf_dir):
 
 # ------------------------------------------------- threshold sweep (round 6)
 
-_SWEEP_THRESHOLDS = (50, 60, 70, 80, 90)
+_SWEEP_THRESHOLDS = (70, 80, 90)
 
 _SWEEP_ORACLE = f"""
     WITH {SQL_SHINGLE_CTE},
@@ -345,7 +345,7 @@ _SWEEP_ORACLE = f"""
       FROM shingled a, shingled b
       WHERE a.doc_id < b.doc_id
         AND 100 * len(list_intersect(a.sh, b.sh))
-            >= 50 * (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+            >= 70 * (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
     ),
     th AS (SELECT unnest([{", ".join(str(t) for t in _SWEEP_THRESHOLDS)}]) AS t),
     hit AS (
@@ -368,13 +368,21 @@ _SWEEP_ORACLE = f"""
 def dedup_threshold_sweep(spark, sf_dir):
     """Dedup threshold TUNING curve — the report a corpus curator reads
     before committing a Jaccard cutoff: exact pair and affected-document
-    counts at θ ∈ {{50..90}}%, from ONE prefix-filtered pass at the
-    loosest threshold (every θ ≥ 50 pair is a subset — candidates are
+    counts at θ ∈ {{70, 80, 90}}%, from ONE prefix-filtered pass at the
+    loosest threshold (every θ ≥ 70 pair is a subset — candidates are
     generated once, each surviving pair is bucketed by integer
-    cross-multiplication 100·inter ≥ θ·union, never a float ratio).
-    At 100 TB this costs the same as a single θ=50 dedup run and prices
-    all five policies at once."""
-    pairs = ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), threshold_pct=50)
+    cross-multiplication 100·inter ≥ θ·union, never a float ratio), so
+    at 100 TB the sweep costs the same as a single θ=70 dedup run.
+
+    The floor is DELIBERATELY 70: PPJoin prefix length is (1−θ)·|A|+1,
+    so a θ=50 exact sweep indexes HALF of every doc's shingles and the
+    candidate join volume (Σ df² over indexed shingles) grows
+    quadratically — the round-6 scale probe measured 25 s → 171 s for
+    3× docs on a repetitive-vocab corpus before this floor was raised.
+    Below θ≈0.7 exact pair enumeration is the wrong regime; route to
+    MinHash-LSH banding instead (the cosine_pairs_auto dispatch
+    philosophy)."""
+    pairs = ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), threshold_pct=70)
     th = spark.createDataFrame(
         [(t,) for t in _SWEEP_THRESHOLDS], "t int"
     )
