@@ -335,6 +335,17 @@ def dedup_containment_pairs(spark, sf_dir):
 
 _SWEEP_THRESHOLDS = (70, 80, 90)
 
+# Exact-regime corpus ceiling. The round-6 scale probe measured the exact
+# prefix-filtered sweep SUPER-LINEAR on repetitive corpora (17 s → 98 s for
+# 3× docs at 60K docs; a doc-unique Zipf tail does not save it, because the
+# prefix still admits common shingles whose df grows linearly with corpus
+# size, making the candidate join Σ df² ~ n²). Past this ceiling the right
+# tool is MinHash-LSH banding + exact verify (dedup_minhash_lsh), whose
+# candidate volume is governed by the band-collision probability, not df² —
+# same explicit-routing philosophy as GEMM_N_CEILING in
+# similarity/vectorized.py (raise loudly, never silently run O(n²)).
+SWEEP_N_CEILING = 1_000_000
+
 _SWEEP_ORACLE = f"""
     WITH {SQL_SHINGLE_CTE},
     pairs AS (
@@ -379,10 +390,23 @@ def dedup_threshold_sweep(spark, sf_dir):
     candidate join volume (Σ df² over indexed shingles) grows
     quadratically — the round-6 scale probe measured 25 s → 171 s for
     3× docs on a repetitive-vocab corpus before this floor was raised.
-    Below θ≈0.7 exact pair enumeration is the wrong regime; route to
-    MinHash-LSH banding instead (the cosine_pairs_auto dispatch
-    philosophy)."""
-    pairs = ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), threshold_pct=70)
+    And because common-shingle df grows linearly with corpus size on ANY
+    corpus, the exact path carries a hard SWEEP_N_CEILING (1M docs): past
+    it the query raises with a routing message to dedup_minhash_lsh
+    rather than silently running a quadratic join (the
+    GEMM_N_CEILING/cosine_pairs_auto discipline). One bounded count() at
+    build enforces it (⟹ plan_snapshot SKIP)."""
+    docs = _t(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    if n_docs > SWEEP_N_CEILING:
+        raise ValueError(
+            f"dedup_threshold_sweep: corpus has {n_docs} docs > "
+            f"SWEEP_N_CEILING={SWEEP_N_CEILING}. Exact prefix-filtered "
+            "pair enumeration is super-linear at this scale (candidate "
+            "volume ~ sum df^2); run dedup_minhash_lsh per threshold "
+            "(banded MinHash + exact verify) instead."
+        )
+    pairs = ngram_jaccard_pairs(docs, threshold_pct=70)
     th = spark.createDataFrame(
         [(t,) for t in _SWEEP_THRESHOLDS], "t int"
     )

@@ -306,3 +306,13 @@ def test_gemm_ceiling_refuses_weak_tau_at_scale(spark):
         cosine_pairs_auto(emb, threshold=0.9, n_rows=GEMM_N_CEILING + 1)
         is not None
     )
+
+
+def test_threshold_sweep_ceiling_routes_to_lsh(spark, sf_dir, monkeypatch):
+    """Past SWEEP_N_CEILING the exact sweep must refuse loudly with an LSH
+    routing message, never silently run the quadratic candidate join."""
+    import hpmr_spark.operators.dedup_queries as dq
+
+    monkeypatch.setattr(dq, "SWEEP_N_CEILING", 10)
+    with pytest.raises(ValueError, match="dedup_minhash_lsh"):
+        dq.dedup_threshold_sweep(spark, sf_dir)

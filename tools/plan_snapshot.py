@@ -93,6 +93,7 @@ SKIP = {
     "ivfpq_topk_search",  # k-means training + codebook seeds collect at build
     "bpe_train_8_merges",  # 8 argmax collects + persisted vocab at build
     "bpe_apply_compression_report",  # same trainer collects at build
+    "dedup_threshold_sweep",  # bounded ceiling-guard count() at build
 }
 
 SF_DIR = "/root/testdata/sf0.001"
