@@ -427,3 +427,147 @@ def dedup_threshold_sweep(spark, sf_dir):
             F.col("t").cast("long").alias("threshold_pct"), "n_pairs", "n_docs"
         )
     )
+
+
+# ------------------------------------------- SemDeDup-style prune (round 6)
+
+# 4 committed hyperplanes, INTEGER-quantized (round(p·1e6)) so the cell
+# sign bits are exact integer dots — a float plane dot near zero could
+# flip sign between engines; integers cannot.
+_SEM_BITS = 4
+_SEM_TAU_SQ_BP = 2025  # τ = 0.45 ⟹ τ² = 0.2025 = 2025 / 10^4 (basis points)
+
+
+def _sem_planes_int():
+    from hpmr_spark.similarity.lsh import PLANES
+
+    return [
+        [int(round(x * 1_000_000)) for x in PLANES[b]] for b in range(_SEM_BITS)
+    ]
+
+
+def _sem_oracle() -> str:
+    planes = _sem_planes_int()
+    bit_terms = []
+    for b, plane in enumerate(planes):
+        arr = "[" + ", ".join(str(x) for x in plane) + "]"
+        bit_terms.append(
+            f"(CASE WHEN list_sum(list_transform(range(1, 65),"
+            f" _pk -> v[_pk] * ({arr})[_pk])) > 0 THEN {1 << b} ELSE 0 END)"
+        )
+    cell_expr = " + ".join(bit_terms)
+    return f"""
+    WITH vi AS MATERIALIZED (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS v
+      FROM embeddings
+    ),
+    celled AS MATERIALIZED (
+      SELECT vec_id, v, CAST({cell_expr} AS BIGINT) AS cell FROM vi
+    ),
+    pruned AS (
+      SELECT DISTINCT b.vec_id
+      FROM celled a JOIN celled b
+        ON a.cell = b.cell AND a.vec_id < b.vec_id
+      WHERE list_sum(list_transform(range(1, 65), _pk -> a.v[_pk] * b.v[_pk])) > 0
+        AND CAST(list_sum(list_transform(range(1, 65),
+                 _pk -> a.v[_pk] * b.v[_pk])) AS HUGEINT)
+            * list_sum(list_transform(range(1, 65), _pk -> a.v[_pk] * b.v[_pk]))
+            * 10000
+            >= {_SEM_TAU_SQ_BP}
+               * CAST(list_sum(list_transform(range(1, 65),
+                      _pk -> a.v[_pk] * a.v[_pk])) AS HUGEINT)
+               * list_sum(list_transform(range(1, 65), _pk -> b.v[_pk] * b.v[_pk]))
+    )
+    SELECT c.cell,
+           CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           CAST(SUM(CASE WHEN p.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_pruned,
+           CAST(SUM(CASE WHEN p.vec_id IS NULL THEN c.vec_id ELSE 0 END)
+                AS BIGINT) AS kept_id_sum
+    FROM celled c LEFT JOIN pruned p ON p.vec_id = c.vec_id
+    GROUP BY c.cell
+"""
+
+
+@register("semdedup_cell_prune", _sem_oracle())
+def semdedup_cell_prune(spark, sf_dir):
+    """SemDeDup-style semantic dedup: coarse-cluster the embedding corpus,
+    then inside each cluster greedily PRUNE every vector that has a
+    lower-id neighbor above the cosine threshold (the paper's
+    keep-one-per-near-dup-group rule, made deterministic by the id
+    order). Cells are 4 committed INTEGER-quantized hyperplane sign bits
+    (a float plane-dot near zero could flip sign between engines;
+    integer dots cannot), and the threshold is decided by int128
+    cross-multiplication dot²·10⁴ ≥ 2025·|a|²·|b|² with dot > 0
+    (τ = 0.45; products ≤ ~10³⁴, inside DECIMAL(38,0)/HUGEINT) — even
+    the prune decisions are exact and hash-checked.
+
+    Scale: within-cell all-pairs costs Σ|cell|² — the paper's own shape,
+    LINEAR in corpus size when the cluster count grows with the corpus so
+    |cell| stays bounded (here: raise _SEM_BITS; each bit halves expected
+    cell size). Report = per-cell census: vectors, pruned, kept-id
+    checksum."""
+    planes = _sem_planes_int()
+    e = _t(spark, sf_dir, "embeddings")
+    vi = e.select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000)"
+            " AS BIGINT))"
+        ).alias("v"),
+    )
+    dot = (
+        "aggregate(zip_with({a}, {b}, (_x, _y) -> _x * _y),"
+        " CAST(0 AS BIGINT), (_acc, _z) -> _acc + _z)"
+    )
+    cell = None
+    for b, plane in enumerate(planes):
+        arr = "array(" + ", ".join(str(x) for x in plane) + ")"
+        bit = F.expr(
+            f"CASE WHEN {dot.format(a='v', b=arr)} > 0 THEN {1 << b} ELSE 0 END"
+        )
+        cell = bit if cell is None else cell + bit
+    celled = vi.select("vec_id", "v", cell.cast("long").alias("cell"))
+    a = celled.select(
+        F.col("cell").alias("cell"),
+        F.col("vec_id").alias("ida"),
+        F.col("v").alias("va"),
+    )
+    b_ = celled.select(
+        F.col("cell").alias("cellb"),
+        F.col("vec_id").alias("idb"),
+        F.col("v").alias("vb"),
+    )
+    d_ab = F.expr(dot.format(a="va", b="vb"))
+    na2 = F.expr(dot.format(a="va", b="va"))
+    nb2 = F.expr(dot.format(a="vb", b="vb"))
+    pruned = (
+        a.join(b_, (a["cell"] == b_["cellb"]) & (a["ida"] < b_["idb"]))
+        .where(
+            (d_ab > 0)
+            & (
+                d_ab.cast("decimal(38,0)") * d_ab * 10000
+                >= F.lit(_SEM_TAU_SQ_BP) * na2.cast("decimal(38,0)") * nb2
+            )
+        )
+        .select(F.col("idb").alias("vec_id"))
+        .distinct()
+        .withColumn("is_pruned", F.lit(1))
+    )
+    return (
+        celled.join(pruned, "vec_id", "left_outer")
+        .groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vectors"),
+            F.sum(F.coalesce(F.col("is_pruned"), F.lit(0)))
+            .cast("long")
+            .alias("n_pruned"),
+            F.sum(
+                F.when(F.col("is_pruned").isNull(), F.col("vec_id")).otherwise(0)
+            )
+            .cast("long")
+            .alias("kept_id_sum"),
+        )
+    )
