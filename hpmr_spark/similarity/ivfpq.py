@@ -13,6 +13,15 @@ Why this survives 100 TB / 10^9 vectors:
   * the only fact-scale shuffle-free join is codes ⋈ broadcast(LUT);
     the exact refine touches just |queries| × shortlist rows.
 
+Implementation note (measured at sf0.1): the index expressions (128
+argmin-over-codes aggregates + centroid literal arrays) are generated as
+SQL TEXT and parsed JVM-side in one `F.expr` call each. Building the same
+tree through the Python Column API costs thousands of py4j round-trips
+(~9 s of pure driver-side plan construction for a 4 s execution); the SQL
+text is parsed in milliseconds and analyzes to the same plan. Same
+discipline as the codebook collect below: never let driver-side plumbing
+dominate a bounded job.
+
 Determinism (CLAUDE.md disciplines): centroid training is the committed
 hash60-seeded k-means from similarity/lsh.py (floats only STEER the index);
 residuals quantize to integer micros elementwise (the committed
@@ -30,6 +39,8 @@ brief makes first-class.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -38,6 +49,7 @@ from hpmr_spark.functions.vectors import cosine
 from hpmr_spark.similarity.lsh import (
     nearest_cell,
     nearest_cells,
+    sql_vec_lit,
     train_centroids,
 )
 
@@ -46,21 +58,22 @@ D_SUB = 8  # dims per subspace (64-dim embeddings)
 K_CODES = 16  # centroids per subspace (4-bit codes)
 
 
-def _residual_micros(vcol, cents: list[list[float]], cell_col) -> "F.Column":
+def _sql_residual(v: str, cents: list[list[float]], cell: str) -> str:
     """floor((vec - centroid[cell]) * 1e6) as array<bigint> — the exact
     integer image of the residual (elementwise, the committed parity
-    discipline). The centroid is selected by a fold over literal arrays
-    (n_cells branches, linear — never a chained running best)."""
-    cent_arr = F.element_at(
-        F.array(
-            *[F.array(*[F.lit(float(x)) for x in cv]) for cv in cents]
-        ),
-        cell_col + 1,
+    discipline)."""
+    cent_arr = "array(" + ",".join(sql_vec_lit(cv) for cv in cents) + ")"
+    return (
+        f"zip_with(CAST({v} AS ARRAY<DOUBLE>),element_at({cent_arr},{cell}+1),"
+        f"(a,b)->CAST(floor((a-b)*1000000.0D) AS BIGINT))"
     )
-    return F.zip_with(
-        vcol.cast("array<double>"),
-        cent_arr,
-        lambda a, b: F.floor((a - b) * F.lit(1_000_000.0)).cast("long"),
+
+
+def _sql_d2(sub: str, code_lits: list[int]) -> str:
+    arr = "array(" + ",".join(str(int(x)) for x in code_lits) + ")"
+    return (
+        f"aggregate(zip_with({sub},{arr},(a,b)->(a-b)*(a-b)),"
+        f"CAST(0 AS BIGINT),(acc,x)->acc+x)"
     )
 
 
@@ -80,8 +93,9 @@ def ivfpq_topk(
     Index build (one corpus scan + broadcast constants):
       cell  = nearest trained coarse centroid (cosine),
       codes = per-subspace argmin_code ‖residual_sub − codebook_sub‖²
-              (exact integer micros; codebook = residual subvectors of the
-              K_CODES lowest-committed-hash corpus vectors).
+              (exact integer micros; codebook = driver-derived residual
+              subvectors of the K_CODES lowest-committed-hash corpus
+              vectors — an index-steering constant, like the centroids).
     Search: per query, LUT[s][code] = d2(query residual sub, codebook) for
     its n_probe cells; ADC score = Σ_s LUT[s][codes[s]] via one
     codes ⋈ broadcast(LUT) join on cell; top `shortlist` by (adc_d2, id)
@@ -95,15 +109,15 @@ def ivfpq_topk(
     d = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
     cents = train_centroids(d, n_cells=n_cells, train_iters=train_iters, salt="ivfpq:")
 
-    # --- index: cell + residual micros per corpus vector (one scan) ---
-    assigned = d.select(
-        "id", "vec", nearest_cell(F.col("vec"), cents).alias("cell")
-    ).withColumn("r", _residual_micros(F.col("vec"), cents, F.col("cell")))
-
     # --- PQ codebook: residual subvectors of committed-hash seed vectors ---
+    # Collect ONLY the raw vectors (tiny hash+TakeOrdered job) and derive
+    # cell + residual micros driver-side: the codebook is an index-STEERING
+    # constant — any deterministic choice is valid, and keeping the index
+    # expressions out of this bounded collect avoids dragging them through
+    # codegen for a K_CODES-row result (measured 8 s → <2 s at sf0.1).
     seed_rows = (
-        assigned.select(
-            "r",
+        d.select(
+            "vec",
             hash60(F.concat(F.lit("ivfpq-pq:"), F.col("id").cast("string"))).alias(
                 "h"
             ),
@@ -112,65 +126,71 @@ def ivfpq_topk(
         .limit(K_CODES)
         .collect()
     )
+
+    def _py_residual(vec) -> list[int]:
+        # cosine-nearest centroid (ties → lowest cell id), then the same
+        # floor((v − c) · 1e6) integer image the index expression commits to
+        v = [float(x) for x in vec]
+        best, best_s = 0, None
+        for ci, cv in enumerate(cents):
+            num = sum(a * b for a, b in zip(v, cv))
+            den = math.sqrt(sum(a * a for a in v)) * math.sqrt(
+                sum(b * b for b in cv)
+            )
+            s = num / den if den else 0.0
+            if best_s is None or s > best_s:
+                best, best_s = ci, s
+        cv = cents[best]
+        return [int(math.floor((a - b) * 1_000_000.0)) for a, b in zip(v, cv)]
+
     # code id = committed-hash rank (driver-side: K_CODES rows, bounded)
     codebook = [
-        [list(r["r"][s * D_SUB : (s + 1) * D_SUB]) for s in range(M_SUB)]
+        [
+            _py_residual(r["vec"])[s * D_SUB : (s + 1) * D_SUB]
+            for s in range(M_SUB)
+        ]
         for r in sorted(seed_rows, key=lambda r: r["h"])
     ]
 
-    def _sub(col, s):
-        return F.slice(col, s * D_SUB + 1, D_SUB)
-
-    def _d2(sub_col, code_lits: list[int]) -> "F.Column":
-        lit_arr = F.array(*[F.lit(int(x)) for x in code_lits])
-        return F.aggregate(
-            F.zip_with(sub_col, lit_arr, lambda a, b: (a - b) * (a - b)),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
+    # --- index: cell + residual + codes per corpus vector (one scan) ---
+    code_exprs = []
+    for s in range(M_SUB):
+        sub = f"slice(r,{s * D_SUB + 1},{D_SUB})"
+        cands = ",".join(
+            f"named_struct('d2',{_sql_d2(sub, codebook[code][s])},'code',{code})"
+            for code in range(K_CODES)
         )
-
-    def _code_for(sub_col, s: int) -> "F.Column":
-        # argmin over K_CODES candidates: array_min over (d2, code) structs
-        # (ties break to the LOWEST code id — struct ordering)
-        cand = F.array(
-            *[
-                F.struct(
-                    _d2(sub_col, codebook[code][s]).alias("d2"),
-                    F.lit(code).alias("code"),
-                )
-                for code in range(K_CODES)
-            ]
+        code_exprs.append(f"array_min(array({cands})).code")
+    encoded = (
+        d.select(
+            "id", "vec", nearest_cell("vec", cents).alias("cell")
         )
-        return F.array_min(cand)["code"]
-
-    encoded = assigned.select(
-        F.col("id").alias("neighbor_id"),
-        "cell",
-        F.array(
-            *[_code_for(_sub(F.col("r"), s), s) for s in range(M_SUB)]
-        ).alias("codes"),
+        .withColumn("r", F.expr(_sql_residual("vec", cents, "cell")))
+        .select(
+            F.col("id").alias("neighbor_id"),
+            "cell",
+            F.expr("array(" + ",".join(code_exprs) + ")").alias("codes"),
+        )
     )
 
     # --- query side: probe cells + per-(query, cell) LUT ---
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
     ).withColumn(
-        "cell", F.explode(nearest_cells(F.col("q_vec"), cents, n_probe))
+        "cell", F.explode(nearest_cells("q_vec", cents, n_probe))
     )
-    qr = q.withColumn("qr", _residual_micros(F.col("q_vec"), cents, F.col("cell")))
+    qr = q.withColumn("qr", F.expr(_sql_residual("q_vec", cents, "cell")))
     # LUT: array over subspaces of array over codes of exact integer d2
-    lut_col = F.array(
-        *[
-            F.array(
-                *[
-                    _d2(_sub(F.col("qr"), s), codebook[code][s])
-                    for code in range(K_CODES)
-                ]
-            )
-            for s in range(M_SUB)
-        ]
-    )
-    qlut = qr.select("query_id", "q_vec", "cell", lut_col.alias("lut"))
+    lut_sql = "array(" + ",".join(
+        "array("
+        + ",".join(
+            _sql_d2(f"slice(qr,{s * D_SUB + 1},{D_SUB})", codebook[code][s])
+            for code in range(K_CODES)
+        )
+        + ")"
+        for s in range(M_SUB)
+    ) + ")"
+    qlut = qr.select("query_id", "q_vec", "cell", F.expr(lut_sql).alias("lut"))
 
     # --- ADC: codes ⋈ broadcast(LUT) on cell; score = Σ_s lut[s][code_s] ---
     adc = (
@@ -180,14 +200,10 @@ def ivfpq_topk(
             "query_id",
             "q_vec",
             "neighbor_id",
-            F.aggregate(
-                F.zip_with(
-                    F.col("codes"),
-                    F.col("lut"),
-                    lambda c, row: F.element_at(row, (c + 1).cast("int")),
-                ),
-                F.lit(0).cast("long"),
-                lambda acc, x: acc + x,
+            F.expr(
+                "aggregate(zip_with(codes,lut,"
+                "(c,row)->element_at(row,CAST(c+1 AS INT))),"
+                "CAST(0 AS BIGINT),(acc,x)->acc+x)"
             ).alias("adc_d2"),
         )
     )

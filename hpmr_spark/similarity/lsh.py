@@ -217,43 +217,61 @@ def ivf_topk(
     )
 
 
+def sql_vec_lit(cv) -> str:
+    """Double-array literal as SQL text; repr() round-trips every float
+    exactly and Spark's D-suffixed literal parses to the identical double."""
+    return "array(" + ",".join(f"{float(x)!r}D" for x in cv) + ")"
+
+
+def sql_dot_text(a: str, b: str) -> str:
+    """Same left-to-right double fold as functions.vectors.dot — values are
+    bit-identical to the Column-API form."""
+    return (
+        f"aggregate(zip_with({a},{b},(x,y)->CAST(x AS DOUBLE)*CAST(y AS DOUBLE)),"
+        f"0.0D,(acc,x)->acc+x)"
+    )
+
+
+def sql_cosine_text(a: str, b: str) -> str:
+    return (
+        f"({sql_dot_text(a, b)}/(sqrt({sql_dot_text(a, a)})*sqrt({sql_dot_text(b, b)})))"
+    )
+
+
 def nearest_cell(vcol, centroids) -> "F.Column":
     """Index of the max-cosine centroid for a vector column. Array argmax,
     NOT a chained when(): a fold of conditionals embeds the running best
     THREE times per centroid — a 3^n_cells expression blowup that hangs
     analysis. array_max over (sim, -cell) structs is linear and ties break
-    to the LOWEST cell id."""
-    from hpmr_spark.functions.vectors import cosine
+    to the LOWEST cell id.
 
-    sims = F.array(
-        *[
-            F.struct(
-                cosine(vcol, F.array(*[F.lit(x) for x in cv])).alias("sim"),
-                F.lit(-ci).alias("negcell"),
-            )
-            for ci, cv in enumerate(centroids)
-        ]
+    Built as SQL text parsed JVM-side in ONE F.expr call: composing the
+    n_cells × dim literal cosine folds through the Python Column API costs
+    thousands of py4j round-trips (~1 s of driver time PER CALL at 8×64;
+    the k-means train loop calls this every iteration). Values and plan
+    shape are identical to the Column form."""
+    v = vcol if isinstance(vcol, str) else vcol._jc.toString()
+    structs = ",".join(
+        f"named_struct('sim',{sql_cosine_text(v, sql_vec_lit(cv))},'negcell',{-ci})"
+        for ci, cv in enumerate(centroids)
     )
-    return -F.array_max(sims)["negcell"]
+    return F.expr(f"(0 - array_max(array({structs})).negcell)")
 
 
 def nearest_cells(vcol, centroids, n_probe: int) -> "F.Column":
     """Array of the n_probe max-cosine centroid indices for a vector
     column (descending similarity; ties break to the HIGHER cell id via
-    the array_sort/reverse order — stable and deterministic)."""
-    from hpmr_spark.functions.vectors import cosine
-
-    sims = F.array(
-        *[
-            F.struct(
-                cosine(vcol, F.array(*[F.lit(x) for x in cv])).alias("sim"),
-                F.lit(ci).alias("cell"),
-            )
-            for ci, cv in enumerate(centroids)
-        ]
+    the array_sort/reverse order — stable and deterministic). SQL-text
+    construction for the same py4j-churn reason as nearest_cell."""
+    v = vcol if isinstance(vcol, str) else vcol._jc.toString()
+    structs = ",".join(
+        f"named_struct('sim',{sql_cosine_text(v, sql_vec_lit(cv))},'cell',{ci})"
+        for ci, cv in enumerate(centroids)
     )
-    top = F.slice(F.reverse(F.array_sort(sims)), 1, n_probe)
-    return F.transform(top, lambda s: s["cell"])
+    return F.expr(
+        f"transform(slice(reverse(array_sort(array({structs}))),1,{n_probe}),"
+        f"s -> s.cell)"
+    )
 
 
 def train_centroids(
