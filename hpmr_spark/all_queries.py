@@ -90,6 +90,7 @@ _MODULES = [
     "hpmr_spark.operators.pq_quantization_queries",
     "hpmr_spark.operators.mining2_queries",
     "hpmr_spark.operators.feature_store_queries",
+    "hpmr_spark.operators.attribution2_queries",
 ]
 
 FAILED_MODULES: dict[str, str] = {}
