@@ -91,6 +91,7 @@ _MODULES = [
     "hpmr_spark.operators.mining2_queries",
     "hpmr_spark.operators.feature_store_queries",
     "hpmr_spark.operators.attribution2_queries",
+    "hpmr_spark.operators.timeseries4_queries",
 ]
 
 FAILED_MODULES: dict[str, str] = {}
