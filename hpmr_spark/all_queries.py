@@ -92,6 +92,7 @@ _MODULES = [
     "hpmr_spark.operators.feature_store_queries",
     "hpmr_spark.operators.attribution2_queries",
     "hpmr_spark.operators.timeseries4_queries",
+    "hpmr_spark.operators.graph_linkage_queries",
 ]
 
 FAILED_MODULES: dict[str, str] = {}
