@@ -93,6 +93,7 @@ _MODULES = [
     "hpmr_spark.operators.attribution2_queries",
     "hpmr_spark.operators.timeseries4_queries",
     "hpmr_spark.operators.graph_linkage_queries",
+    "hpmr_spark.operators.boilerplate_queries",
 ]
 
 FAILED_MODULES: dict[str, str] = {}

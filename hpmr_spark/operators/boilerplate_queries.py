@@ -1,0 +1,168 @@
+"""Line-level boilerplate removal (round 6): the CCNet/Gopher corpus-
+cleaning step the dedup family was missing — drop text units that repeat
+ACROSS documents (nav bars, footers, license blurbs) while keeping each
+document's unique content. This corpus has no newlines, so the "line" is
+a 5-token non-overlapping SEGMENT (documented analog; the pipeline shape
+— unit split → corpus-frequency count → per-doc filter → reassembly — is
+exactly the production one).
+
+Scale shape: one explode to (doc_id, g, segment-fingerprint), one
+fingerprint-keyed count (the only corpus-scale shuffle), one semi-style
+flag join back, one per-doc re-aggregation. Fingerprints are 60-bit md5
+(hash60 — the committed cross-engine hash), so the shuffle carries
+(doc_id, BIGINT) pairs, never segment text.
+
+Disciplines (CLAUDE.md): docs with <5 tokens produce ZERO segments via
+an explicit size guard (sequence(1, n div 5) DESCENDS when n<5 — the
+round-6 trap); reassembled text is order-pinned (sort_array over (g, s)
+structs ≡ DuckDB list(... ORDER BY g)); the all-boilerplate empty case
+COALESCEs to '' (DuckDB's empty FILTERed list() is NULL — the round-2
+empty-aggregate trap).
+
+Reference parity: beyond the reference kv kernel
+(/root/reference/src/hpmr.h:1-10) along the brief's LLM-pipeline axis.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hpmr_spark.catalog import _t, register
+from hpmr_spark.functions.hashing import sql_hash60
+
+_SEG = 5  # tokens per segment
+_DF_MIN = 2  # segment is boilerplate if it appears in >= 2 distinct docs
+
+_BOILER_ORACLE = f"""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks
+      FROM documents
+    ),
+    seg AS MATERIALIZED (
+      SELECT doc_id, g.g,
+             list_aggregate(toks[g.g * {_SEG} + 1 : g.g * {_SEG} + {_SEG}],
+                            'string_agg', ' ') AS s
+      FROM t, LATERAL (
+        SELECT unnest(range(CAST(len(toks) // {_SEG} AS BIGINT))) AS g
+      ) g
+    ),
+    fp AS (
+      SELECT doc_id, g, {sql_hash60('s')} AS h, s FROM seg
+    ),
+    df AS (
+      SELECT h, COUNT(DISTINCT doc_id) AS ndocs FROM fp GROUP BY h
+    ),
+    flagged AS MATERIALIZED (
+      SELECT f.doc_id, f.g, f.s,
+             CASE WHEN d.ndocs >= {_DF_MIN} THEN 1 ELSE 0 END AS boiler
+      FROM fp f JOIN df d ON d.h = f.h
+    ),
+    per_doc AS (
+      SELECT doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_seg,
+             CAST(SUM(boiler) AS BIGINT) AS n_boiler,
+             COALESCE(string_agg(CASE WHEN boiler = 0 THEN s END, ' '
+                                 ORDER BY g), '') AS kept_text
+      FROM flagged GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           COALESCE(p.n_seg, 0) AS n_seg,
+           COALESCE(p.n_boiler, 0) AS n_boiler,
+           CAST(len(t.toks) - COALESCE(p.n_seg, 0) * {_SEG} AS BIGINT)
+             AS trailing_tokens,
+           CAST((COALESCE(p.n_seg, 0) - COALESCE(p.n_boiler, 0)) * {_SEG}
+                + len(t.toks) - COALESCE(p.n_seg, 0) * {_SEG} AS BIGINT)
+             AS tokens_kept,
+           {sql_hash60("COALESCE(p.kept_text, '')")} AS cleaned_fp
+    FROM t LEFT JOIN per_doc p ON p.doc_id = t.doc_id
+    ORDER BY t.doc_id
+"""
+
+
+@register("dedup_boilerplate_segments", _BOILER_ORACLE)
+def dedup_boilerplate_segments(spark, sf_dir):
+    """Cross-document boilerplate removal: 5-token segments whose
+    fingerprint appears in ≥2 distinct documents are dropped; each doc
+    reports segment/boilerplate counts, surviving token count (trailing
+    <5-token remainder always kept), and the hash60 fingerprint of its
+    order-preserved cleaned text — the oracle checks the RECONSTRUCTION,
+    not just the counts."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.col("text"), " ").alias("toks")
+    )
+    # explicit guard: n div 5 = 0 segments for short docs (sequence DESCENDS
+    # when start > stop — CASE to empty array, the committed idiom)
+    seg = d.select(
+        "doc_id",
+        F.expr(
+            f"CASE WHEN size(toks) >= {_SEG} THEN"
+            f" transform(sequence(CAST(0 AS BIGINT), size(toks) div {_SEG} - 1),"
+            f" g -> struct(g AS g,"
+            f" array_join(slice(toks, CAST(g * {_SEG} + 1 AS INT), {_SEG}), ' ') AS s))"
+            f" ELSE array() END"
+        ).alias("segs"),
+    ).select("doc_id", F.explode("segs").alias("e")).select(
+        "doc_id", F.col("e.g").alias("g"), F.col("e.s").alias("s")
+    )
+    fp = seg.withColumn(
+        "h", F.conv(F.substring(F.md5("s"), 1, 15), 16, 10).cast("long")
+    )
+    df = fp.groupBy("h").agg(F.countDistinct("doc_id").alias("ndocs"))
+    flagged = fp.join(df, "h").select(
+        "doc_id",
+        "g",
+        "s",
+        F.when(F.col("ndocs") >= _DF_MIN, 1).otherwise(0).alias("boiler"),
+    )
+    per_doc = flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_seg"),
+        F.sum("boiler").cast("long").alias("n_boiler"),
+        F.array_join(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(
+                        F.when(
+                            F.col("boiler") == 0,
+                            F.struct(F.col("g"), F.col("s")),
+                        )
+                    )
+                ),
+                lambda st: st["s"],
+            ),
+            " ",
+        ).alias("kept_text"),
+    )
+    return (
+        d.join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_seg"), F.lit(0)).cast("long").alias("n_seg"),
+            F.coalesce(F.col("n_boiler"), F.lit(0)).cast("long").alias("n_boiler"),
+            (
+                F.size("toks") - F.coalesce(F.col("n_seg"), F.lit(0)) * _SEG
+            )
+            .cast("long")
+            .alias("trailing_tokens"),
+            (
+                (
+                    F.coalesce(F.col("n_seg"), F.lit(0))
+                    - F.coalesce(F.col("n_boiler"), F.lit(0))
+                )
+                * _SEG
+                + F.size("toks")
+                - F.coalesce(F.col("n_seg"), F.lit(0)) * _SEG
+            )
+            .cast("long")
+            .alias("tokens_kept"),
+            F.conv(
+                F.substring(
+                    F.md5(F.coalesce(F.col("kept_text"), F.lit(""))), 1, 15
+                ),
+                16,
+                10,
+            )
+            .cast("long")
+            .alias("cleaned_fp"),
+        )
+        .orderBy("doc_id")
+    )
