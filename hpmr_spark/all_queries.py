@@ -94,6 +94,8 @@ _MODULES = [
     "hpmr_spark.operators.timeseries4_queries",
     "hpmr_spark.operators.graph_linkage_queries",
     "hpmr_spark.operators.boilerplate_queries",
+    "hpmr_spark.operators.shapley_queries",
+    "hpmr_spark.operators.rake_queries",
 ]
 
 FAILED_MODULES: dict[str, str] = {}
