@@ -94,6 +94,9 @@ SKIP = {
     "bpe_train_8_merges",  # 8 argmax collects + persisted vocab at build
     "bpe_apply_compression_report",  # same trainer collects at build
     "dedup_threshold_sweep",  # bounded ceiling-guard count() at build
+    "seasonal_decompose_additive",  # persisted day rollup (InMemoryTableScan flake)
+    "control_chart_we_rules",  # persisted day rollup, same
+    "link_prediction_adamic_adar",  # persisted edge list, same
 }
 
 SF_DIR = "/root/testdata/sf0.001"
