@@ -283,11 +283,6 @@ _CHECK_FIRST = [
     "pydatasource_seq_agg",
     "ivm_checkpoint_resume",
     "ivm_join_delta_merge",
-    # iterative graph + dedup variants
-    "graph_kcore_2",
-    "graph_bfs_3hop",
-    "dedup_incremental_epochs",
-    "dedup_simhash_pairs",
     # second round-6 wave (newest code = highest risk; in place of the six
     # plain-relational rows merge_upsert_customers, notin_null_aware_
     # customers, argmax_customer_per_nation, asof_join_with_tolerance,
@@ -298,13 +293,22 @@ _CHECK_FIRST = [
     "mmr_diversified_topk",
     "pit_join_feature_spend",
     "logrank_test_cohorts",
-    "dedup_threshold_sweep",
-    "match_recognize_vcp",
-    # multimodal + observability + UDF matrix
-    "multimodal_content_dedup",
-    "accumulator_row_audit",
-    "observe_metrics_audit",
-    "applyinarrow_lang_stats",
+    # third round-6 wave — the session's newest code, swapped in for
+    # graph_kcore_2 (rows-only), graph_bfs_3hop, dedup_incremental_epochs,
+    # dedup_simhash_pairs, dedup_threshold_sweep, match_recognize_vcp,
+    # multimodal_content_dedup, accumulator_row_audit, observe_metrics_audit,
+    # applyinarrow_lang_stats (all r2-r6-wave-2 code, selfcheck-green at
+    # both SFs for one or more full sweeps)
+    "attribution_removal_effect",
+    "attribution_time_decay",
+    "attribution_shapley_exact",
+    "seasonal_decompose_additive",
+    "control_chart_we_rules",
+    "lttb_downsample_12",
+    "link_prediction_adamic_adar",
+    "linkage_sorted_neighborhood",
+    "dedup_boilerplate_segments",
+    "rake_keyphrases",
 ]
 
 
