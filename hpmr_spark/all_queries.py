@@ -96,6 +96,7 @@ _MODULES = [
     "hpmr_spark.operators.boilerplate_queries",
     "hpmr_spark.operators.shapley_queries",
     "hpmr_spark.operators.rake_queries",
+    "hpmr_spark.operators.distsys2_queries",
 ]
 
 FAILED_MODULES: dict[str, str] = {}
