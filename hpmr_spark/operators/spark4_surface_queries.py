@@ -250,3 +250,52 @@ def sql_udf_quality_report(spark, sf_dir):
         FROM t GROUP BY lang
         """
     )
+
+
+_SESSION_VAR_ORACLE = """
+    WITH bounds AS (
+      SELECT CAST(MAX(CAST(o_orderdate AS DATE)) AS DATE) AS dmax
+      FROM orders
+    )
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS revenue_cents
+    FROM orders, bounds
+    WHERE CAST(o_orderdate AS DATE) >= dmax - 90
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+"""
+
+
+@register("sql_session_variables", _SESSION_VAR_ORACLE)
+def sql_session_variables(spark, sf_dir):
+    """Spark 4 SQL session variables + EXECUTE IMMEDIATE: DECLARE a
+    session variable, SET it from a scalar subquery over the data (the
+    max order date), then run the report through EXECUTE IMMEDIATE with
+    a USING parameter — the scripting surface (DECLARE/SET VAR/EXECUTE
+    IMMEDIATE) driven end to end with a deterministic, oracle-checked
+    result (the oracle inlines the variable as a scalar subquery).
+    Variables are session-scoped config, not data: the report itself is
+    the same one-aggregate plan Catalyst would build from the inlined
+    text."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    spark.sql("DECLARE OR REPLACE VARIABLE report_dmax DATE")
+    spark.sql(
+        "SET VAR report_dmax ="
+        " (SELECT MAX(CAST(o_orderdate AS DATE)) FROM orders)"
+    )
+    return spark.sql(
+        """
+        EXECUTE IMMEDIATE
+        'SELECT o_orderpriority,
+                CAST(COUNT(*) AS BIGINT) AS n_orders,
+                CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                  AS revenue_cents
+         FROM orders
+         WHERE CAST(o_orderdate AS DATE) >= ? - 90
+         GROUP BY o_orderpriority
+         ORDER BY o_orderpriority'
+        USING report_dmax
+        """
+    )
