@@ -97,6 +97,7 @@ SKIP = {
     "seasonal_decompose_additive",  # persisted day rollup (InMemoryTableScan flake)
     "control_chart_we_rules",  # persisted day rollup, same
     "link_prediction_adamic_adar",  # persisted edge list, same
+    "lttb_downsample_12",  # UNpersisted day rollup: flips to InMemoryTableScan once the persisted timeseries-family day frames materialize in a shared session
 }
 
 SF_DIR = "/root/testdata/sf0.001"
