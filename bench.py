@@ -114,6 +114,14 @@ BENCH_EXTRA = [
     "holt_linear_forecast_weekly",  # grouped-pandas Holt fold
     "mmr_diversified_topk",         # MMR greedy re-rank (bounded state)
     "pit_join_feature_spend",       # union-and-carry point-in-time join
+    # round-6 third wave (extras only, headline frozen)
+    "attribution_removal_effect",   # Markov absorption DP, 5 chains
+    "attribution_shapley_exact",    # exact 4-channel Shapley (1/24ths)
+    "seasonal_decompose_additive",  # trend/seasonal/residual on day rollup
+    "dedup_boilerplate_segments",   # cross-doc segment removal + rebuild
+    "rake_keyphrases",              # gaps-and-islands keyphrase scorer
+    "link_prediction_adamic_adar",  # capped 2-hop common-neighbor join
+    "rendezvous_hash_assign",       # per-row HRW argmax routing
 ]
 
 
