@@ -99,6 +99,7 @@ _MODULES = [
     "hpmr_spark.operators.distsys2_queries",
     "hpmr_spark.operators.sampling2_queries",
     "hpmr_spark.operators.holtwinters_queries",
+    "hpmr_spark.operators.qnorm_queries",
 ]
 
 FAILED_MODULES: dict[str, str] = {}
