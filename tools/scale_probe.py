@@ -491,7 +491,97 @@ def round6_probe(spark, n: int):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+
+def round6b_probe(spark, n: int):
+    """Round-6 third wave at synthetic scale: the attribution family is
+    one user-keyed events shuffle + a constant-size DP; the time-series
+    trio runs on the calendar-bounded day rollup (flat); boilerplate/
+    RAKE/FIM are explode + keyed-count shapes (linear); Adamic-Adar is
+    the capped 2-hop join (bounded per-order co-purchase); HRW/Neyman/
+    qnorm are per-row expressions + dimension aggregates."""
+    import shutil
+    import tempfile
+
+    from __spark_entry__ import queries
+
+    qs = queries()
+    tmp = tempfile.mkdtemp(prefix="scale_r6b_")
+    try:
+        orders = spark.range(n).select(
+            F.col("id").alias("o_orderkey"),
+            (((F.xxhash64("id") % 49000000 + 49000000) % 49000000 + 100000) / 100.0).alias("o_totalprice"),
+            F.timestamp_micros(
+                F.lit(820454400000000)
+                + ((F.xxhash64(F.col("id") + 13) % 63072000000000 + 63072000000000) % 63072000000000)
+            ).alias("o_orderdate"),
+        )
+        orders.write.mode("overwrite").parquet(f"{tmp}/orders.parquet")
+        li = spark.range(n * 2).select(
+            (F.col("id") % n).alias("l_orderkey"),
+            ((F.xxhash64("id") % (n // 20) + n // 20) % (n // 20)).alias("l_partkey"),
+        )
+        li.write.mode("overwrite").parquet(f"{tmp}/lineitem.parquet")
+        segs = F.array(*[F.lit(x) for x in ("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")])
+        cust = spark.range(n // 10).select(
+            F.col("id").alias("c_custkey"),
+            (F.col("id") % 25).cast("int").alias("c_nationkey"),
+            F.element_at(segs, (F.col("id") % 5 + 1).cast("int")).alias("c_mktsegment"),
+            (((F.xxhash64("id") % 1100000 + 1100000) % 1100000) / 100.0 - 1000.0).alias("c_acctbal"),
+        )
+        cust.write.mode("overwrite").parquet(f"{tmp}/customer.parquet")
+        langs = F.array(*[F.lit(x) for x in ("en", "de", "fr", "es", "pt")])
+        docs = synth_docs(spark, max(n // 50, 1000)).select(
+            "doc_id",
+            "text",
+            F.element_at(langs, (F.col("doc_id") % 5 + 1).cast("int")).alias("lang"),
+            F.concat(F.lit("src"), (F.col("doc_id") % 20).cast("string")).alias("source"),
+            F.length("text").cast("long").alias("n_chars"),
+        )
+        docs.write.mode("overwrite").parquet(f"{tmp}/documents.parquet")
+        types = F.array(*[F.lit(t) for t in ("view", "click", "purchase", "error", "signup")])
+        events = spark.range(n).select(
+            F.col("id").alias("event_id"),
+            ((F.xxhash64("id") % (n // 100) + n // 100) % (n // 100)).alias("user_id"),
+            F.timestamp_micros(
+                F.lit(1700000000000000)
+                + ((F.xxhash64(F.col("id") + 7) % 86400000000 + 86400000000) % 86400000000)
+            ).alias("ts"),
+            F.element_at(types, ((F.xxhash64(F.col("id") + 5) % 5 + 5) % 5 + 1).cast("int")).alias("event_type"),
+            (((F.xxhash64(F.col("id") + 11) % 10000 + 10000) % 10000) / 100.0).alias("value"),
+        )
+        events.write.mode("overwrite").parquet(f"{tmp}/events.parquet")
+        for name in [
+            "attribution_removal_effect",
+            "attribution_time_decay",
+            "attribution_shapley_exact",
+            "seasonal_decompose_additive",
+            "control_chart_we_rules",
+            "holt_winters_daily_forecast",
+            "dedup_boilerplate_segments",
+            "rake_keyphrases",
+            "fim_transform_psm",
+            "link_prediction_adamic_adar",
+            "rendezvous_hash_assign",
+            "neyman_allocation_sample",
+            "quantile_normalize_doclen",
+            "preference_pairs_build",
+        ]:
+            t0 = time.time()
+            cnt = qs[name](spark, tmp).count()
+            print(f"{name}: {cnt} rows in {time.time()-t0:.1f}s")
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def main():
+    if len(sys.argv) > 1 and sys.argv[1] == "round6b":
+        from hpmr_spark.engine import get_spark
+
+        spark = get_spark("scale-probe-round6b")
+        round6b_probe(spark, int(sys.argv[2]) if len(sys.argv) > 2 else 1_000_000)
+        spark.stop()
+        return
+
     if len(sys.argv) > 1 and sys.argv[1] == "round6":
         from hpmr_spark.engine import get_spark
 
