@@ -98,6 +98,7 @@ SKIP = {
     "control_chart_we_rules",  # persisted day rollup, same
     "link_prediction_adamic_adar",  # persisted edge list, same
     "lttb_downsample_12",  # UNpersisted day rollup: flips to InMemoryTableScan once the persisted timeseries-family day frames materialize in a shared session
+    "holt_winters_daily_forecast",  # UNpersisted day rollup, same class
 }
 
 SF_DIR = "/root/testdata/sf0.001"
