@@ -376,3 +376,134 @@ def lttb_downsample_12(spark, sf_dir):
         )
         .orderBy("pt_idx")
     )
+
+
+# ---------------------------------------------------------------------------
+# Seasonal anomaly days: decomposition residual vs 3x MAD.
+# ---------------------------------------------------------------------------
+_ANOM_ORACLE = f"""
+    WITH day AS MATERIALIZED ({_DAY_SQL}),
+    tr AS (
+      SELECT a.d, a.cents,
+             CAST(SUM(CAST(b.cents AS HUGEINT)) // 7 AS BIGINT) AS trend_cents,
+             COUNT(*) AS w
+      FROM day a JOIN day b ON b.d BETWEEN a.d - 3 AND a.d + 3
+      GROUP BY a.d, a.cents
+    ),
+    det AS MATERIALIZED (
+      SELECT d, cents, trend_cents, cents - trend_cents AS det
+      FROM tr WHERE w = 7
+    ),
+    seas AS (
+      SELECT (d + 3) % 7 AS wd,
+             CAST(CAST(SUM(CAST(det AS HUGEINT)) AS HUGEINT) // COUNT(*)
+                  AS BIGINT) AS seasonal_cents
+      FROM det GROUP BY 1
+    ),
+    r AS MATERIALIZED (
+      SELECT t.d, t.cents,
+             CAST(t.det - s.seasonal_cents AS BIGINT) AS resid
+      FROM det t JOIN seas s ON s.wd = (t.d + 3) % 7
+    ),
+    med AS (
+      SELECT a AS mad FROM (
+        SELECT ABS(resid) AS a,
+               ROW_NUMBER() OVER (ORDER BY ABS(resid), d) AS rn
+        FROM r
+      ) x, (SELECT COUNT(*) AS n FROM r) t
+      WHERE rn = (t.n + 1) // 2
+    )
+    SELECT r.d, r.cents, r.resid,
+           CAST(CASE WHEN r.resid > 0 THEN 1 WHEN r.resid < 0 THEN -1
+                ELSE 0 END AS BIGINT) AS side,
+           CAST(CASE WHEN ABS(r.resid) > 3 * med.mad THEN 1 ELSE 0 END
+                AS BIGINT) AS is_anomaly
+    FROM r, med ORDER BY r.d
+"""
+
+
+@register("seasonal_anomaly_days", _ANOM_ORACLE)
+def seasonal_anomaly_days(spark, sf_dir):
+    """Seasonal-residual anomaly detection: decompose daily revenue
+    (trend = full-window 7-day average, weekday seasonal means — the
+    seasonal_decompose_additive construction), then flag days whose
+    residual exceeds 3× the LOWER-median absolute residual (exact
+    integer MAD — rank (n+1) div 2 under the (|resid|, d) total order,
+    found by a broadcast non-equi self-join on the calendar-bounded
+    frame, never a global window). Integer comparisons throughout; the
+    residual frame is persisted (rank join a/b + count + final = 4
+    consumers)."""
+    day = _day_frame(spark, sf_dir, "_uq_anomaly").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    a = day.select(F.col("d").alias("ad"), F.col("cents").alias("ac"))
+    b = day.select(F.col("d").alias("bd"), F.col("cents").alias("bc"))
+    tr = (
+        a.join(b, (F.col("bd") >= F.col("ad") - 3) & (F.col("bd") <= F.col("ad") + 3))
+        .groupBy("ad", "ac")
+        .agg(
+            F.expr("CAST(SUM(CAST(bc AS DECIMAL(38,0))) div 7 AS BIGINT)").alias(
+                "trend_cents"
+            ),
+            F.count(F.lit(1)).alias("w"),
+        )
+    )
+    det = tr.where(F.col("w") == 7).select(
+        F.col("ad").alias("d"),
+        F.col("ac").alias("cents"),
+        (F.col("ac") - F.col("trend_cents")).alias("det"),
+    )
+    seas = det.groupBy(((F.col("d") + 3) % 7).alias("wd")).agg(
+        F.expr(
+            "CAST(CAST(SUM(CAST(det AS DECIMAL(38,0))) AS DECIMAL(38,0))"
+            " div COUNT(*) AS BIGINT)"
+        ).alias("seasonal_cents")
+    )
+    r = (
+        det.join(seas, ((F.col("d") + 3) % 7) == F.col("wd"))
+        .select(
+            "d",
+            "cents",
+            (F.col("det") - F.col("seasonal_cents")).cast("long").alias("resid"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    ra = r.select(
+        F.col("d").alias("rd"), F.abs(F.col("resid")).alias("ra")
+    )
+    rb = r.select(
+        F.col("d").alias("sd"), F.abs(F.col("resid")).alias("sa")
+    )
+    rk = (
+        ra.join(
+            F.broadcast(rb),
+            (F.col("sa") < F.col("ra"))
+            | ((F.col("sa") == F.col("ra")) & (F.col("sd") < F.col("rd"))),
+            "left",
+        )
+        .groupBy("rd", "ra")
+        .agg((F.lit(1) + F.count("sd")).cast("long").alias("rn"))
+    )
+    n = r.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    med = (
+        rk.crossJoin(F.broadcast(n))
+        .where(F.col("rn") == F.expr("(n + 1) div 2"))
+        .select(F.col("ra").alias("mad"))
+    )
+    return (
+        r.crossJoin(F.broadcast(med))
+        .select(
+            "d",
+            "cents",
+            "resid",
+            F.expr(
+                "CAST(CASE WHEN resid > 0 THEN 1 WHEN resid < 0 THEN -1"
+                " ELSE 0 END AS BIGINT)"
+            ).alias("side"),
+            F.expr(
+                "CAST(CASE WHEN ABS(resid) > 3 * mad THEN 1 ELSE 0 END"
+                " AS BIGINT)"
+            ).alias("is_anomaly"),
+        )
+        .orderBy("d")
+    )

@@ -99,6 +99,7 @@ SKIP = {
     "link_prediction_adamic_adar",  # persisted edge list, same
     "lttb_downsample_12",  # UNpersisted day rollup: flips to InMemoryTableScan once the persisted timeseries-family day frames materialize in a shared session
     "holt_winters_daily_forecast",  # UNpersisted day rollup, same class
+    "seasonal_anomaly_days",  # persisted day rollup + residual frame
 }
 
 SF_DIR = "/root/testdata/sf0.001"
