@@ -102,6 +102,7 @@ _MODULES = [
     "hpmr_spark.operators.qnorm_queries",
     "hpmr_spark.operators.llm_prep2_queries",
     "hpmr_spark.operators.mleval2_queries",
+    "hpmr_spark.operators.binseg_queries",
 ]
 
 FAILED_MODULES: dict[str, str] = {}

@@ -394,3 +394,57 @@ def streaming_checkpoint_exactly_once(spark, sf_dir):
     from hpmr_spark.streaming.windows import checkpoint_exactly_once
 
     return checkpoint_exactly_once(spark, sf_dir)
+
+
+@register(
+    "streaming_window_topk_types",
+    """
+    WITH counts AS (
+      SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+             event_type, CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM events GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT window_start, event_type, n_events,
+             ROW_NUMBER() OVER (PARTITION BY window_start
+                                ORDER BY n_events DESC, event_type ASC)
+               AS rk
+      FROM counts
+    )
+    SELECT window_start, event_type, n_events, CAST(rk AS BIGINT) AS rank
+    FROM ranked WHERE rk <= 3
+    ORDER BY window_start, rank
+    """,
+)
+def streaming_window_topk_types(spark, sf_dir):
+    """Streaming per-window top-k: a stateful tumbling-window count per
+    (window, event_type) runs as an AvailableNow stream into a memory
+    sink (complete mode), then a window-PARTITIONED batch re-rank emits
+    the top-3 event types per hour with the full (count DESC, type ASC)
+    tie-break — the leaderboard topology (stateful streaming agg +
+    downstream batch re-rank over the sink table). The re-rank is a
+    per-window partitioned row_number (never global); state sizing per
+    the _run_to_table note."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from hpmr_spark.streaming.windows import _events_stream, _run_to_table
+
+    ev = _events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    agg = ev.groupBy(
+        F.window("ts", "1 hour").alias("w"), "event_type"
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    tbl = _run_to_table(agg, "wintopk", "complete")
+    ranked = tbl.select(
+        F.col("w.start").alias("window_start"), "event_type", "n_events"
+    ).withColumn(
+        "rank",
+        F.row_number()
+        .over(
+            W.partitionBy("window_start").orderBy(
+                F.desc("n_events"), F.asc("event_type")
+            )
+        )
+        .cast("long"),
+    )
+    return ranked.where(F.col("rank") <= 3).orderBy("window_start", "rank")

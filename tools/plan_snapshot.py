@@ -100,6 +100,7 @@ SKIP = {
     "lttb_downsample_12",  # UNpersisted day rollup: flips to InMemoryTableScan once the persisted timeseries-family day frames materialize in a shared session
     "holt_winters_daily_forecast",  # UNpersisted day rollup, same class
     "seasonal_anomaly_days",  # persisted day rollup + residual frame
+    "binseg_changepoints_revenue",  # persisted rank/prefix + split frames
 }
 
 SF_DIR = "/root/testdata/sf0.001"
