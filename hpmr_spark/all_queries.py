@@ -260,8 +260,6 @@ _CHECK_FIRST = [
     "sink_parquet_roundtrip",
     "sink_csv_roundtrip",
     "sink_json_roundtrip",
-    "sink_orc_roundtrip",
-    "sink_text_roundtrip",
     "sink_dynamic_partition_overwrite",
     "sink_partitioned_pruned",
     "sink_versioned_snapshots",
@@ -269,10 +267,8 @@ _CHECK_FIRST = [
     "custom_reducer_max_qty",
     "skew_diagnostics_orders",
     "skew_salted_sum_by_status",
-    "skew_kurtosis_quantity",
     # every never-checked streaming row
     "streaming_tumbling_counts",
-    "streaming_sliding_activity",
     "streaming_dedup_events",
     "streaming_stream_stream_join",
     "streaming_append_closed_windows",
@@ -287,7 +283,6 @@ _CHECK_FIRST = [
     "source_binaryfile_fingerprints",
     "partition_pruning_proof",
     "pydatasource_sink_roundtrip",
-    "pydatasource_seq_agg",
     "ivm_checkpoint_resume",
     "ivm_join_delta_merge",
     # second round-6 wave (newest code = highest risk; in place of the six
@@ -316,6 +311,15 @@ _CHECK_FIRST = [
     "linkage_sorted_neighborhood",
     "dedup_boilerplate_segments",
     "rake_keyphrases",
+    # fourth round-6 wave (newest of all) — in place of sink_orc/sink_text
+    # (sinks keep 6 reps), skew_kurtosis_quantity (skew keeps 2),
+    # pydatasource_seq_agg (the sink twin stays), streaming_sliding_activity
+    # (streaming keeps 10 reps incl. the new top-k) — all selfcheck-green
+    "holt_winters_daily_forecast",
+    "ams_f2_sketch_gate",
+    "binseg_changepoints_revenue",
+    "quantile_normalize_doclen",
+    "streaming_window_topk_types",
 ]
 
 
