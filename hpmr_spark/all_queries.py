@@ -103,6 +103,8 @@ _MODULES = [
     "hpmr_spark.operators.llm_prep2_queries",
     "hpmr_spark.operators.mleval2_queries",
     "hpmr_spark.operators.binseg_queries",
+    "hpmr_spark.operators.distance_stats_queries",
+    "hpmr_spark.operators.model_sql_queries",
 ]
 
 FAILED_MODULES: dict[str, str] = {}

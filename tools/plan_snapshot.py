@@ -101,6 +101,7 @@ SKIP = {
     "holt_winters_daily_forecast",  # UNpersisted day rollup, same class
     "seasonal_anomaly_days",  # persisted day rollup + residual frame
     "binseg_changepoints_revenue",  # persisted rank/prefix + split frames
+    "emd_1d_price_shift",  # persisted support frame (rn-equi gap join)
 }
 
 SF_DIR = "/root/testdata/sf0.001"
