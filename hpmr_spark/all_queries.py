@@ -105,6 +105,21 @@ _MODULES = [
     "hpmr_spark.operators.binseg_queries",
     "hpmr_spark.operators.distance_stats_queries",
     "hpmr_spark.operators.model_sql_queries",
+    "hpmr_spark.operators.dtw_queries",
+    "hpmr_spark.operators.textrank_queries",
+    "hpmr_spark.operators.eval_stats3_queries",
+    "hpmr_spark.operators.recommender_queries",
+    "hpmr_spark.operators.density_queries",
+    "hpmr_spark.operators.timeseries5_queries",
+    "hpmr_spark.operators.profiling2_queries",
+    "hpmr_spark.operators.llm_eval_queries",
+    "hpmr_spark.operators.wavelet_queries",
+    "hpmr_spark.operators.geometry_queries",
+    "hpmr_spark.operators.schedopt_queries",
+    "hpmr_spark.operators.graph_quality_queries",
+    "hpmr_spark.operators.embed_select_queries",
+    "hpmr_spark.operators.bandit2_queries",
+    "hpmr_spark.operators.stats_band_queries",
 ]
 
 FAILED_MODULES: dict[str, str] = {}
@@ -260,17 +275,13 @@ _CHECK_FIRST = [
     "conformal_threshold_coverage",
     # sinks (serialization surface, SURVEY §2 row 18)
     "sink_parquet_roundtrip",
-    "sink_csv_roundtrip",
-    "sink_json_roundtrip",
     "sink_dynamic_partition_overwrite",
     "sink_partitioned_pruned",
     "sink_versioned_snapshots",
     # reducer + skew families
     "custom_reducer_max_qty",
     "skew_diagnostics_orders",
-    "skew_salted_sum_by_status",
     # every never-checked streaming row
-    "streaming_tumbling_counts",
     "streaming_dedup_events",
     "streaming_stream_stream_join",
     "streaming_append_closed_windows",
@@ -293,8 +304,6 @@ _CHECK_FIRST = [
     # q9_product_type_profit, q13_customer_distribution — direct SQL
     # twins, the least likely family to hide cross-engine bugs)
     "bpe_apply_compression_report",
-    "holt_linear_forecast_weekly",
-    "mmr_diversified_topk",
     "pit_join_feature_spend",
     "logrank_test_cohorts",
     # third round-6 wave — the session's newest code, swapped in for
@@ -304,11 +313,8 @@ _CHECK_FIRST = [
     # applyinarrow_lang_stats (all r2-r6-wave-2 code, selfcheck-green at
     # both SFs for one or more full sweeps)
     "attribution_removal_effect",
-    "attribution_time_decay",
     "attribution_shapley_exact",
     "seasonal_decompose_additive",
-    "control_chart_we_rules",
-    "lttb_downsample_12",
     "link_prediction_adamic_adar",
     "linkage_sorted_neighborhood",
     "dedup_boilerplate_segments",
@@ -320,8 +326,26 @@ _CHECK_FIRST = [
     "holt_winters_daily_forecast",
     "ams_f2_sketch_gate",
     "binseg_changepoints_revenue",
-    "quantile_normalize_doclen",
     "streaming_window_topk_types",
+    # fifth/sixth round-6 wave (this continuation session's newest code) —
+    # in place of sink_csv/sink_json (sinks keep 4 reps),
+    # skew_salted_sum_by_status (skew keeps diagnostics + salted_join),
+    # streaming_tumbling_counts/streaming_static_enrich (streaming keeps
+    # 9 reps incl. the new stateful EWMA), attribution_time_decay,
+    # holt_linear_forecast_weekly, control_chart_we_rules,
+    # mmr_diversified_topk, quantile_normalize_doclen, lttb_downsample_12
+    # (each family keeps ≥1 window representative; all swapped-out rows are
+    # driver-green in r5/r6 and selfcheck-green at both SFs)
+    "dtw_nation_revenue",
+    "textrank_keywords",
+    "haar_wavelet_compress",
+    "streaming_ewma_user_state",
+    "grid_dbscan_clusters",
+    "weighted_interval_scheduling",
+    "ucb1_replay_arms",
+    "naive_bayes_lang_eval",
+    "emd_1d_price_shift",
+    "graph_modularity_ppm",
 ]
 
 

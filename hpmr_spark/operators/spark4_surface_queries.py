@@ -299,3 +299,39 @@ def sql_session_variables(spark, sf_dir):
         USING report_dmax
         """
     )
+
+
+_PARAM_ORACLE = """
+    SELECT o_orderpriority AS grp,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS revenue_cents
+    FROM orders
+    WHERE o_totalprice > 150000.0 AND o_orderstatus = 'F'
+    GROUP BY o_orderpriority
+"""
+
+
+@register("sql_parameterized_markers", _PARAM_ORACLE)
+def sql_parameterized_markers(spark, sf_dir):
+    """Spark 4 parameterized SQL: named parameter markers (:minp, :st —
+    values bound via spark.sql(..., args={...}), never string-spliced)
+    plus an IDENTIFIER(:grp) clause that parameterizes the GROUP BY
+    column and a dataframe template argument ({o}) that binds the table
+    without a temp view. The markers are the injection-safe query API a
+    multi-tenant engine exposes; Catalyst folds the bound literals into
+    the same plan the inlined oracle text produces."""
+    o = _t(spark, sf_dir, "orders")
+    return spark.sql(
+        """
+        SELECT IDENTIFIER(:grp) AS grp,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                 AS revenue_cents
+        FROM {o}
+        WHERE o_totalprice > :minp AND o_orderstatus = :st
+        GROUP BY IDENTIFIER(:grp)
+        """,
+        args={"grp": "o_orderpriority", "minp": 150000.0, "st": "F"},
+        o=o,
+    )

@@ -448,3 +448,17 @@ def streaming_window_topk_types(spark, sf_dir):
         .cast("long"),
     )
     return ranked.where(F.col("rank") <= 3).orderBy("window_start", "rank")
+
+
+from hpmr_spark.operators.advanced2_queries import _EWMA_SQL as _EWMA_TWIN_SQL  # noqa: E402
+
+
+@register("streaming_ewma_user_state", _EWMA_TWIN_SQL)
+def streaming_ewma_user_state(spark, sf_dir):
+    """Stateful streaming twin of ewma_user_value_exact: trailing-16
+    dyadic EWMA per user via applyInPandasWithState (capped-array state,
+    mergeable top-16 fold — batch-equivalent at any micro-batching); the
+    oracle is the batch window SQL. See streaming/windows.py."""
+    from hpmr_spark.streaming.windows import streaming_ewma_user_state as _run
+
+    return _run(spark, sf_dir)

@@ -413,3 +413,79 @@ def checkpoint_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _CKPT_ONCE_LAST: dict | None = None
+
+
+EWMA_STATE_SCHEMA = "ts array<long>, eid array<long>, cents array<long>, n_seen long"
+EWMA_OUTPUT_SCHEMA = "user_id long, n_recent long, num long, den long, n_seen long"
+
+
+def _ewma_fn(
+    key: Tuple[int], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Trailing-16 dyadic EWMA state: keep the 16 largest (ts, event_id)
+    rows — a MERGEABLE fold (top-k by a total order), so the final state
+    is identical under any micro-batching. Weights ascend oldest→newest
+    (newest = 2^(m-1)), matching ewma_user_value_exact."""
+    (user_id,) = key
+    ts, eid, cents, n_seen = (
+        state.get if state.exists else ([], [], [], 0)
+    )
+    rows = list(zip(ts, eid, cents))
+    for pdf in pdfs:
+        us = pdf["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+        ei = pdf["event_id"].to_numpy().astype("int64")
+        v = pdf["value"].to_numpy() * 100.0
+        # half-away-from-zero (matches F.round / DuckDB ROUND)
+        cv = (np.floor(np.abs(v) + 0.5) * np.sign(v)).astype("int64")
+        rows.extend(zip(us.tolist(), ei.tolist(), cv.tolist()))
+        n_seen += len(pdf)
+    rows.sort(key=lambda r: (r[0], r[1]))
+    rows = rows[-16:]
+    state.update(
+        ([r[0] for r in rows], [r[1] for r in rows], [r[2] for r in rows], n_seen)
+    )
+    m = len(rows)
+    num = sum(c << p for p, (_, _, c) in enumerate(rows))
+    den = (1 << m) - 1
+    yield pd.DataFrame(
+        [
+            {
+                "user_id": user_id,
+                "n_recent": m,
+                "num": num,
+                "den": den,
+                "n_seen": n_seen,
+            }
+        ]
+    )
+
+
+def streaming_ewma_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator: the exact dyadic trailing-16
+    EWMA per user (the streaming twin of ewma_user_value_exact). State is
+    three capped-16 arrays + a counter per user — bounded regardless of
+    stream length; the final emission per user (max n_seen — monotone)
+    equals the batch computation because the trailing-16 fold is
+    mergeable. The only float is the final num/den double division, the
+    same expression text as the batch twin's oracle."""
+    ev = _events_stream(spark, sf_dir).select("user_id", "ts", "event_id", "value")
+    updated = ev.groupBy("user_id").applyInPandasWithState(
+        _ewma_fn,
+        outputStructType=EWMA_OUTPUT_SCHEMA,
+        stateStructType=EWMA_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    out = _run_to_table(updated, "ewmastate", "update")
+    fin = out.groupBy("user_id").agg(
+        F.max_by("n_recent", "n_seen").alias("n_recent"),
+        F.max_by("num", "n_seen").alias("num"),
+        F.max_by("den", "n_seen").alias("den"),
+    )
+    return fin.select(
+        "user_id",
+        F.col("n_recent").cast("long").alias("n_recent"),
+        F.col("num").cast("long").alias("num"),
+        F.col("den").cast("long").alias("den"),
+        F.expr("CAST(num AS DOUBLE) / CAST(den AS DOUBLE)").alias("ewma_cents"),
+    )

@@ -102,6 +102,17 @@ SKIP = {
     "seasonal_anomaly_days",  # persisted day rollup + residual frame
     "binseg_changepoints_revenue",  # persisted rank/prefix + split frames
     "emd_1d_price_shift",  # persisted support frame (rn-equi gap join)
+    "dtw_nation_revenue",  # persisted (nation, month) grid (a/b-side pair join)
+    "textrank_keywords",  # persisted node/edge frames (3 bounded iterations)
+    "slope_one_recommend",  # persisted ratings rollup (4 consumers)
+    "grid_dbscan_clusters",  # iterative components: localCheckpoints at build
+    "dickey_fuller_unit_root",  # persisted scaled day frame (lag rn-join)
+    "ransac_line_inliers",  # persisted day rollup (rank + inlier consumers)
+    "haar_wavelet_compress",  # persisted base/top8 frames (transform + recon)
+    "blocking_quality_metrics",  # ngram_jaccard_pairs persists the shingle frame
+    "streaming_ewma_user_state",  # runs the stream at build
+    "graph_modularity_ppm",  # persisted edge/label frames (LPA pattern)
+    "pmi_top_pairs",  # persisted bigram frame (4 consumers)
 }
 
 SF_DIR = "/root/testdata/sf0.001"

@@ -573,7 +573,136 @@ def round6b_probe(spark, n: int):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+
+
+def round6c_probe(spark, n: int):
+    """Round-6 sixth wave at synthetic scale: the distance/model/test
+    family is one fact pass into bounded frames (support histograms, the
+    50-quantity profile, day rollups, 11/21-point grids); DTW/WIS/UCB1/
+    Haar run their sequential parts on calendar/constant-bounded frames;
+    the corpus family (NB, TextRank, Heaps, PMI, B-cubed) is explode +
+    keyed counts (linear) with bounded graph/grid tails."""
+    import shutil
+    import tempfile
+
+    from __spark_entry__ import queries
+
+    qs = queries()
+    tmp = tempfile.mkdtemp(prefix="scale_r6c_")
+    try:
+        flags = F.array(*[F.lit(x) for x in ("A", "N", "R")])
+        orders = spark.range(n).select(
+            F.col("id").alias("o_orderkey"),
+            ((F.xxhash64("id") % (n // 10) + n // 10) % (n // 10)).alias("o_custkey"),
+            (((F.xxhash64("id") % 49000000 + 49000000) % 49000000 + 100000) / 100.0).alias("o_totalprice"),
+            F.timestamp_micros(
+                F.lit(820454400000000)
+                + ((F.xxhash64(F.col("id") + 13) % 63072000000000 + 63072000000000) % 63072000000000)
+            ).alias("o_orderdate"),
+            F.lit("F").alias("o_orderstatus"),
+            F.concat(F.lit("P"), (F.col("id") % 5).cast("string")).alias("o_orderpriority"),
+        )
+        orders.write.mode("overwrite").parquet(f"{tmp}/orders.parquet")
+        li = spark.range(n * 2).select(
+            (F.col("id") % n).alias("l_orderkey"),
+            ((F.xxhash64("id") % (n // 20) + n // 20) % (n // 20)).alias("l_partkey"),
+            ((F.xxhash64(F.col("id") + 3) % 1000 + 1000) % 1000).alias("l_suppkey"),
+            (F.col("id") % 7).cast("int").alias("l_linenumber"),
+            (((F.xxhash64(F.col("id") + 1) % 50 + 50) % 50) + 1).cast("double").alias("l_quantity"),
+            (((F.xxhash64(F.col("id") + 2) % 10000000 + 10000000) % 10000000 + 100000) / 100.0).alias("l_extendedprice"),
+            (((F.xxhash64(F.col("id") + 4) % 11 + 11) % 11) / 100.0).alias("l_discount"),
+            F.lit(0.05).alias("l_tax"),
+            F.element_at(flags, ((F.xxhash64(F.col("id") + 6) % 3 + 3) % 3 + 1).cast("int")).alias("l_returnflag"),
+            F.lit("O").alias("l_linestatus"),
+            F.timestamp_micros(
+                F.lit(820454400000000)
+                + ((F.xxhash64(F.col("id") + 8) % 63072000000000 + 63072000000000) % 63072000000000)
+            ).alias("l_shipdate"),
+        )
+        li.write.mode("overwrite").parquet(f"{tmp}/lineitem.parquet")
+        cust = spark.range(n // 10).select(
+            F.col("id").alias("c_custkey"),
+            (F.col("id") % 25).cast("int").alias("c_nationkey"),
+        )
+        cust.write.mode("overwrite").parquet(f"{tmp}/customer.parquet")
+        nation = spark.range(25).select(
+            F.col("id").cast("int").alias("n_nationkey"),
+            F.concat(F.lit("NATION"), F.col("id").cast("string")).alias("n_name"),
+        )
+        nation.write.mode("overwrite").parquet(f"{tmp}/nation.parquet")
+        langs = F.array(*[F.lit(x) for x in ("en", "de", "fr", "es", "pt")])
+        docs = synth_docs(spark, max(n // 50, 1000)).select(
+            "doc_id",
+            "text",
+            F.element_at(langs, (F.col("doc_id") % 5 + 1).cast("int")).alias("lang"),
+            F.concat(F.lit("src"), (F.col("doc_id") % 20).cast("string")).alias("source"),
+            F.length("text").cast("long").alias("n_chars"),
+        )
+        docs.write.mode("overwrite").parquet(f"{tmp}/documents.parquet")
+        types = F.array(*[F.lit(t) for t in ("view", "click", "purchase", "error", "signup")])
+        events = spark.range(n).select(
+            F.col("id").alias("event_id"),
+            ((F.xxhash64("id") % (n // 100) + n // 100) % (n // 100)).alias("user_id"),
+            F.timestamp_micros(
+                F.lit(1700000000000000)
+                + ((F.xxhash64(F.col("id") + 7) % 86400000000 + 86400000000) % 86400000000)
+            ).alias("ts"),
+            F.element_at(types, ((F.xxhash64(F.col("id") + 5) % 5 + 5) % 5 + 1).cast("int")).alias("event_type"),
+            (((F.xxhash64(F.col("id") + 11) % 10000 + 10000) % 10000) / 100.0).alias("value"),
+        )
+        events.write.mode("overwrite").parquet(f"{tmp}/events.parquet")
+        emb = spark.range(max(n // 500, 500)).select(
+            F.col("id").alias("vec_id"),
+            F.transform(
+                F.sequence(F.lit(1), F.lit(64)),
+                lambda i: (((F.xxhash64(F.col("id") * 64 + i) % 2000 + 2000) % 2000 - 1000) / 1000.0).cast("float"),
+            ).alias("embedding"),
+            (F.col("id") % 10).cast("int").alias("label"),
+        )
+        emb.write.mode("overwrite").parquet(f"{tmp}/embeddings.parquet")
+        for name in [
+            "emd_1d_price_shift",
+            "kendall_tau_nations",
+            "mahalanobis_outliers_top20",
+            "kde_price_grid_nano",
+            "decision_stump_gini_split",
+            "business_days_latency",
+            "jackknife_ratio_variance",
+            "functional_dependency_audit",
+            "dickey_fuller_unit_root",
+            "ransac_line_inliers",
+            "max_drawdown_cents",
+            "haar_wavelet_compress",
+            "dtw_nation_revenue",
+            "grid_dbscan_clusters",
+            "ecdf_dkw_band",
+            "convex_hull_upper_qty_price",
+            "naive_bayes_lang_eval",
+            "textrank_keywords",
+            "heaps_law_fit",
+            "bcubed_dedup_eval",
+            "pmi_top_pairs",
+            "pass_at_k_estimate",
+            "ucb1_replay_arms",
+            "weighted_interval_scheduling",
+            "fisher_discriminant_dims",
+            "jl_distortion_audit",
+        ]:
+            t0 = time.time()
+            cnt = qs[name](spark, tmp).count()
+            print(f"{name}: {cnt} rows in {time.time()-t0:.1f}s")
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def main():
+    if len(sys.argv) > 1 and sys.argv[1] == "round6c":
+        from hpmr_spark.engine import get_spark
+
+        spark = get_spark("scale-probe-round6c")
+        round6c_probe(spark, int(sys.argv[2]) if len(sys.argv) > 2 else 1_000_000)
+        return
+
     if len(sys.argv) > 1 and sys.argv[1] == "round6b":
         from hpmr_spark.engine import get_spark
 
