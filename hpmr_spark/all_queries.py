@@ -120,6 +120,10 @@ _MODULES = [
     "hpmr_spark.operators.embed_select_queries",
     "hpmr_spark.operators.bandit2_queries",
     "hpmr_spark.operators.stats_band_queries",
+    "hpmr_spark.operators.pipeline3_queries",
+    "hpmr_spark.operators.llm_eval2_queries",
+    "hpmr_spark.operators.heavytail_queries",
+    "hpmr_spark.operators.graph_central_queries",
 ]
 
 FAILED_MODULES: dict[str, str] = {}

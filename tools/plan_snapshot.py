@@ -113,6 +113,10 @@ SKIP = {
     "streaming_ewma_user_state",  # runs the stream at build
     "graph_modularity_ppm",  # persisted edge/label frames (LPA pattern)
     "pmi_top_pairs",  # persisted bigram frame (4 consumers)
+    "nearest_centroid_eval",  # persisted quantized (vec, dim) frame
+    "hill_tail_index",  # persisted top-17 frame (threshold + log-sum)
+    "influence_cascade_reach",  # persisted edge/frontier frames (BFS)
+    "closeness_harmonic_h12",  # persisted sym/dist frames (relaxation rounds)
 }
 
 SF_DIR = "/root/testdata/sf0.001"
