@@ -124,6 +124,9 @@ _MODULES = [
     "hpmr_spark.operators.llm_eval2_queries",
     "hpmr_spark.operators.heavytail_queries",
     "hpmr_spark.operators.graph_central_queries",
+    "hpmr_spark.operators.mleval3_queries",
+    "hpmr_spark.operators.opsstats_queries",
+    "hpmr_spark.operators.datavalue_queries",
 ]
 
 FAILED_MODULES: dict[str, str] = {}
@@ -280,7 +283,6 @@ _CHECK_FIRST = [
     # sinks (serialization surface, SURVEY §2 row 18)
     "sink_parquet_roundtrip",
     "sink_dynamic_partition_overwrite",
-    "sink_partitioned_pruned",
     "sink_versioned_snapshots",
     # reducer + skew families
     "custom_reducer_max_qty",
@@ -318,11 +320,9 @@ _CHECK_FIRST = [
     # both SFs for one or more full sweeps)
     "attribution_removal_effect",
     "attribution_shapley_exact",
-    "seasonal_decompose_additive",
     "link_prediction_adamic_adar",
     "linkage_sorted_neighborhood",
     "dedup_boilerplate_segments",
-    "rake_keyphrases",
     # fourth round-6 wave (newest of all) — in place of sink_orc/sink_text
     # (sinks keep 6 reps), skew_kurtosis_quantity (skew keeps 2),
     # pydatasource_seq_agg (the sink twin stays), streaming_sliding_activity
@@ -350,6 +350,14 @@ _CHECK_FIRST = [
     "naive_bayes_lang_eval",
     "emd_1d_price_shift",
     "graph_modularity_ppm",
+    # seventh-wave swap: the polymorphic UDTF (riskiest new surface), the
+    # fold-partitioned exact AUC, and the persisted-quantile pinball eval
+    # in; sink_partitioned_pruned (sinks keep 3 reps),
+    # seasonal_decompose_additive (ts family keeps binseg + holt_winters),
+    # rake_keyphrases (text keeps textrank) out — all long driver-green.
+    "udtf_analyze_split",
+    "auc_cv_folds",
+    "pinball_loss_quantile_eval",
 ]
 
 

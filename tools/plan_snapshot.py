@@ -117,6 +117,10 @@ SKIP = {
     "hill_tail_index",  # persisted top-17 frame (threshold + log-sum)
     "influence_cascade_reach",  # persisted edge/frontier frames (BFS)
     "closeness_harmonic_h12",  # persisted sym/dist frames (relaxation rounds)
+    "pinball_loss_quantile_eval",  # persisted train-histogram running frame
+    "delete_cascade_audit",  # persisted order-flag frame (agg + lineitem join)
+    "theil_u2_seasonal",  # persisted day frame (three lag consumers)
+    "triplet_violation_rate",  # persisted quantized vector frame (5 consumers)
 }
 
 SF_DIR = "/root/testdata/sf0.001"
