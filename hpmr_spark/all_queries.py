@@ -127,6 +127,7 @@ _MODULES = [
     "hpmr_spark.operators.mleval3_queries",
     "hpmr_spark.operators.opsstats_queries",
     "hpmr_spark.operators.datavalue_queries",
+    "hpmr_spark.operators.aggregate2_queries",
 ]
 
 FAILED_MODULES: dict[str, str] = {}

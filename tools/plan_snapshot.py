@@ -121,6 +121,7 @@ SKIP = {
     "delete_cascade_audit",  # persisted order-flag frame (agg + lineitem join)
     "theil_u2_seasonal",  # persisted day frame (three lag consumers)
     "triplet_violation_rate",  # persisted quantized vector frame (5 consumers)
+    "markov_stationary_power",  # persisted transition frame (8 iterations)
 }
 
 SF_DIR = "/root/testdata/sf0.001"
