@@ -17,8 +17,10 @@
   through sf100), and the jackknife variance/SE are one-final-double
   expressions over them (sqrt is IEEE-correctly-rounded — portable).
 
-Scale notes (100 TB): NB is two token-scale passes (count, score) with
-a langs-sized broadcast fan-out; jackknife is one fact pass against a
+Scale notes (100 TB): NB is one token-scale counting pass plus a
+(doc, word, count)-scale scoring fan — per-doc word counts are
+pre-aggregated BEFORE the |langs| fan-out (ADVICE r6), so the fan and
+its (w, lang) join never touch raw token occurrences; jackknife is one fact pass against a
 3-row broadcast of group moments. No windows, no driver loops.
 
 Reference parity: beyond the reference kv kernel
@@ -66,13 +68,17 @@ _NB_ORACLE = f"""
             FROM documents GROUP BY lang) d,
            (SELECT CAST(COUNT(*) AS BIGINT) AS n_all FROM documents) t
     ),
+    dwc AS MATERIALIZED (
+      SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS k
+      FROM toks GROUP BY doc_id, w
+    ),
     sc AS (
       SELECT t.doc_id, t.lang,
-             CAST(SUM({_NB_TERM}) AS BIGINT) AS s
-      FROM (SELECT t0.doc_id, l0.lang, COALESCE(c0.c, 0) AS cnt
-            FROM toks t0
+             CAST(SUM(t.k * ({_NB_TERM})) AS BIGINT) AS s
+      FROM (SELECT d0.doc_id, d0.k, l0.lang, COALESCE(c0.c, 0) AS cnt
+            FROM dwc d0
             CROSS JOIN langs l0
-            LEFT JOIN cwl c0 ON c0.w = t0.w AND c0.lang = l0.lang) t
+            LEFT JOIN cwl c0 ON c0.w = d0.w AND c0.lang = l0.lang) t
       JOIN nl ON nl.lang = t.lang
       CROSS JOIN vv
       GROUP BY t.doc_id, t.lang
@@ -119,9 +125,15 @@ def naive_bayes_lang_eval(spark, sf_dir):
     cwl2 = cwl.select(
         F.col("w").alias("cw"), F.col("lang").alias("clang"), "c"
     )
+    # Pre-aggregate per-document word counts BEFORE the |langs| fan-out
+    # (ADVICE r6): the fan and its (w, lang) shuffle-join run on the
+    # (doc, word, count) frame — distinct words per doc, not raw token
+    # occurrences. k·term is exact integer arithmetic, values unchanged.
+    dwc = toks.groupBy("doc_id", "w").agg(
+        F.count(F.lit(1)).cast("long").alias("k")
+    )
     fan = (
-        toks.select("doc_id", "w")
-        .crossJoin(F.broadcast(langs.select(F.col("lang").alias("slang"))))
+        dwc.crossJoin(F.broadcast(langs.select(F.col("lang").alias("slang"))))
         .join(
             cwl2,
             (F.col("cw") == F.col("w")) & (F.col("clang") == F.col("slang")),
@@ -130,6 +142,7 @@ def naive_bayes_lang_eval(spark, sf_dir):
         .select(
             "doc_id",
             "slang",
+            "k",
             F.coalesce(F.col("c"), F.lit(0)).cast("long").alias("cnt"),
         )
     )
@@ -139,7 +152,9 @@ def naive_bayes_lang_eval(spark, sf_dir):
         )
         .crossJoin(F.broadcast(vv))
         .groupBy("doc_id", "slang")
-        .agg(F.sum(F.expr(_NB_TERM)).cast("long").alias("s"))
+        .agg(
+            F.sum(F.col("k") * F.expr(_NB_TERM)).cast("long").alias("s")
+        )
     )
     scored = sc.join(
         F.broadcast(pri.select(F.col("lang").alias("slang"), "prior_nano")), "slang"

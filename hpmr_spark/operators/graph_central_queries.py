@@ -236,7 +236,10 @@ def secretary_rule_success(spark, sf_dir):
         )
         .select("user_id", "n", "m1", "mall")
     )
-    cand = r.drop("n").join(F.broadcast(eligible), "user_id").where(
+    # eligible is ~one row per user (an unbounded dimension at 100 TB), so
+    # it must NOT be broadcast — a user_id-keyed shuffle join keeps the
+    # plan valid at any user count (ADVICE r6).
+    cand = r.drop("n").join(eligible, "user_id").where(
         (F.col("rn") > F.expr("n div 3")) & (F.col("cents") > F.col("m1"))
     )
     accepted = cand.groupBy("user_id", "mall").agg(

@@ -19,7 +19,9 @@
   first 3 tokens into columns and aggregates counts on the first
   column. The oracle is string_split indexing.
 
-Scale notes (100 TB): auc folds ride the score-histogram rollup;
+Scale notes (100 TB): auc folds ride the score-histogram rollup and the
+ppm cross-multiplication is int128-widened (DECIMAL(38,0)/HUGEINT — no
+fold-size ceiling: r2_pos ~ 2n² stays exact to n ≈ 10^17);
 pinball is two passes over a cents histogram; the UDTF streams rows
 through Arrow once into a vocab-bounded aggregate.
 
@@ -64,8 +66,10 @@ _AUCCV_ORACLE = f"""
     ),
     a AS (
       SELECT CAST(fold AS BIGINT) AS fold, n, n_pos,
-             CAST((r2_pos - n_pos * (n_pos + 1)) * 1000000
-                  // (2 * n_pos * (n - n_pos)) AS BIGINT) AS auc_ppm
+             CAST((CAST(r2_pos AS HUGEINT) - CAST(n_pos AS HUGEINT) * (n_pos + 1))
+                    * 1000000
+                  // (2 * CAST(n_pos AS HUGEINT) * (n - n_pos)) AS BIGINT)
+               AS auc_ppm
       FROM f
     ),
     m AS (
@@ -118,8 +122,9 @@ def auc_cv_folds(spark, sf_dir):
         "n",
         "n_pos",
         F.expr(
-            "(r2_pos - n_pos * (n_pos + 1)) * 1000000"
-            " div (2 * n_pos * (n - n_pos))"
+            "(CAST(r2_pos AS DECIMAL(38,0))"
+            " - CAST(n_pos AS DECIMAL(38,0)) * (n_pos + 1)) * 1000000"
+            " div (2 * CAST(n_pos AS DECIMAL(38,0)) * (n - n_pos))"
         )
         .cast("long")
         .alias("auc_ppm"),

@@ -13,6 +13,10 @@ exact BIGINT sum of its squares. Output: the 8 kept details
 (lvl, idx, coeff), the approximation row (0, 0, S), and the error row
 (−1, −1, SSE).
 
+The construction ASSUMES >= 64 distinct order days; the Spark side
+refuses (ValueError) below that, since a partial dyadic grid would
+silently change the statistic's meaning (ADVICE r6).
+
 Engine shape: one fact-keyed day aggregation; the transform is six
 chained aggregations over ≤ 64 rows and reconstruction is a 64×8
 broadcast interval join — bounded at any fact scale. Wavelet synopses
@@ -136,6 +140,18 @@ def haar_wavelet_compress(spark, sf_dir):
                 F.col("cents").alias("s"))
         .persist(StorageLevel.MEMORY_AND_DISK)  # transform chain + recon + sse
     )
+    # Dyadic-grid guard (ADVICE r6): with fewer than _N days the l0 indices
+    # start above 1, the pairing levels operate on a partial grid, and the
+    # "approximation" row silently stops being the series total. Refuse,
+    # like cosine_pairs_auto's ceiling — the count also materializes the
+    # persisted frame that every downstream consumer reuses.
+    n_days = base.count()
+    if n_days < _N:
+        raise ValueError(
+            f"haar_wavelet_compress requires >= {_N} distinct order days "
+            f"(got {n_days}): the dyadic grid would be partial and the "
+            "approximation coefficient would not equal the series total"
+        )
     cur = base
     dets = None
     for l in range(1, _LEVELS + 1):
