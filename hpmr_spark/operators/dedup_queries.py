@@ -272,41 +272,103 @@ def similarity_cosine_topk(spark, sf_dir):
     return cosine_topk(e, e.where(F.col("vec_id") < 10), k=10)
 
 
-@register("similarity_ivf_topk", None)  # approximate — rows-only check
+# --- ANN recall gating (VERDICT r6 item 2: sketch-gating pattern) ---------
+#
+# An ANN shortlist is approximate by design, so its ids can never hash-match
+# a SQL oracle. Instead each ANN query emits an oracle-REPRODUCIBLE result:
+# the exact top-1 neighbor per query (SQL-expressible) plus a boolean recall
+# gate -- 1000*|ANN intersect exact top-k| >= floor_permille*|exact top-k| in
+# integer cross-multiplication. The oracle pins (query_id, exact_top1, TRUE);
+# a recall regression flips the boolean and the value hash goes red.
+#
+# The committed floors are WEAK-REGIME floors for THIS corpus: the parquet
+# embeddings are isotropic random vectors, where no bucketed ANN can achieve
+# high recall (measured aggregates: IVF 360-520 permille, trained 510-580,
+# IVF-PQ 300-520 across sf0.001/0.01/0.1). The STRONG >=900 contract is
+# asserted on the clustered pytest fixture (tests/test_dedup.py recall >=
+# 0.9), where ANN is actually supposed to work. Like the LSH constants, the
+# floors are commitments: re-verify with selfcheck if the test data changes.
+
+_ANN_GATE_ORACLE = f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings
+               WHERE vec_id < 10),
+         c AS (SELECT vec_id AS neighbor_id, embedding FROM embeddings)
+    SELECT query_id, neighbor_id AS exact_top1, TRUE AS recall_floor_ok
+    FROM (
+      SELECT q.query_id, c.neighbor_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY q.query_id
+               ORDER BY {sql_cosine('q.embedding', 'c.embedding', 64)} DESC,
+                        c.neighbor_id
+             ) AS rn
+      FROM q, c WHERE q.query_id != c.neighbor_id)
+    WHERE rn = 1
+"""
+
+
+def _ann_recall_gated(e, ann_df, k: int, floor_permille: int):
+    """Wrap an ANN shortlist into the gated-oracle shape: 10 rows
+    (query_id, exact_top1, recall_floor_ok). Declarative throughout --
+    the hit count rides a 1-row broadcast, no driver collect."""
+    exact = cosine_topk(e, e.where(F.col("vec_id") < 10), k=k)
+    top1 = exact.where(F.col("rank") == 1).select(
+        "query_id", F.col("neighbor_id").alias("exact_top1")
+    )
+    hits = (
+        ann_df.select("query_id", "neighbor_id")
+        .join(exact.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"])
+        .agg(F.count(F.lit(1)).cast("long").alias("h"))
+    )
+    tot = exact.agg(F.count(F.lit(1)).cast("long").alias("t"))
+    gate = hits.crossJoin(tot).select(
+        (F.col("h") * 1000 >= F.lit(floor_permille) * F.col("t")).alias(
+            "recall_floor_ok"
+        )
+    )
+    return top1.crossJoin(F.broadcast(gate))
+
+
+@register("similarity_ivf_topk", _ANN_GATE_ORACLE)
 def similarity_ivf_topk(spark, sf_dir):
-    """IVF-style ANN top-k (coarse hyperplane cells, Hamming-1 probes).
-    Approximate by design → no SQL oracle; recall vs the exact twin is
-    asserted in tests/test_dedup.py."""
+    """IVF-style ANN top-k (coarse hyperplane cells, Hamming-1 probes),
+    emitted in the gated-oracle shape: exact top-1 per query + committed
+    aggregate recall floor (250 permille -- weak-regime isotropic corpus;
+    the >=0.9 clustered contract lives in tests/test_dedup.py)."""
     e = _t(spark, sf_dir, "embeddings")
-    return ivf_topk(e, e.where(F.col("vec_id") < 10), k=10)
+    ann = ivf_topk(e, e.where(F.col("vec_id") < 10), k=10)
+    return _ann_recall_gated(e, ann, k=10, floor_permille=250)
 
 
-@register("similarity_ivf_trained_topk", None)  # approximate — rows-only check
+@register("similarity_ivf_trained_topk", _ANN_GATE_ORACLE)
 def similarity_ivf_trained_topk(spark, sf_dir):
     """TRAINED IVF ANN top-k: 2 deterministic k-means iterations build
     data-adaptive coarse cells (vs similarity_ivf_topk's data-blind
     hyperplane cells); queries probe their 2 nearest centroids only.
-    Approximate by design → no SQL oracle; recall ≥ 0.9 on the clustered
-    fixture is asserted in tests/test_dedup.py::test_ivf_trained_recall_clustered."""
+    Gated-oracle shape with a committed 400-permille aggregate recall
+    floor (isotropic corpus; >=0.9 on the clustered fixture is asserted
+    in tests/test_dedup.py::test_ivf_trained_recall_clustered)."""
     from hpmr_spark.similarity.lsh import ivf_topk_trained
 
     e = _t(spark, sf_dir, "embeddings")
-    return ivf_topk_trained(e, e.where(F.col("vec_id") < 10), k=10, n_cells=8)
+    ann = ivf_topk_trained(e, e.where(F.col("vec_id") < 10), k=10, n_cells=8)
+    return _ann_recall_gated(e, ann, k=10, floor_permille=400)
 
 
-@register("ivfpq_topk_search", None)  # approximate — rows-only check
+@register("ivfpq_topk_search", _ANN_GATE_ORACLE)
 def ivfpq_topk_search(spark, sf_dir):
     """IVF-PQ composed end-to-end (similarity/ivfpq.py): trained coarse
     cells route queries to n_probe=2 of 8 cells; corpus residuals are
-    PQ-encoded (8 subspaces × 16 codes = 4 bytes/vector); ADC scores the
+    PQ-encoded (8 subspaces x 16 codes = 4 bytes/vector); ADC scores the
     probed cells' CODES against per-query integer LUTs; the shortlist is
-    re-ranked with exact cosine. Approximate by design → no SQL oracle;
-    recall ≥ 0.9 on the clustered fixture is asserted in
-    tests/test_dedup.py::test_ivfpq_recall_clustered."""
+    re-ranked with exact cosine. Gated-oracle shape with a committed
+    250-permille aggregate recall floor (isotropic corpus; >=0.9 on the
+    clustered fixture is asserted in
+    tests/test_dedup.py::test_ivfpq_recall_clustered)."""
     from hpmr_spark.similarity.ivfpq import ivfpq_topk
 
     e = _t(spark, sf_dir, "embeddings")
-    return ivfpq_topk(e, e.where(F.col("vec_id") < 10), k=10, n_cells=8)
+    ann = ivfpq_topk(e, e.where(F.col("vec_id") < 10), k=10, n_cells=8)
+    return _ann_recall_gated(e, ann, k=10, floor_permille=250)
 
 
 _CONTAINMENT_ORACLE = f"""
