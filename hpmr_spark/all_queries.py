@@ -274,91 +274,88 @@ for _m in _MODULES:
 # frequent_triples_support, streaming_stateful_user_totals,
 # pq_adc_topk_search, skew_salted_join_revenue, nelson_aalen_hazard,
 # sink_xml_roundtrip.
+# Round-7 rotation (VERDICT r6 item 1, the lead item): the ENTIRE r6
+# window was driver-green (189 rows ever checked across six rounds, zero
+# failures ever), so all 49 non-flagship slots rotate again. 297 registry
+# rows had never been in a driver window at r6 close, spread over 42
+# modules with ZERO driver-checked representatives. This window takes the
+# riskiest representative from EVERY one of those 42 modules (cross-engine
+# log/ppm commitments, iterative/persisted frames, CEP, pattern matching,
+# DP/sketch gates - preferred over plain SQL twins), plus 4 more
+# never-checked round-6-wave rows (capture-recapture, secretary - also
+# ADVICE-touched this round, jackknife, triplets), plus ALL THREE newly
+# gated-oracle ANN rows (similarity_ivf_topk, similarity_ivf_trained_topk,
+# ivfpq_topk_search - VERDICT item 2: the recall contract gets driver-grade
+# hash checks, not just selfcheck). 48 of the 49 are first-time checks ->
+# never-checked drops 297 -> 249 (<250 per the item's done-bar).
+# Out (all driver-green in r6): bpe_train_8_merges, encoding_advisor_columns,
+# conformal_threshold_coverage, the 3 sinks, custom_reducer_max_qty,
+# skew_diagnostics_orders, all 9 streaming rows, the 6 write-heavy
+# sources/IVM rows, bpe_apply_compression_report, pit_join_feature_spend,
+# logrank_test_cohorts, attribution_removal_effect, attribution_shapley_exact,
+# link_prediction_adamic_adar, linkage_sorted_neighborhood,
+# dedup_boilerplate_segments, holt_winters_daily_forecast, ams_f2_sketch_gate,
+# binseg_changepoints_revenue, streaming_window_topk_types, dtw_nation_revenue,
+# textrank_keywords, haar_wavelet_compress, streaming_ewma_user_state,
+# grid_dbscan_clusters, weighted_interval_scheduling, ucb1_replay_arms,
+# naive_bayes_lang_eval, emd_1d_price_shift, graph_modularity_ppm,
+# udtf_analyze_split, auc_cv_folds, pinball_loss_quantile_eval - every
+# family keeps full-sweep selfcheck coverage at both SFs, and streaming/
+# sinks/skew/sources stay represented across prior CORRECTNESS artifacts.
 _CHECK_FIRST = [
-    "mapreduce_revenue_by_order",  # flagship — keep first (entry() twin)
-    # new / rewritten this round
-    "bpe_train_8_merges",
+    "mapreduce_revenue_by_order",  # flagship - keep first (entry() twin)
+    # one riskiest rep per zero-driver-checked module (42 modules)
+    "markov_stationary_power",     # aggregate2: persisted 8-iteration power
+    "funnel_time_to_convert",      # analytics: event-time funnel deltas
+    "api_quantiles_revenue_buckets",  # api_surface: KeyedMap.quantiles front door
+    "grouped_ols_trend",           # causal: exact-moment OLS
+    "match_recognize_vcp",         # cep_quant: MATCH_RECOGNIZE emulation
+    "crossmodal_text_to_vec_topk",  # crossmodal: text->vector bridge
+    "loso_source_contribution",    # datavalue: leave-one-source-out
+    "fisher_discriminant_dims",    # embed_select: per-dim Fisher ratios
+    "embedding_random_projection",  # embedding_prep: committed-seed JL
+    "convex_hull_upper_qty_price",  # geometry: monotone-chain hull fold
+    "closeness_harmonic_h12",      # graph_central: relaxation rounds
+    "hill_tail_index",             # heavytail: LN-parity commitment
+    "draft_accept_rate_ppm",       # llm_eval2: speculative-decode replay
+    "pass_at_k_estimate",          # llm_eval: combinatorial ratio CASE guard
+    "embedding_binary_hamming_topk",  # llm_prep2: bit-algebra top-k
+    "lm_greedy_decode_steps",      # lm_decode: iterative decode loop
+    "doc_perplexity_avg_nll",      # lm_scale: LN parity + persisted pairs
+    "matryoshka_truncation_recall",  # matryoshka: prefix-dim recall
+    "text_tfidf_scaled",           # ml_features: log-scaled tf-idf
+    "brier_decomposition_nano",    # mleval2: 3-term exact decomposition
+    "heaps_law_fit",               # model_sql: token-position builder (+ r7 perf fix)
+    "revenue_change_decomposition",  # opsmetrics: exact residual identity
+    "theil_u2_seasonal",           # opsstats: HUGEINT pre-scaled SSE
+    "attribution_position_based",  # physical_attr: position credit split
+    "spiegelhalter_z_nano",        # pipeline3: calibration z in nanos
+    "window_range_30day_spend",    # pipeline: RANGE interval window
+    "bandit_replay_ctr",           # policy: offline bandit replay
+    "dp_noised_segment_counts",    # privacy_seq: deterministic DP Laplace
+    "functional_dependency_audit",  # profiling2: FD counterexample scan
+    "percentile_grid_exact",       # profiling: exact multi-percentile grid
+    "quantile_normalize_doclen",   # qnorm: rank-map normalize
+    "rake_keyphrases",             # rake: phrase-window scoring
+    "slope_one_recommend",         # recommender: persisted ratings rollup
+    "from_json_props_stats",       # relational12: schema-on-read JSON
+    "corr_qty_discount_exact",     # relational6: exact-moment correlation
+    "neyman_allocation_sample",    # sampling2: variance-proportional alloc
+    "linear_counting_distinct",    # sketch2: bitmap sketch gate
+    "ecdf_dkw_band",               # stats_band: DKW band + coverage gate
+    "pattern_match_view_purchase",  # temporal2: sequence pattern join
+    "text_lang_id",                # text: n-gram language id (core LLM op)
+    "seasonal_decompose_additive",  # timeseries4: persisted day rollup
+    "dickey_fuller_unit_root",     # timeseries5: lag rn-join regression
+    # 4 more never-checked round-6-wave rows
+    "capture_recapture_estimate",  # opsstats wave Q: Lincoln-Petersen
+    "secretary_rule_success",      # graph_central wave: ADVICE-fixed join
+    "jackknife_ratio_variance",    # eval_stats3: delete-one moments
+    "triplet_violation_rate",      # datavalue: persisted quantized vectors
+    # all three newly gated-oracle ANN rows (VERDICT r6 item 2)
+    "similarity_ivf_topk",
+    "similarity_ivf_trained_topk",
     "ivfpq_topk_search",
-    "encoding_advisor_columns",
-    "conformal_threshold_coverage",
-    # sinks (serialization surface, SURVEY §2 row 18)
-    "sink_parquet_roundtrip",
-    "sink_dynamic_partition_overwrite",
-    "sink_versioned_snapshots",
-    # reducer + skew families
-    "custom_reducer_max_qty",
-    "skew_diagnostics_orders",
-    # every never-checked streaming row
-    "streaming_dedup_events",
-    "streaming_stream_stream_join",
-    "streaming_append_closed_windows",
-    "streaming_funnel_stages",
-    "streaming_static_enrich",
-    "streaming_foreachbatch_sink",
-    "streaming_token_bucket",
-    "streaming_bloom_prune_counts",
-    "streaming_dedup_against_corpus",
-    # write-heavy sources + Python DataSource + IVM
-    "source_csv_permissive_quarantine",
-    "source_binaryfile_fingerprints",
-    "partition_pruning_proof",
-    "pydatasource_sink_roundtrip",
-    "ivm_checkpoint_resume",
-    "ivm_join_delta_merge",
-    # second round-6 wave (newest code = highest risk; in place of the six
-    # plain-relational rows merge_upsert_customers, notin_null_aware_
-    # customers, argmax_customer_per_nation, asof_join_with_tolerance,
-    # q9_product_type_profit, q13_customer_distribution — direct SQL
-    # twins, the least likely family to hide cross-engine bugs)
-    "bpe_apply_compression_report",
-    "pit_join_feature_spend",
-    "logrank_test_cohorts",
-    # third round-6 wave — the session's newest code, swapped in for
-    # graph_kcore_2 (rows-only), graph_bfs_3hop, dedup_incremental_epochs,
-    # dedup_simhash_pairs, dedup_threshold_sweep, match_recognize_vcp,
-    # multimodal_content_dedup, accumulator_row_audit, observe_metrics_audit,
-    # applyinarrow_lang_stats (all r2-r6-wave-2 code, selfcheck-green at
-    # both SFs for one or more full sweeps)
-    "attribution_removal_effect",
-    "attribution_shapley_exact",
-    "link_prediction_adamic_adar",
-    "linkage_sorted_neighborhood",
-    "dedup_boilerplate_segments",
-    # fourth round-6 wave (newest of all) — in place of sink_orc/sink_text
-    # (sinks keep 6 reps), skew_kurtosis_quantity (skew keeps 2),
-    # pydatasource_seq_agg (the sink twin stays), streaming_sliding_activity
-    # (streaming keeps 10 reps incl. the new top-k) — all selfcheck-green
-    "holt_winters_daily_forecast",
-    "ams_f2_sketch_gate",
-    "binseg_changepoints_revenue",
-    "streaming_window_topk_types",
-    # fifth/sixth round-6 wave (this continuation session's newest code) —
-    # in place of sink_csv/sink_json (sinks keep 4 reps),
-    # skew_salted_sum_by_status (skew keeps diagnostics + salted_join),
-    # streaming_tumbling_counts/streaming_static_enrich (streaming keeps
-    # 9 reps incl. the new stateful EWMA), attribution_time_decay,
-    # holt_linear_forecast_weekly, control_chart_we_rules,
-    # mmr_diversified_topk, quantile_normalize_doclen, lttb_downsample_12
-    # (each family keeps ≥1 window representative; all swapped-out rows are
-    # driver-green in r5/r6 and selfcheck-green at both SFs)
-    "dtw_nation_revenue",
-    "textrank_keywords",
-    "haar_wavelet_compress",
-    "streaming_ewma_user_state",
-    "grid_dbscan_clusters",
-    "weighted_interval_scheduling",
-    "ucb1_replay_arms",
-    "naive_bayes_lang_eval",
-    "emd_1d_price_shift",
-    "graph_modularity_ppm",
-    # seventh-wave swap: the polymorphic UDTF (riskiest new surface), the
-    # fold-partitioned exact AUC, and the persisted-quantile pinball eval
-    # in; sink_partitioned_pruned (sinks keep 3 reps),
-    # seasonal_decompose_additive (ts family keeps binseg + holt_winters),
-    # rake_keyphrases (text keeps textrank) out — all long driver-green.
-    "udtf_analyze_split",
-    "auc_cv_folds",
-    "pinball_loss_quantile_eval",
 ]
 
 
