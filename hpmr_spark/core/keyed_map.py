@@ -50,6 +50,13 @@ class KeyedMap:
         self._has_order = _has_order
         self._unique = _unique  # True once the ≤1-row-per-key invariant holds
         self._epoch = 0
+        # Driver-side cache of max(_order). Without it every set_batch epoch
+        # embedded the CURRENT plan twice (union side + broadcast max-order
+        # agg side), doubling the logical plan per epoch — exponential
+        # lineage growth, caught by tests/test_epoch_stress.py. With it the
+        # first epoch runs one 1-row agg job and every later epoch is a
+        # pure driver-side increment (our own batch order IS the new max).
+        self._max_order: int | None = None
 
     # ------------------------------------------------------------- construction
     @classmethod
@@ -108,25 +115,32 @@ class KeyedMap:
             # Batch order must exceed EVERY existing order, including
             # user-supplied order_col values from from_df (e.g. epoch-micros
             # timestamps ~1.7e15) — a fixed (epoch+1)·2^40 base silently
-            # loses to those. Derive it as max(existing)+1 via a broadcast
-            # 1-row aggregate, keeping the plan fully declarative.
+            # loses to those. The max is computed ONCE (1-row agg job) and
+            # cached driver-side; afterwards each epoch increments it — our
+            # own batch literal IS the new max, so no re-derivation. This
+            # keeps the per-epoch plan growth LINEAR: deriving the base as a
+            # crossJoin(broadcast(agg(cur))) embedded cur's plan twice per
+            # epoch and doubled the logical plan every set_batch
+            # (exponential — tests/test_epoch_stress.py is the sentinel).
             cur = self._df
-            base = cur.agg(
-                (F.coalesce(F.max(ORDER), F.lit(0)) + F.lit(1)).cast("long").alias("_base")
-            )
-            nxt = (
-                _normalize(batch, key_col, value_col, None)
-                .crossJoin(F.broadcast(base))
-                .withColumn(ORDER, F.col("_base"))
-                .drop("_base")
+            if self._max_order is None:
+                row = cur.agg(
+                    F.coalesce(F.max(ORDER), F.lit(0)).cast("long").alias("m")
+                ).collect()
+                self._max_order = int(row[0]["m"])
+            base = self._max_order + 1
+            nxt = _normalize(batch, key_col, value_col, None).withColumn(
+                ORDER, F.lit(base).cast("long")
             )
         else:
             cur = self._df.withColumn(ORDER, F.lit(0).cast("long"))
+            base = 1
             nxt = _normalize(batch, key_col, value_col, None).withColumn(
-                ORDER, F.lit(1).cast("long")
+                ORDER, F.lit(base).cast("long")
             )
         merged = KeyedMap(cur.unionByName(nxt), _has_order=True, _unique=False).sync(reducer)
         merged._epoch = self._epoch + 1
+        merged._max_order = base  # sync keeps max(_order) = the batch epoch
         return merged
 
     # ------------------------------------------------------------- point ops

@@ -27,9 +27,15 @@ def session_builder(
     """Builder with engine defaults; caller may override before getOrCreate."""
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
     if master is None:
-        master = f"local[{cpus}]"
+        # SPARK_GRAFT_MASTER exists for the partition-invariance sweep
+        # (tools/selfcheck.py under local[4]/shuffle=7 — SURVEY §5's
+        # n_procs=1/4 discipline, gtest_main_mpi.cc:47-61): results must be
+        # bit-identical under ANY parallelism.
+        master = os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
     if shuffle_partitions is None:
-        shuffle_partitions = max(2 * cpus, 8)
+        shuffle_partitions = int(
+            os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", max(2 * cpus, 8))
+        )
     b = (
         SparkSession.builder.appName(app_name)
         .master(master)

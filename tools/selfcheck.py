@@ -77,6 +77,7 @@ def main(names=None):
                 "status": "rows_only",
                 "rows": len(sdf),
                 "wall_sec": round(time.time() - t0, 2),
+                "spark_hash": canon(sdf),
             }
             print(f"ok?  {name}: rows={len(sdf)} (no oracle, rows-only) [{time.time()-t0:.1f}s]")
             continue
@@ -123,6 +124,7 @@ def main(names=None):
                 "status": "pass",
                 "rows": len(sdf),
                 "wall_sec": round(time.time() - t0, 2),
+                "spark_hash": canon(sdf),
             }
             print(f"PASS {name}: rows={len(sdf)} [{time.time()-t0:.1f}s]")
     print(f"\n{len(names) - len(failures)}/{len(names)} passed")
