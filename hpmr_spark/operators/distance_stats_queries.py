@@ -104,36 +104,39 @@ def emd_1d_price_shift(spark, sf_dir):
             F.sum(F.when(yr == 1996, 1).otherwise(0)).cast("long").alias("cnt_b"),
         )
     )
+    # Telescoped gap-free form (VERDICT r6 item 6): with T_j =
+    # |runA_j·nb − runB_j·na| and T_n = 0 (both CDFs end at 1),
+    #   Σ_j T_j·(c_{j+1} − c_j)  =  Σ_j c_j·(T_{j-1} − T_j),
+    # and T_{j-1} is computable PER ROW from the STRICT running sums the
+    # same bucketed window pass already emits — so the fact-scale rn-equi
+    # self-join that previously fetched next_cents (2 extra exchanges)
+    # disappears. Exact integer identity: same _num, same emd_cents.
     e = global_order_multi(
         s,
         ["cents"],
-        rn_out="rn",
         running=[
-            ("cnt_a", "sum", False, "run_a"),
-            ("cnt_b", "sum", False, "run_b"),
+            ("cnt_a", "sum", True, "sa"),
+            ("cnt_b", "sum", True, "sb"),
+            ("cnt_a", "sum", False, "ra"),
+            ("cnt_b", "sum", False, "rb"),
         ],
-    ).persist(StorageLevel.MEMORY_AND_DISK)  # two consumers (rn-equi gap join)
-    nxt = e.select(
-        (F.col("rn") - 1).alias("rn_prev"), F.col("cents").alias("next_cents")
-    )
-    tot = s.agg(
-        F.sum("cnt_a").cast("long").alias("na"),
-        F.sum("cnt_b").cast("long").alias("nb"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)  # two consumers (totals + sum)
+    tot = e.agg(
+        F.max("ra").cast("long").alias("na"),
+        F.max("rb").cast("long").alias("nb"),
         F.count(F.lit(1)).cast("long").alias("n_support"),
     )
-    joined = (
-        e.join(nxt, e["rn"] == nxt["rn_prev"])
-        .crossJoin(F.broadcast(tot))
-        .select("run_a", "run_b", "cents", "next_cents", "na", "nb", "n_support")
-    )
     return (
-        joined.groupBy("na", "nb", "n_support")
+        e.crossJoin(F.broadcast(tot))
+        .groupBy("na", "nb", "n_support")
         .agg(
             F.expr(
-                "CAST(SUM(ABS(CAST(run_a AS DECIMAL(38,0)) * nb"
-                " - CAST(run_b AS DECIMAL(38,0)) * na)"
-                " * CAST(next_cents - cents AS DECIMAL(38,0)))"
-                " AS DECIMAL(38,0))"
+                "CAST(SUM(CAST(cents AS DECIMAL(38,0)) * ("
+                " ABS(CAST(COALESCE(sa, 0) AS DECIMAL(38,0)) * nb"
+                "     - CAST(COALESCE(sb, 0) AS DECIMAL(38,0)) * na)"
+                " - ABS(CAST(ra AS DECIMAL(38,0)) * nb"
+                "       - CAST(rb AS DECIMAL(38,0)) * na)"
+                ")) AS DECIMAL(38,0))"
             ).alias("_num")
         )
         .select(
@@ -430,8 +433,48 @@ def mahalanobis_outliers_top20(spark, sf_dir):
         ),
         F.sum(F.expr("qty * cents")).cast("long").alias("sxy"),
     )
-    scored = r.crossJoin(F.broadcast(m)).select(
-        "qty", "cents", F.expr(f"CAST({_MAHA_D2} AS BIGINT)").alias("d2_ppm")
+    # Hoist the moment-derived constants (means, variances, covariance,
+    # determinant) into the 1-row broadcast (VERDICT r6 item 6): the
+    # committed per-row expression text re-derived ~40 double divisions
+    # per fact row; each hoisted constant is computed with the IDENTICAL
+    # operation sequence (mx = sx/n, vx = sxx/n − mx·mx, ...), so every
+    # per-row double — and therefore the floored ppm — is bit-equal to
+    # the oracle's inline form. Per-row work drops to 2 subs, 6 mults,
+    # 1 div, 1 floor.
+    mc = m.select(
+        F.expr("CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)").alias("mx"),
+        F.expr("CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)").alias("my"),
+        F.expr(
+            "CAST(sxx AS DOUBLE) / CAST(n AS DOUBLE)"
+            " - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))"
+            " * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))"
+        ).alias("vx"),
+        F.expr(
+            "CAST(syy AS DOUBLE) / CAST(n AS DOUBLE)"
+            " - (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))"
+            " * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))"
+        ).alias("vy"),
+        F.expr(
+            "CAST(sxy AS DOUBLE) / CAST(n AS DOUBLE)"
+            " - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))"
+            " * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))"
+        ).alias("vxy"),
+    ).select(
+        "mx", "my", "vx", "vy", "vxy",
+        F.expr("vx * vy - vxy * vxy").alias("det"),
+    )
+    scored = r.crossJoin(F.broadcast(mc)).select(
+        "qty",
+        "cents",
+        F.expr(
+            "CAST(FLOOR(("
+            " vy * (CAST(qty AS DOUBLE) - mx) * (CAST(qty AS DOUBLE) - mx)"
+            " - 2.0 * vxy * (CAST(qty AS DOUBLE) - mx)"
+            "   * (CAST(cents AS DOUBLE) - my)"
+            " + vx * (CAST(cents AS DOUBLE) - my)"
+            "   * (CAST(cents AS DOUBLE) - my)"
+            ") / det * 1000000) AS BIGINT)"
+        ).alias("d2_ppm"),
     )
     return scored.orderBy(
         F.col("d2_ppm").desc(), F.col("qty"), F.col("cents")
