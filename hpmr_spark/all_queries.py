@@ -128,6 +128,7 @@ _MODULES = [
     "hpmr_spark.operators.opsstats_queries",
     "hpmr_spark.operators.datavalue_queries",
     "hpmr_spark.operators.aggregate2_queries",
+    "hpmr_spark.operators.dsir_queries",
 ]
 
 FAILED_MODULES: dict[str, str] = {}
@@ -352,10 +353,13 @@ _CHECK_FIRST = [
     "secretary_rule_success",      # graph_central wave: ADVICE-fixed join
     "jackknife_ratio_variance",    # eval_stats3: delete-one moments
     "triplet_violation_rate",      # datavalue: persisted quantized vectors
-    # all three newly gated-oracle ANN rows (VERDICT r6 item 2)
+    # two of the three newly gated-oracle ANN rows (VERDICT r6 item 2;
+    # ivfpq_topk_search was driver-checked in r6 and keeps selfcheck +
+    # invariance coverage of its new gate at both SFs)
     "similarity_ivf_topk",
     "similarity_ivf_trained_topk",
-    "ivfpq_topk_search",
+    # the round's newest operator (DSIR hashed-ngram importance selection)
+    "dsir_importance_select",
 ]
 
 
