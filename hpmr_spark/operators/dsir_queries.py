@@ -126,3 +126,108 @@ def dsir_importance_select(spark, sf_dir):
         .orderBy(F.col("logweight_nano").desc(), "doc_id")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher quality-rule battery (Rae et al. 2021, "Scaling Language Models:
+# Methods, Analysis & Insights from Training Gopher", appendix A1.1) — the
+# standard pretraining quality filter, in exact integer arithmetic:
+#   r1: 50 <= word count <= 100000
+#   r2: 3 <= mean word length <= 10        (3n <= letters <= 10n cross-mult)
+#   r3: symbol-to-word ratio <= 0.1        (10*(n_hash + n_ellipsis) <= n)
+#   r4: >= 80% of words contain an alphabetic character (10*alpha >= 8*n)
+#   r5: >= 2 occurrences of a committed stop-word set
+# Output: per-lang rule pass counts + all-rules pass ppm (int128 division).
+# ---------------------------------------------------------------------------
+
+_STOPS = "'the','be','to','of','and','that','have','with','a','is'"
+
+_GOPHER_DOC_SQL = f"""
+      SELECT lang,
+             len(string_split(text, ' ')) AS nw,
+             length(replace(text, ' ', '')) AS letters,
+             length(text) - length(replace(text, '#', '')) AS n_hash,
+             (length(text) - length(replace(text, '...', ''))) // 3
+               AS n_ell,
+             len(list_filter(string_split(text, ' '),
+                             w -> regexp_matches(w, '[a-z]'))) AS alpha_w,
+             len(list_filter(string_split(text, ' '),
+                             w -> w IN ({_STOPS}))) AS stop_w
+      FROM documents
+"""
+
+_GOPHER_ORACLE = f"""
+    WITH d AS ({_GOPHER_DOC_SQL}),
+    r AS (
+      SELECT lang,
+             CASE WHEN nw BETWEEN 50 AND 100000 THEN 1 ELSE 0 END AS r1,
+             CASE WHEN 3 * nw <= letters AND letters <= 10 * nw
+                  THEN 1 ELSE 0 END AS r2,
+             CASE WHEN 10 * (n_hash + n_ell) <= nw THEN 1 ELSE 0 END AS r3,
+             CASE WHEN 10 * alpha_w >= 8 * nw THEN 1 ELSE 0 END AS r4,
+             CASE WHEN stop_w >= 2 THEN 1 ELSE 0 END AS r5
+      FROM d
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(r1) AS BIGINT) AS pass_wordcount,
+           CAST(SUM(r2) AS BIGINT) AS pass_wordlen,
+           CAST(SUM(r3) AS BIGINT) AS pass_symbols,
+           CAST(SUM(r4) AS BIGINT) AS pass_alpha,
+           CAST(SUM(r5) AS BIGINT) AS pass_stopwords,
+           CAST(SUM(r1 * r2 * r3 * r4 * r5) AS BIGINT) AS pass_all,
+           CAST(CAST(SUM(r1 * r2 * r3 * r4 * r5) AS HUGEINT) * 1000000
+                // CAST(COUNT(*) AS HUGEINT) AS BIGINT) AS pass_all_ppm
+    FROM r GROUP BY lang
+"""
+
+
+@register("gopher_quality_rules", _GOPHER_ORACLE)
+def gopher_quality_rules(spark, sf_dir):
+    """Gopher quality-rule battery per language — see module docstring.
+    Output: one row per lang (n_docs, per-rule pass counts, pass_all,
+    pass_all_ppm). One fact pass, bounded output; every rule is an
+    integer cross-multiplication (no float thresholds)."""
+    docs = _t(spark, sf_dir, "documents")
+    d = docs.select(
+        "lang",
+        F.expr("size(split(text, ' '))").cast("long").alias("nw"),
+        F.expr("length(replace(text, ' ', ''))").cast("long").alias("letters"),
+        F.expr("length(text) - length(replace(text, '#', ''))")
+        .cast("long")
+        .alias("n_hash"),
+        F.expr("(length(text) - length(replace(text, '...', ''))) div 3")
+        .cast("long")
+        .alias("n_ell"),
+        F.expr("size(filter(split(text, ' '), w -> w rlike '[a-z]'))")
+        .cast("long")
+        .alias("alpha_w"),
+        F.expr(f"size(filter(split(text, ' '), w -> w IN ({_STOPS})))")
+        .cast("long")
+        .alias("stop_w"),
+    )
+    r = d.select(
+        "lang",
+        F.expr("CASE WHEN nw BETWEEN 50 AND 100000 THEN 1 ELSE 0 END").alias("r1"),
+        F.expr(
+            "CASE WHEN 3 * nw <= letters AND letters <= 10 * nw THEN 1 ELSE 0 END"
+        ).alias("r2"),
+        F.expr("CASE WHEN 10 * (n_hash + n_ell) <= nw THEN 1 ELSE 0 END").alias(
+            "r3"
+        ),
+        F.expr("CASE WHEN 10 * alpha_w >= 8 * nw THEN 1 ELSE 0 END").alias("r4"),
+        F.expr("CASE WHEN stop_w >= 2 THEN 1 ELSE 0 END").alias("r5"),
+    )
+    return r.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("r1").cast("long").alias("pass_wordcount"),
+        F.sum("r2").cast("long").alias("pass_wordlen"),
+        F.sum("r3").cast("long").alias("pass_symbols"),
+        F.sum("r4").cast("long").alias("pass_alpha"),
+        F.sum("r5").cast("long").alias("pass_stopwords"),
+        F.sum(F.expr("r1 * r2 * r3 * r4 * r5")).cast("long").alias("pass_all"),
+        F.expr(
+            "CAST(CAST(SUM(r1 * r2 * r3 * r4 * r5) AS DECIMAL(38,0)) * 1000000"
+            " div CAST(COUNT(*) AS DECIMAL(38,0)) AS BIGINT)"
+        ).alias("pass_all_ppm"),
+    )
