@@ -93,8 +93,14 @@ def minhash_dedup_pairs(
     sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
+    # The candidate-pair frame is UNBOUNDED (it grows with band collisions),
+    # so neither verify join may ever be planned as a broadcast: a
+    # mis-estimated candidate table OOMs the driver at corpus scale
+    # (observed live at 1M synthetic docs — the round-7 probe). The merge
+    # hint pins both joins to shuffle sort-merge: doc-keyed, spill-safe,
+    # linear at any candidate count.
     return (
-        cands.join(sa, "doc_a")
+        cands.hint("merge").join(sa, "doc_a")
         .join(sb, "doc_b")
         .withColumn("n_common", inter.cast("long"))
         .withColumn("n_union", union.cast("long"))

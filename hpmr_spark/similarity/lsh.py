@@ -85,8 +85,10 @@ def lsh_signature_pairs(
     vn = v.withColumn("nrm", norm(F.col("vec")))
     va = vn.select(F.col("id").alias("id_a"), F.col("vec").alias("va"), F.col("nrm").alias("na"))
     vb = vn.select(F.col("id").alias("id_b"), F.col("vec").alias("vb"), F.col("nrm").alias("nb"))
+    # candidates are unbounded — never let a size mis-estimate broadcast
+    # them (same failure class as minhash_dedup_pairs; merge = spill-safe)
     return (
-        cands.join(va, "id_a")
+        cands.hint("merge").join(va, "id_a")
         .join(vb, "id_b")
         .where(dot(F.col("va"), F.col("vb")) >= F.lit(threshold) * F.col("na") * F.col("nb"))
         .select("id_a", "id_b")

@@ -316,3 +316,36 @@ def test_threshold_sweep_ceiling_routes_to_lsh(spark, sf_dir, monkeypatch):
     monkeypatch.setattr(dq, "SWEEP_N_CEILING", 10)
     with pytest.raises(ValueError, match="dedup_minhash_lsh"):
         dq.dedup_threshold_sweep(spark, sf_dir)
+
+
+def test_ann_recall_gate_trips_on_bad_shortlist(spark):
+    """The gated-oracle ANN rows (VERDICT r6 item 2) emit
+    recall_floor_ok; this proves the boolean is NOT vacuous — a
+    deliberately wrong shortlist (neighbors = the ids farthest by the
+    exact ranking) must flip it to False, while the true exact top-k
+    passes at the same floor."""
+    from hpmr_spark.operators.dedup_queries import _ann_recall_gated
+
+    emb = _clustered_embeddings(spark).cache()
+    e = emb.withColumnRenamed("embedding", "embedding")
+    exact = cosine_topk(e, e.where(F.col("vec_id") < 10), k=10)
+    # perfect shortlist → gate TRUE
+    good = _ann_recall_gated(e, exact, k=10, floor_permille=900)
+    assert all(r["recall_floor_ok"] for r in good.collect())
+    # adversarial shortlist: per query, the 10 WORST-ranked neighbors
+    from pyspark.sql.window import Window as W
+
+    allr = cosine_topk(e, e.where(F.col("vec_id") < 10), k=10**9)
+    worst = (
+        allr.withColumn(
+            "rk",
+            F.row_number().over(
+                W.partitionBy("query_id").orderBy(F.col("rank").desc())
+            ),
+        )
+        .where(F.col("rk") <= 10)
+        .select("query_id", "neighbor_id")
+    )
+    bad = _ann_recall_gated(e, worst, k=10, floor_permille=250)
+    emb.unpersist()
+    assert not any(r["recall_floor_ok"] for r in bad.collect())
