@@ -55,8 +55,11 @@ def lsh_candidate_pairs(
         "doc_id", F.explode(F.array(*band_structs)).alias("band")
     ).select("doc_id", "band.band_idx", "band.band_key")
     a, b = banded.alias("a"), banded.alias("b")
+    # self-join of two corpus-sized banded frames: force sort-merge — a
+    # size mis-estimate must never broadcast a signature table (driver
+    # OOM at >=1M docs, round-7 probe)
     return (
-        a.join(
+        a.hint("merge").join(
             b,
             (F.col("a.band_idx") == F.col("b.band_idx"))
             & (F.col("a.band_key") == F.col("b.band_key"))
@@ -100,8 +103,8 @@ def minhash_dedup_pairs(
     # hint pins both joins to shuffle sort-merge: doc-keyed, spill-safe,
     # linear at any candidate count.
     return (
-        cands.hint("merge").join(sa, "doc_a")
-        .join(sb, "doc_b")
+        cands.hint("merge").join(sa.hint("merge"), "doc_a")
+        .join(sb.hint("merge"), "doc_b")
         .withColumn("n_common", inter.cast("long"))
         .withColumn("n_union", union.cast("long"))
         .where(F.lit(100) * F.col("n_common") >= F.lit(threshold_pct) * F.col("n_union"))

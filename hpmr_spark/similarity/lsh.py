@@ -68,8 +68,10 @@ def lsh_signature_pairs(
         "id", "band.band_idx", "band.band_key"
     )
     a, b = banded.alias("a"), banded.alias("b")
+    # corpus-sized self-join: force sort-merge (see minhash.py — broadcast
+    # of a mis-estimated banded/vector frame OOMs the driver at scale)
     cands = (
-        a.join(
+        a.hint("merge").join(
             b,
             (F.col("a.band_idx") == F.col("b.band_idx"))
             & (F.col("a.band_key") == F.col("b.band_key"))
@@ -88,8 +90,8 @@ def lsh_signature_pairs(
     # candidates are unbounded — never let a size mis-estimate broadcast
     # them (same failure class as minhash_dedup_pairs; merge = spill-safe)
     return (
-        cands.hint("merge").join(va, "id_a")
-        .join(vb, "id_b")
+        cands.hint("merge").join(va.hint("merge"), "id_a")
+        .join(vb.hint("merge"), "id_b")
         .where(dot(F.col("va"), F.col("vb")) >= F.lit(threshold) * F.col("na") * F.col("nb"))
         .select("id_a", "id_b")
     )
