@@ -29,4 +29,5 @@ def drop_exact_dups(docs: DataFrame) -> DataFrame:
     """Keep the min-doc_id representative of every fingerprint group —
     the pipeline-facing 'dedup this corpus' operator."""
     keepers = dedup_exact(docs).select(F.col("keep_doc_id").alias("doc_id"))
-    return docs.join(keepers, on="doc_id", how="left_semi")
+    # keepers is corpus-sized — never broadcast (round-7 probe class)
+    return docs.join(keepers.hint("merge"), on="doc_id", how="left_semi")

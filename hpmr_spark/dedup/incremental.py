@@ -26,9 +26,9 @@ def incremental_dedup(
     """
     fp = batch.select("doc_id", fingerprint(F.col("text")).alias("fp"))
     if state_fps is not None:
-        fp = fp.join(state_fps, "fp", "left_anti")
+        fp = fp.join(state_fps.hint("merge"), "fp", "left_anti")
     winners = fp.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
-    accepted = batch.join(winners.select("doc_id"), "doc_id", "left_semi")
+    accepted = batch.join(winners.select("doc_id").hint("merge"), "doc_id", "left_semi")
     new_fps = winners.select("fp")
     if state_fps is not None:
         new_fps = state_fps.unionByName(new_fps)

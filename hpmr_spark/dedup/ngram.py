@@ -73,8 +73,11 @@ def ngram_jaccard_pairs(
             .select("doc_id", "shingle")
         )
         a, b = pref.alias("a"), pref.alias("b")
+        # corpus-scale self/verify joins: force sort-merge — a size
+        # mis-estimate must never broadcast a shingle/candidate frame
+        # (driver OOM class, round-7 probe; see dedup/minhash.py)
         cands = (
-            a.join(
+            a.hint("merge").join(
                 b,
                 (F.col("a.shingle") == F.col("b.shingle"))
                 & (F.col("a.doc_id") < F.col("b.doc_id")),
@@ -87,8 +90,8 @@ def ngram_jaccard_pairs(
         inter = F.size(F.array_intersect("sh_a", "sh_b"))
         union = F.size("sh_a") + F.size("sh_b") - inter
         return (
-            cands.join(sa, "doc_a")
-            .join(sb, "doc_b")
+            cands.hint("merge").join(sa.hint("merge"), "doc_a")
+            .join(sb.hint("merge"), "doc_b")
             .withColumn("n_common", inter.cast("long"))
             .withColumn("n_union", union.cast("long"))
             .where(
@@ -100,15 +103,15 @@ def ngram_jaccard_pairs(
     a = inv.alias("a")
     b = inv.alias("b")
     inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        a.hint("merge").join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
     return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        inter.hint("merge").join(sa.hint("merge"), "doc_a")
+        .join(sb.hint("merge"), "doc_b")
         .withColumn("n_union", F.col("na") + F.col("nb") - F.col("n_common"))
         .where(F.lit(100) * F.col("n_common") >= F.lit(threshold_pct) * F.col("n_union"))
         .select("doc_a", "doc_b", "n_common", F.col("n_union").cast("long").alias("n_union"))
@@ -152,7 +155,7 @@ def containment_pairs(docs: DataFrame, threshold_pct: int = 70) -> DataFrame:
         .select(F.col("doc_id").alias("p_doc"), "shingle")
     )
     cands = (
-        pref.join(inv, "shingle")
+        pref.hint("merge").join(inv, "shingle")
         .where(F.col("p_doc") != F.col("doc_id"))
         .select(
             F.least("p_doc", "doc_id").alias("doc_a"),
@@ -163,8 +166,8 @@ def containment_pairs(docs: DataFrame, threshold_pct: int = 70) -> DataFrame:
     sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     verified = (
-        cands.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        cands.hint("merge").join(sa.hint("merge"), "doc_a")
+        .join(sb.hint("merge"), "doc_b")
         .select(
             "doc_a",
             "doc_b",

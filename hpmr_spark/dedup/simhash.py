@@ -84,8 +84,9 @@ def simhash_near_pairs(docs: DataFrame, ham_max: int = HAM_MAX) -> DataFrame:
         ).alias("band"),
     ).select("doc_id", "simhash", "band.band_idx", "band.band_key")
     a, b = bands.alias("a"), bands.alias("b")
+    # corpus-scale band self-join: force sort-merge (round-7 probe class)
     return (
-        a.join(
+        a.hint("merge").join(
             b,
             (F.col("a.band_idx") == F.col("b.band_idx"))
             & (F.col("a.band_key") == F.col("b.band_key"))

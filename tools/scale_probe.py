@@ -697,15 +697,18 @@ def round6c_probe(spark, n: int):
 
 
 
-def round7_llm_probe(spark, n: int):
+def round7_llm_probe(spark, n: int, vocab_size: int = 0, ops: str = ""):
     """Round-7 LLM-pipeline headliner probe (VERDICT r6 item 3): minhash
     LSH dedup, hyperplane-LSH embedding near-dup, IVF-PQ ANN, and
     boilerplate removal at n synthetic docs/vectors, logging CANDIDATE
     counts alongside wall time. The scale contract under test: candidates
-    grow with band collisions (planted dups + n^2/2^r random collisions),
-    not corpus^2 — with the documented r = ceil(log2 n) + 4 rule the
-    collision term stays sub-linear, so candidates ~ planted ~ 1% of n."""
-    import math
+    grow with band collisions (planted dups + n^2 * Jbar^2 * b random
+    collisions for minhash; n^2/2^r for hyperplanes), not corpus^2 — with
+    the documented r = ceil(log2 n) + 4 rule the hyperplane collision term
+    stays sub-linear. vocab_size=0 uses the 40-word synth_docs vocabulary
+    (J-bar inflated -> the collision-dominated minhash regime);
+    vocab_size=4096 is the realistic regime (random-pair J ~ 0, candidates
+    ~ planted). ops = comma list of minhash,embedding,ivfpq,boiler."""
     import shutil
     import tempfile
     import time
@@ -713,21 +716,29 @@ def round7_llm_probe(spark, n: int):
     from __spark_entry__ import queries
 
     from hpmr_spark.dedup.minhash import lsh_candidate_pairs, minhash_signatures
-    from hpmr_spark.similarity.lsh import (
-        MAX_PLANES,
-        PLANES,
-        _sign_bit,
-        lsh_signature_pairs,
-        nearest_cell,
-        train_centroids,
-    )
 
     qs = queries()
+    do = set(ops.split(",")) if ops else {"minhash", "embedding", "ivfpq", "boiler"}
     tmp = tempfile.mkdtemp(prefix="scale_r7llm_")
     try:
         # ------------------------------------------------ synthetic corpora
         langs = F.array(*[F.lit(x) for x in ("en", "de", "fr", "es", "pt")])
-        docs = synth_docs(spark, n).select(
+        if vocab_size:
+            base_d = spark.range(n).select(
+                F.col("id").alias("doc_id"),
+                F.concat_ws(" ", F.transform(
+                    F.sequence(F.lit(1), F.lit(60)),
+                    lambda i: F.concat(F.lit("w"), (
+                        (F.xxhash64(F.col("id") * 1000 + i) % vocab_size
+                         + vocab_size) % vocab_size).cast("string")),
+                )).alias("text"))
+            dups_d = base_d.where(F.col("doc_id") % 100 == 0).select(
+                (F.col("doc_id") + n).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(" extra")).alias("text"))
+            raw_docs = base_d.unionByName(dups_d)
+        else:
+            raw_docs = synth_docs(spark, n)
+        docs = raw_docs.select(
             "doc_id",
             "text",
             F.element_at(langs, (F.col("doc_id") % 5 + 1).cast("int")).alias("lang"),
@@ -735,7 +746,6 @@ def round7_llm_probe(spark, n: int):
             F.length("text").cast("long").alias("n_chars"),
         )
         docs.write.mode("overwrite").parquet(f"{tmp}/documents.parquet")
-        # embeddings: random unit-scale vectors + 1% planted near-dups
         base = spark.range(n).select(
             F.col("id").alias("vec_id"),
             F.transform(
@@ -754,81 +764,104 @@ def round7_llm_probe(spark, n: int):
             ).alias("embedding"),
             F.col("label"),
         )
-        emb = base.unionByName(pert)
-        emb.write.mode("overwrite").parquet(f"{tmp}/embeddings.parquet")
+        base.unionByName(pert).write.mode("overwrite").parquet(f"{tmp}/embeddings.parquet")
         docs_df = spark.read.parquet(f"{tmp}/documents.parquet")
         emb_df = spark.read.parquet(f"{tmp}/embeddings.parquet")
 
-        # ------------------------------------------- 1. minhash LSH dedup
-        t0 = time.time()
-        cands = lsh_candidate_pairs(minhash_signatures(docs_df)).count()
-        t_cand = time.time() - t0
-        t0 = time.time()
-        verified = qs["dedup_minhash_lsh"](spark, tmp).count()
-        t_ver = time.time() - t0
-        print(f"minhash_lsh n={n}: candidates={cands} [{t_cand:.1f}s], "
-              f"verified_pairs={verified} [{t_ver:.1f}s]")
-
-        # --------------------------- 2. hyperplane-LSH embedding near-dup
-        # r = ceil(log2 n) + 4 keeps random collisions ~ n * n/2^r <= 0.1n;
-        # bands fill the remaining committed plane budget.
-        rows = min(int(math.ceil(math.log2(max(n, 2)))) + 4, 31)
-        bands = max(MAX_PLANES // rows, 2)
-        v = emb_df.select(F.col("vec_id").alias("id"), F.col("embedding").alias("vec"))
-        band_structs = []
-        for bi in range(bands):
-            bits = [_sign_bit(F.col("vec"), PLANES[bi * rows + ri]) for ri in range(rows)]
-            key = bits[0]
-            for b_ in bits[1:]:
-                key = key * 2 + b_
-            band_structs.append(F.struct(F.lit(bi).alias("band_idx"), key.alias("band_key")))
-        banded = v.select("id", F.explode(F.array(*band_structs)).alias("band")).select(
-            "id", "band.band_idx", "band.band_key")
-        a, b = banded.alias("a"), banded.alias("b")
-        t0 = time.time()
-        ecands = (
-            a.join(b, (F.col("a.band_idx") == F.col("b.band_idx"))
-                   & (F.col("a.band_key") == F.col("b.band_key"))
-                   & (F.col("a.id") < F.col("b.id")))
-            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-            .distinct().count())
-        t_ecand = time.time() - t0
-        t0 = time.time()
-        epairs = lsh_signature_pairs(emb_df, threshold=0.9, rows=rows, bands=bands).count()
-        t_ever = time.time() - t0
-        print(f"embedding_lsh n={n} (r={rows}, b={bands}): candidates={ecands} "
-              f"[{t_ecand:.1f}s], verified_pairs={epairs} [{t_ever:.1f}s]")
-
-        # ------------------------------------------------- 3. IVF-PQ ANN
-        from hpmr_spark.similarity.ivfpq import ivfpq_topk
-
-        q = emb_df.where(F.col("vec_id") < 10)
-        t0 = time.time()
-        nn = ivfpq_topk(emb_df, q, k=10, n_cells=8).count()
-        t_ivf = time.time() - t0
-        # ADC-scored candidate rows = corpus occupancy of the probed cells
-        cents = train_centroids(
-            emb_df.select(F.col("vec_id").alias("id"), F.col("embedding").alias("vec")),
-            n_cells=8, train_iters=2, salt="ivfpq:")
-        occ = {r["cell"]: r["c"] for r in (
-            emb_df.select(nearest_cell(F.col("embedding"), cents).alias("cell"))
-            .groupBy("cell").agg(F.count(F.lit(1)).alias("c")).collect())}
-        from hpmr_spark.similarity.lsh import nearest_cells
-        probed = (
-            q.select(F.explode(nearest_cells(F.col("embedding"), cents, 2)).alias("cell"))
-            .collect())
-        adc_rows = sum(occ.get(r["cell"], 0) for r in probed)
-        print(f"ivfpq n={n}: result_rows={nn} [{t_ivf:.1f}s], "
-              f"adc_scored_rows={adc_rows} (of {n} corpus x 10 queries; "
-              f"probed 2/8 cells)")
-
-        # ------------------------------------------- 4. boilerplate removal
-        t0 = time.time()
-        nb = qs["dedup_boilerplate_segments"](spark, tmp).count()
-        t_b = time.time() - t0
-        print(f"boilerplate n={n}: rows={nb} [{t_b:.1f}s]")
+        if "minhash" in do:
+            t0 = time.time()
+            cands = lsh_candidate_pairs(minhash_signatures(docs_df)).count()
+            t_cand = time.time() - t0
+            t0 = time.time()
+            verified = qs["dedup_minhash_lsh"](spark, tmp).count()
+            t_ver = time.time() - t0
+            print(f"minhash_lsh n={n} vocab={vocab_size or 40}: "
+                  f"candidates={cands} [{t_cand:.1f}s], "
+                  f"verified_pairs={verified} [{t_ver:.1f}s]")
+        if "embedding" in do:
+            _embedding_lsh_probe(spark, emb_df, n)
+        if "ivfpq" in do:
+            _ivfpq_probe(spark, emb_df, n)
+        if "boiler" in do:
+            # NOTE: count() on this query is join-eliminated (the per-doc
+            # frame left-joins back to docs on a unique key), so force the
+            # full computation through an aggregate over its outputs.
+            t0 = time.time()
+            agg = (qs["dedup_boilerplate_segments"](spark, tmp)
+                   .agg(F.sum("tokens_kept").alias("tk"),
+                        F.sum("n_boiler").alias("nb")).collect()[0])
+            t_b = time.time() - t0
+            print(f"boilerplate n={n}: tokens_kept={agg['tk']} "
+                  f"n_boiler={agg['nb']} [{t_b:.1f}s]")
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _embedding_lsh_probe(spark, emb_df, n):
+    import math
+    import time
+
+    from hpmr_spark.similarity.lsh import (
+        MAX_PLANES,
+        PLANES,
+        _sign_bit,
+        lsh_signature_pairs,
+    )
+
+    # r = ceil(log2 n) + 4 keeps random collisions ~ n * n/2^r <= 0.1n;
+    # bands fill the remaining committed plane budget.
+    rows = min(int(math.ceil(math.log2(max(n, 2)))) + 4, 31)
+    bands = max(MAX_PLANES // rows, 2)
+    v = emb_df.select(F.col("vec_id").alias("id"), F.col("embedding").alias("vec"))
+    band_structs = []
+    for bi in range(bands):
+        bits = [_sign_bit(F.col("vec"), PLANES[bi * rows + ri]) for ri in range(rows)]
+        key = bits[0]
+        for b_ in bits[1:]:
+            key = key * 2 + b_
+        band_structs.append(F.struct(F.lit(bi).alias("band_idx"), key.alias("band_key")))
+    banded = v.select("id", F.explode(F.array(*band_structs)).alias("band")).select(
+        "id", "band.band_idx", "band.band_key")
+    a, b = banded.alias("a"), banded.alias("b")
+    t0 = time.time()
+    ecands = (
+        a.hint("merge").join(b, (F.col("a.band_idx") == F.col("b.band_idx"))
+               & (F.col("a.band_key") == F.col("b.band_key"))
+               & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct().count())
+    t_ecand = time.time() - t0
+    t0 = time.time()
+    epairs = lsh_signature_pairs(emb_df, threshold=0.9, rows=rows, bands=bands).count()
+    t_ever = time.time() - t0
+    print(f"embedding_lsh n={n} (r={rows}, b={bands}): candidates={ecands} "
+          f"[{t_ecand:.1f}s], verified_pairs={epairs} [{t_ever:.1f}s]")
+
+
+def _ivfpq_probe(spark, emb_df, n):
+    import time
+
+    from hpmr_spark.similarity.ivfpq import ivfpq_topk
+    from hpmr_spark.similarity.lsh import nearest_cell, nearest_cells, train_centroids
+
+    q = emb_df.where(F.col("vec_id") < 10)
+    t0 = time.time()
+    nn = ivfpq_topk(emb_df, q, k=10, n_cells=8).count()
+    t_ivf = time.time() - t0
+    # ADC-scored candidate rows = corpus occupancy of the probed cells
+    cents = train_centroids(
+        emb_df.select(F.col("vec_id").alias("id"), F.col("embedding").alias("vec")),
+        n_cells=8, train_iters=2, salt="ivfpq:")
+    occ = {r["cell"]: r["c"] for r in (
+        emb_df.select(nearest_cell(F.col("embedding"), cents).alias("cell"))
+        .groupBy("cell").agg(F.count(F.lit(1)).alias("c")).collect())}
+    probed = (
+        q.select(F.explode(nearest_cells(F.col("embedding"), cents, 2)).alias("cell"))
+        .collect())
+    adc_rows = sum(occ.get(r["cell"], 0) for r in probed)
+    print(f"ivfpq n={n}: result_rows={nn} [{t_ivf:.1f}s], "
+          f"adc_scored_rows={adc_rows} (of {n} corpus x 10 queries; "
+          f"probed 2/8 cells)")
 
 
 def main():
@@ -836,7 +869,12 @@ def main():
         from hpmr_spark.engine import get_spark
 
         spark = get_spark("scale-probe-round7llm")
-        round7_llm_probe(spark, int(sys.argv[2]) if len(sys.argv) > 2 else 1_000_000)
+        round7_llm_probe(
+            spark,
+            int(sys.argv[2]) if len(sys.argv) > 2 else 1_000_000,
+            vocab_size=int(sys.argv[3]) if len(sys.argv) > 3 else 0,
+            ops=sys.argv[4] if len(sys.argv) > 4 else "",
+        )
         spark.stop()
         return
 
