@@ -287,8 +287,14 @@ for _m in _MODULES:
 # ADVICE-touched this round, jackknife, triplets), plus ALL THREE newly
 # gated-oracle ANN rows (similarity_ivf_topk, similarity_ivf_trained_topk,
 # ivfpq_topk_search - VERDICT item 2: the recall contract gets driver-grade
-# hash checks, not just selfcheck). 48 of the 49 are first-time checks ->
-# never-checked drops 297 -> 249 (<250 per the item's done-bar).
+# hash checks, not just selfcheck). All 49 non-flagship rows are first-time
+# checks -> of the 486 queries that existed at the r6 close, never-checked
+# drops 297 -> 249 (<250 per the item's done-bar). Round 7 then ADDED two
+# operators (dsir_importance_select - in this window - and
+# gopher_quality_rules - selfcheck + invariance + model-test covered), so
+# the registry-wide never-checked count is 250 of 488; the one row above
+# the 486-baseline target is the round's own new operator, not rotation
+# debt.
 # Out (all driver-green in r6): bpe_train_8_merges, encoding_advisor_columns,
 # conformal_threshold_coverage, the 3 sinks, custom_reducer_max_qty,
 # skew_diagnostics_orders, all 9 streaming rows, the 6 write-heavy
