@@ -316,6 +316,11 @@ def _ann_recall_gated(e, ann_df, k: int, floor_permille: int):
     )
     hits = (
         ann_df.select("query_id", "neighbor_id")
+        # .distinct() so a shortlist that ever emitted duplicate
+        # (query_id, neighbor_id) rows cannot double-count hits and pass
+        # the recall floor spuriously (ADVICE r7 — latent; current
+        # implementations emit distinct ranked rows)
+        .distinct()
         .join(exact.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"])
         .agg(F.count(F.lit(1)).cast("long").alias("h"))
     )

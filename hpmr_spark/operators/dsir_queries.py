@@ -35,11 +35,14 @@ _TARGET = "en"
 
 # Identical per-bucket expression both engines: 4 LNs over exact BIGINTs,
 # one floor to nanos. cnt_t/cnt_r are the bucket counts, nt/nr the token
-# totals of the target/raw corpora.
+# totals of the target/raw corpora. The add-1 Laplace smoothing denominator
+# is the bucket count _B by construction (one pseudo-count per bucket) —
+# interpolated so changing _B can never desynchronize smoothing from the
+# bucket count (ADVICE r7; test_round7_models derives it from _B too).
 _LR_NANO = (
     "CAST(FLOOR(("
-    "LN(CAST(cnt_t + 1 AS DOUBLE)) - LN(CAST(nt + 4096 AS DOUBLE))"
-    " - LN(CAST(cnt_r + 1 AS DOUBLE)) + LN(CAST(nr + 4096 AS DOUBLE))"
+    f"LN(CAST(cnt_t + 1 AS DOUBLE)) - LN(CAST(nt + {_B} AS DOUBLE))"
+    f" - LN(CAST(cnt_r + 1 AS DOUBLE)) + LN(CAST(nr + {_B} AS DOUBLE))"
     ") * 1000000000) AS BIGINT)"
 )
 

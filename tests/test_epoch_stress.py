@@ -2,7 +2,7 @@
 SURVEY §7.3 risk b — the async_set→sync epoch model,
 reference src/dist_map.h:118-210).
 
-100 sequential set_batch epochs with checkpoint() every 10: the state
+100 sequential set_batch epochs with checkpoint() every 25: the state
 must stay exactly correct, and the logical plan must NOT grow across
 checkpoint stretches — localCheckpoint cuts lineage back to a LogicalRDD
 scan, so the plan size at the end of every stretch is the same bounded

@@ -46,9 +46,9 @@ def test_dsir_model(spark):
         b: math.floor(
             (
                 math.log(tb.get(b, 0) + 1)
-                - math.log(nt + 4096)
+                - math.log(nt + _B)
                 - math.log(cnt_r + 1)
-                + math.log(nr + 4096)
+                + math.log(nr + _B)
             )
             * 1_000_000_000
         )
