@@ -27,6 +27,23 @@ from pyspark.sql import functions as F
 from hpmr_spark.dedup.shingles import shingle_sets
 from hpmr_spark.functions.hashing import N_PERM, hash32, minhash_perm
 
+#: Committed bound for size-aware join dispatch (VERDICT r7 item 2). The
+#: round-7 OOM happened because SPARK chose to broadcast a corpus-scale
+#: frame off a bad size estimate; the fix is that WE decide, from declared
+#: corpus size, never the estimator. Below the bound the shingle/banded
+#: frames are genuinely small (≤100k docs × ~150 shingles ≈ 10⁷ ints ≈
+#: tens of MB — comfortable on any executor) and broadcasting them removes
+#: three sort exchanges from the hot path; above it — or when the caller
+#: does not know n_docs — every corpus-frame join is pinned to shuffle
+#: sort-merge (spill-safe, linear at any candidate count). Same explicit-
+#: parameter discipline as GEMM_N_CEILING: n_docs comes from pipeline
+#: metadata, never a build-time count().
+BROADCAST_MAX_DOCS = 100_000
+
+
+def _bounded(n_docs: int | None) -> bool:
+    return n_docs is not None and n_docs <= BROADCAST_MAX_DOCS
+
 
 def minhash_signatures(docs: DataFrame, n_perm: int = N_PERM) -> DataFrame:
     """(doc_id, sig_0..sig_{n-1}): minhash signature via one grouped agg."""
@@ -39,7 +56,8 @@ def minhash_signatures(docs: DataFrame, n_perm: int = N_PERM) -> DataFrame:
 
 
 def lsh_candidate_pairs(
-    signatures: DataFrame, bands: int = 16, rows: int = 2
+    signatures: DataFrame, bands: int = 16, rows: int = 2,
+    n_docs: int | None = None,
 ) -> DataFrame:
     """Distinct (doc_a < doc_b) pairs colliding in at least one band."""
     band_structs = [
@@ -55,16 +73,22 @@ def lsh_candidate_pairs(
         "doc_id", F.explode(F.array(*band_structs)).alias("band")
     ).select("doc_id", "band.band_idx", "band.band_key")
     a, b = banded.alias("a"), banded.alias("b")
-    # self-join of two corpus-sized banded frames: force sort-merge — a
-    # size mis-estimate must never broadcast a signature table (driver
-    # OOM at >=1M docs, round-7 probe)
+    cond = (
+        (F.col("a.band_idx") == F.col("b.band_idx"))
+        & (F.col("a.band_key") == F.col("b.band_key"))
+        & (F.col("a.doc_id") < F.col("b.doc_id"))
+    )
+    # Size-aware dispatch: under the DECLARED bound the banded frame is
+    # small by commitment and one side broadcasts (hash join, no sort
+    # exchanges); otherwise — and always when n_docs is unknown — force
+    # sort-merge, because a size mis-estimate must never broadcast a
+    # corpus-scale signature table (driver OOM at >=1M docs, round-7 probe).
+    if _bounded(n_docs):
+        joined = a.join(F.broadcast(b), cond)
+    else:
+        joined = a.hint("merge").join(b, cond)
     return (
-        a.hint("merge").join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
+        joined
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
@@ -76,6 +100,7 @@ def minhash_dedup_pairs(
     n_perm: int = N_PERM,
     bands: int = 16,
     rows: int = 2,
+    n_docs: int | None = None,
 ) -> DataFrame:
     """LSH candidates verified by exact Jaccard (integer threshold compare).
 
@@ -91,20 +116,29 @@ def minhash_dedup_pairs(
     )
     aggs = [F.min(minhash_perm(F.col("h32"), j)).alias(f"sig_{j}") for j in range(n_perm)]
     signatures = hashed.groupBy("doc_id").agg(*aggs)
-    cands = lsh_candidate_pairs(signatures, bands, rows)
+    cands = lsh_candidate_pairs(signatures, bands, rows, n_docs=n_docs)
     sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
     # The candidate-pair frame is UNBOUNDED (it grows with band collisions),
-    # so neither verify join may ever be planned as a broadcast: a
-    # mis-estimated candidate table OOMs the driver at corpus scale
-    # (observed live at 1M synthetic docs — the round-7 probe). The merge
-    # hint pins both joins to shuffle sort-merge: doc-keyed, spill-safe,
-    # linear at any candidate count.
+    # so the verify joins broadcast only the SHINGLE side, and only when the
+    # caller DECLARED the corpus small (n_docs ≤ BROADCAST_MAX_DOCS): the
+    # candidate stream then hash-probes a bounded table with zero sort
+    # exchanges. In every other case both joins are pinned to shuffle
+    # sort-merge — a mis-estimated candidate table must never be planned as
+    # a broadcast (driver OOM at 1M synthetic docs, round-7 probe):
+    # doc-keyed, spill-safe, linear at any candidate count.
+    if _bounded(n_docs):
+        verified = cands.join(F.broadcast(sa), "doc_a").join(
+            F.broadcast(sb), "doc_b"
+        )
+    else:
+        verified = cands.hint("merge").join(sa.hint("merge"), "doc_a").join(
+            sb.hint("merge"), "doc_b"
+        )
     return (
-        cands.hint("merge").join(sa.hint("merge"), "doc_a")
-        .join(sb.hint("merge"), "doc_b")
+        verified
         .withColumn("n_common", inter.cast("long"))
         .withColumn("n_union", union.cast("long"))
         .where(F.lit(100) * F.col("n_common") >= F.lit(threshold_pct) * F.col("n_union"))
