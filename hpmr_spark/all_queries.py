@@ -129,6 +129,7 @@ _MODULES = [
     "hpmr_spark.operators.datavalue_queries",
     "hpmr_spark.operators.aggregate2_queries",
     "hpmr_spark.operators.dsir_queries",
+    "hpmr_spark.operators.web_queries",
 ]
 
 FAILED_MODULES: dict[str, str] = {}

@@ -60,5 +60,11 @@ def sql_hash60(expr: str) -> str:
     return SQL_HEX15_TO_BIGINT.format(h=f"substr(md5({expr}), 1, 15)")
 
 
+def spark_sql_hash60(expr: str) -> str:
+    """Spark-SQL TEXT twin of hash60() — for queries built as SQL text
+    (the py4j-churn discipline): same value as hash60(col)."""
+    return f"CAST(conv(substring(md5({expr}),1,15),16,10) AS BIGINT)"
+
+
 def sql_hash32(expr: str) -> str:
     return f"({sql_hash60(expr)} % {P32})"

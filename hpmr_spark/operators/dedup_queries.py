@@ -422,9 +422,7 @@ _GATE_DIM = 64
 _GATE_N = _GATE_N_CLUSTERS * _GATE_PER_CLUSTER
 
 
-def _spark_h60(e: str) -> str:
-    """Spark-SQL text twin of functions.hashing.hash60 (md5 hex15 → BIGINT)."""
-    return f"CAST(conv(substring(md5({e}),1,15),16,10) AS BIGINT)"
+from hpmr_spark.functions.hashing import spark_sql_hash60 as _spark_h60
 
 
 def _gate_corpus_sql_spark() -> str:
@@ -617,6 +615,259 @@ def dedup_threshold_sweep(spark, sf_dir):
         np_.join(nd, "t")
         .select(
             F.col("t").cast("long").alias("threshold_pct"), "n_pairs", "n_docs"
+        )
+    )
+
+
+# -------------------- SemDeDup with TRAINED centroids (VERDICT r7 item 5)
+#
+# Abbas et al. 2023 (arXiv:2303.09540): k-means-cluster the embedding
+# corpus, prune within-cluster pairs above a cosine threshold, KEEP the
+# representative closest to the cluster centroid. semdedup_cell_prune
+# (below) delivers the within-cell prune with data-BLIND hyperplane cells
+# and a keep-lowest-id rule; this operator delivers the paper's actual
+# recipe: data-ADAPTIVE trained centroids and the centroid-nearest keep
+# rule. Training is one exact INTEGER Lloyd step (seeds = lowest committed
+# hash60; assignment by exact integer squared-L2 on row-quantized micros;
+# centroid update = per-dim SUM div COUNT — truncating integer division,
+# identical in both engines) rather than similarity/lsh.train_centroids'
+# float means: float centroid sums are order-sensitive, and here the
+# centroids decide PRUNE VERDICTS (not just index routing), so they must be
+# partition-invariant and oracle-expressible. Every number in the pipeline
+# is an exact integer; the census is hash-checked end to end.
+#
+# Scale: the within-cell pair join costs Σ|cell|² — linear in corpus size
+# when the cluster count grows with the corpus so occupancy stays bounded
+# (the paper trains ~100k clusters for billions of vectors; assignment then
+# routes through the IVF machinery instead of 8 literal centroids). The
+# round-8 scale probe (tools/scale_probe.py round8semdedup) measures
+# exactly that: within-cell candidate pairs track occupancy, not n².
+
+_SEMC_K = 8
+_SEMC_SALT = "semdedup:"
+_SEMC_TAU_SQ_BP = 2025  # same τ = 0.45 commitment as semdedup_cell_prune below
+
+
+def _semc_d2_text(v: str, arr: list[int]) -> str:
+    a = "array(" + ",".join(str(int(x)) for x in arr) + ")"
+    return (
+        f"aggregate(zip_with({v},{a},(a,b)->(a-b)*(a-b)),"
+        f"CAST(0 AS BIGINT),(acc,x)->acc+x)"
+    )
+
+
+_SEMC_MICROS = (
+    "transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000)"
+    " AS BIGINT))"
+)
+
+# DuckDB twins of the integer pipeline (lambda vars _k/_x to avoid outer
+# shadowing). d2/dot folds over 1-based list indexes.
+_DUCK_D2 = (
+    "list_sum(list_transform(range(1, 65), _k -> ({a}[_k] - {b}[_k])"
+    " * ({a}[_k] - {b}[_k])))"
+)
+_DUCK_DOT = "list_sum(list_transform(range(1, 65), _k -> {a}[_k] * {b}[_k]))"
+
+_SEMC_ORACLE = f"""
+    WITH vi AS MATERIALIZED (
+      SELECT vec_id,
+             list_transform(embedding,
+               _x -> CAST(FLOOR(CAST(_x AS DOUBLE) * 1000000) AS BIGINT)) AS v
+      FROM embeddings
+    ),
+    seeds AS MATERIALIZED (
+      SELECT ROW_NUMBER() OVER (ORDER BY h, vec_id) - 1 AS cell, v
+      FROM (SELECT vec_id, v,
+                   {sql_hash60("'" + _SEMC_SALT + "' || CAST(vec_id AS STRING)")} AS h
+            FROM vi)
+      ORDER BY h, vec_id LIMIT {_SEMC_K}
+    ),
+    a1 AS MATERIALIZED (
+      SELECT vec_id, v, cell FROM (
+        SELECT vi.vec_id, vi.v, s.cell,
+               ROW_NUMBER() OVER (
+                 PARTITION BY vi.vec_id
+                 ORDER BY {_DUCK_D2.format(a='vi.v', b='s.v')}, s.cell) AS rn
+        FROM vi, seeds s) WHERE rn = 1
+    ),
+    cd AS (
+      SELECT cell, dim,
+             CAST(SUM(val) AS BIGINT) // CAST(COUNT(*) AS BIGINT) AS c
+      FROM (SELECT cell, unnest(v) AS val, generate_subscripts(v, 1) AS dim
+            FROM a1)
+      GROUP BY cell, dim
+    ),
+    cents AS MATERIALIZED (
+      SELECT cell, list(c ORDER BY dim) AS cv FROM cd GROUP BY cell
+    ),
+    a2 AS MATERIALIZED (
+      SELECT vec_id, v, cell, d2 AS d2c,
+             {_DUCK_DOT.format(a='v', b='v')} AS n2
+      FROM (
+        SELECT vi.vec_id, vi.v, c.cell,
+               {_DUCK_D2.format(a='vi.v', b='c.cv')} AS d2,
+               ROW_NUMBER() OVER (
+                 PARTITION BY vi.vec_id
+                 ORDER BY {_DUCK_D2.format(a='vi.v', b='c.cv')}, c.cell) AS rn
+        FROM vi, cents c) WHERE rn = 1
+    ),
+    pairs AS (
+      SELECT b.vec_id AS idb,
+             {_DUCK_DOT.format(a='a.v', b='b.v')} AS d,
+             a.n2 AS na2, b.n2 AS nb2
+      FROM a2 a JOIN a2 b
+        ON a.cell = b.cell
+       AND (a.d2c < b.d2c OR (a.d2c = b.d2c AND a.vec_id < b.vec_id))
+    ),
+    pruned AS (
+      SELECT DISTINCT idb AS vec_id FROM pairs
+      WHERE d > 0
+        AND CAST(d AS HUGEINT) * d * 10000 >= {_SEMC_TAU_SQ_BP}
+            * CAST(na2 AS HUGEINT) * nb2
+    )
+    SELECT CAST(c.cell AS BIGINT) AS cell,
+           CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           CAST(SUM(CASE WHEN p.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_pruned,
+           CAST(SUM(CASE WHEN p.vec_id IS NULL THEN c.vec_id ELSE 0 END)
+                AS BIGINT) AS kept_id_sum
+    FROM a2 c LEFT JOIN pruned p ON p.vec_id = c.vec_id
+    GROUP BY c.cell
+"""
+
+
+@register("semdedup_centroid_prune", _SEMC_ORACLE)
+def semdedup_centroid_prune(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023) with TRAINED centroids: one exact
+    integer Lloyd step (committed-hash seeds → integer-L2 assignment →
+    per-dim truncating-mean update) clusters the corpus; within each
+    cluster every vector with a MORE-centroid-near neighbor above the
+    cosine threshold (int128 cross-multiplied, τ = 0.45) is pruned, so the
+    survivor of each near-dup group is the centroid-nearest representative
+    — the paper's keep rule, fully deterministic. Emits the per-cell
+    census (vectors, pruned, kept-id checksum), hash-checked.
+
+    Spark shape: two bounded collects (8 seed vectors; 8×64 centroid ints)
+    broadcast as literals; assignment is one corpus scan with an
+    array_min-over-structs argmin (no shuffle of embeddings); the pair
+    join is within-cell and merge-hinted (corpus-scale frames never
+    broadcast — the round-7 rule). Persisted assign frame feeds the pair
+    join twice + the census ⟹ plan_snapshot SKIP."""
+    from pyspark import StorageLevel
+
+    from hpmr_spark.functions.hashing import hash60
+
+    e = _t(spark, sf_dir, "embeddings")
+    vi = e.select("vec_id", F.expr(_SEMC_MICROS).alias("v"))
+
+    seed_rows = sorted(
+        vi.select(
+            "vec_id",
+            "v",
+            hash60(
+                F.concat(F.lit(_SEMC_SALT), F.col("vec_id").cast("string"))
+            ).alias("h"),
+        )
+        .orderBy("h", "vec_id")
+        .limit(_SEMC_K)
+        .collect(),
+        key=lambda r: (r["h"], r["vec_id"]),
+    )
+    seeds = [[int(x) for x in r["v"]] for r in seed_rows]
+
+    def argmin_struct(cent_lists):
+        structs = ",".join(
+            f"named_struct('d2',{_semc_d2_text('v', cv)},'cell',{ci})"
+            for ci, cv in enumerate(cent_lists)
+        )
+        return F.expr(f"array_min(array({structs}))")
+
+    a1 = vi.select(
+        "vec_id", "v", argmin_struct(seeds).getField("cell").alias("cell")
+    )
+    cd = (
+        a1.select("cell", F.posexplode("v").alias("dim0", "val"))
+        .groupBy("cell", "dim0")
+        .agg(F.expr("CAST(SUM(val) AS BIGINT) div COUNT(*)").alias("c"))
+        .groupBy("cell")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(dim0, c))), p -> p.c)"
+            ).alias("cv")
+        )
+        .collect()
+    )
+    cents = [
+        [int(x) for x in row["cv"]]
+        for row in sorted(cd, key=lambda r: r["cell"])
+    ]
+
+    mn = argmin_struct(cents)
+    a2 = vi.select(
+        "vec_id",
+        "v",
+        mn.getField("cell").cast("long").alias("cell"),
+        mn.getField("d2").alias("d2c"),
+        F.expr(
+            "aggregate(zip_with(v,v,(a,b)->a*b),CAST(0 AS BIGINT),(acc,x)->acc+x)"
+        ).alias("n2"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+
+    a = a2.select(
+        F.col("cell").alias("cell"),
+        F.col("vec_id").alias("ida"),
+        F.col("v").alias("va"),
+        F.col("d2c").alias("d2a"),
+        F.col("n2").alias("na2"),
+    )
+    b = a2.select(
+        F.col("cell").alias("cellb"),
+        F.col("vec_id").alias("idb"),
+        F.col("v").alias("vb"),
+        F.col("d2c").alias("d2b"),
+        F.col("n2").alias("nb2"),
+    )
+    dot = F.expr(
+        "aggregate(zip_with(va,vb,(a,b)->a*b),CAST(0 AS BIGINT),(acc,x)->acc+x)"
+    )
+    pruned = (
+        a.hint("merge")
+        .join(
+            b,
+            (F.col("cell") == F.col("cellb"))
+            & (
+                (F.col("d2a") < F.col("d2b"))
+                | ((F.col("d2a") == F.col("d2b")) & (F.col("ida") < F.col("idb")))
+            ),
+        )
+        .select(F.col("idb").alias("vec_id"), dot.alias("d"), "na2", "nb2")
+        .where(
+            (F.col("d") > 0)
+            & (
+                F.col("d").cast("decimal(38,0)") * F.col("d") * 10000
+                >= F.lit(_SEMC_TAU_SQ_BP)
+                * F.col("na2").cast("decimal(38,0)")
+                * F.col("nb2")
+            )
+        )
+        .select("vec_id")
+        .distinct()
+        .withColumn("is_pruned", F.lit(1))
+    )
+    return (
+        a2.join(pruned, "vec_id", "left_outer")
+        .groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vectors"),
+            F.sum(F.coalesce(F.col("is_pruned"), F.lit(0)))
+            .cast("long")
+            .alias("n_pruned"),
+            F.sum(
+                F.when(F.col("is_pruned").isNull(), F.col("vec_id")).otherwise(0)
+            )
+            .cast("long")
+            .alias("kept_id_sum"),
         )
     )
 

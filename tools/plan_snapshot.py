@@ -92,6 +92,7 @@ SKIP = {
     "streaming_checkpoint_exactly_once",  # runs two stream phases at build
     "ivfpq_topk_search",  # k-means training + codebook seeds collect at build
     "ivfpq_recall_clustered_gate",  # same trainer collects + persisted synth corpus
+    "semdedup_centroid_prune",  # integer-Lloyd collects + persisted assign frame
     "bpe_train_8_merges",  # 8 argmax collects + persisted vocab at build
     "bpe_apply_compression_report",  # same trainer collects at build
     "dedup_threshold_sweep",  # bounded ceiling-guard count() at build

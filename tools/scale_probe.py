@@ -797,6 +797,160 @@ def round7_llm_probe(spark, n: int, vocab_size: int = 0, ops: str = ""):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def round8_probe(spark, n: int, ops: str = ""):
+    """Round-8 probes (VERDICT r7 items 5 + 8).
+
+    semdedup: within-cluster pair counts must be bounded by cluster
+    OCCUPANCY, not n² — the SemDeDup scale contract. Cluster count grows
+    with the corpus (bits = log2(n/64), target occupancy ~64; the
+    registered operator's 8 trained centroids are the oracle-scale
+    instance of the same shape), so Σ occ²/2 ≈ n·occ/2 stays LINEAR in n.
+    Cells here are integer hyperplane sign bits (the committed-plane
+    machinery) standing in for a trained router at probe scale; the prune
+    join and τ decision are the operator's own integer arithmetic.
+
+    sigagg: the 10M minhash signature aggregation fell back to sort-based
+    agg in round 7 (SCALE.md round7llm: 1161 s sig+cand wall). Measures
+    the same 32-min groupBy under (a) defaults, (b) 4× shuffle
+    partitions, (c) input pre-repartitioned by doc_id (exchange elided by
+    EnsureRequirements; per-task hash maps cover n/N groups each).
+    """
+    import math
+    import time
+
+    do = set(ops.split(",")) if ops else {"semdedup", "sigagg"}
+
+    if "semdedup" in do:
+        from hpmr_spark.similarity.lsh import PLANES
+
+        occ_target = 64
+        bits = max(4, int(math.ceil(math.log2(max(n, 1) / occ_target))))
+        planes = [
+            [int(round(x * 1_000_000)) for x in PLANES[b]] for b in range(bits)
+        ]
+        # clustered int-micro corpus: 8-member planted clusters
+        comp = (
+            "transform(sequence(1, 64), i -> "
+            " (pmod(xxhash64(id DIV 8 * 64 + i), 2000001) - 1000000)"
+            " + (pmod(xxhash64(id * 64 + i + 7), 40001) - 20000))"
+        )
+        vi = spark.range(n).selectExpr(
+            "id AS vec_id", f"{comp} AS v"
+        )
+        dot = (
+            "aggregate(zip_with(v, array({arr}), (a, b) -> a * b),"
+            " CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+        )
+        bit_terms = []
+        for b, plane in enumerate(planes):
+            arr = ",".join(str(x) for x in plane)
+            bit_terms.append(
+                f"(CASE WHEN {dot.format(arr=arr)} > 0"
+                f" THEN CAST({1 << b} AS BIGINT) ELSE 0 END)"
+            )
+        cell_expr = " + ".join(bit_terms)
+        celled = vi.selectExpr("vec_id", "v", f"({cell_expr}) AS cell").persist()
+        t0 = time.time()
+        occ = (
+            celled.groupBy("cell")
+            .agg(F.count(F.lit(1)).alias("occ"))
+            .agg(
+                F.count(F.lit(1)).alias("n_cells"),
+                F.max("occ").alias("max_occ"),
+                F.sum(F.col("occ") * (F.col("occ") - 1) / 2).alias("pairs"),
+            )
+            .collect()[0]
+        )
+        t_cells = time.time() - t0
+        print(
+            f"semdedup n={n} bits={bits}: n_cells={occ['n_cells']} "
+            f"max_occ={occ['max_occ']} candidate_pairs={int(occ['pairs'])} "
+            f"pairs/n={occ['pairs']/n:.1f} [{t_cells:.1f}s]"
+        )
+        a = celled.select(
+            F.col("cell").alias("cell"),
+            F.col("vec_id").alias("ida"),
+            F.col("v").alias("va"),
+        )
+        b_ = celled.select(
+            F.col("cell").alias("cellb"),
+            F.col("vec_id").alias("idb"),
+            F.col("v").alias("vb"),
+        )
+        d_ab = F.expr(
+            "aggregate(zip_with(va,vb,(a,b)->a*b),CAST(0 AS BIGINT),(acc,x)->acc+x)"
+        )
+        na2 = F.expr(
+            "aggregate(zip_with(va,va,(a,b)->a*b),CAST(0 AS BIGINT),(acc,x)->acc+x)"
+        )
+        nb2 = F.expr(
+            "aggregate(zip_with(vb,vb,(a,b)->a*b),CAST(0 AS BIGINT),(acc,x)->acc+x)"
+        )
+        t0 = time.time()
+        pruned = (
+            a.hint("merge")
+            .join(b_, (a["cell"] == b_["cellb"]) & (a["ida"] < b_["idb"]))
+            .where(
+                (d_ab > 0)
+                & (
+                    d_ab.cast("decimal(38,0)") * d_ab * 10000
+                    >= F.lit(2025) * na2.cast("decimal(38,0)") * nb2
+                )
+            )
+            .select("idb")
+            .distinct()
+            .count()
+        )
+        t_prune = time.time() - t0
+        print(
+            f"semdedup n={n}: pruned={pruned} "
+            f"({1000 * pruned // n} permille) [{t_prune:.1f}s prune join]"
+        )
+        celled.unpersist()
+
+    if "sigagg" in do:
+        from hpmr_spark.dedup.shingles import shingle_sets
+        from hpmr_spark.functions.hashing import N_PERM, hash32, minhash_perm
+
+        vocab = 4096
+        docs = spark.range(n).select(
+            F.col("id").alias("doc_id"),
+            F.concat_ws(" ", F.transform(
+                F.sequence(F.lit(1), F.lit(60)),
+                lambda i: F.concat(F.lit("w"), (
+                    (F.xxhash64(F.col("id") * 1000 + i) % vocab
+                     + vocab) % vocab).cast("string")),
+            )).alias("text"))
+        hashed = shingle_sets(docs).select(
+            "doc_id", F.explode("sh").alias("shingle")
+        ).select("doc_id", hash32(F.col("shingle")).alias("h32"))
+        aggs = [
+            F.min(minhash_perm(F.col("h32"), j)).alias(f"sig_{j}")
+            for j in range(N_PERM)
+        ]
+        base_sp = spark.conf.get("spark.sql.shuffle.partitions")
+
+        def run(tag):
+            t0 = time.time()
+            cnt = hashed.groupBy("doc_id").agg(*aggs).count()
+            print(f"sigagg n={n} {tag}: {cnt} signatures "
+                  f"[{time.time()-t0:.1f}s]")
+
+        run(f"defaults(sp={base_sp})")
+        spark.conf.set("spark.sql.shuffle.partitions", str(int(base_sp) * 4))
+        run(f"sp={int(base_sp)*4}")
+        spark.conf.set("spark.sql.shuffle.partitions", base_sp)
+        t0 = time.time()
+        cnt = (
+            hashed.repartition(int(base_sp) * 4, "doc_id")
+            .groupBy("doc_id")
+            .agg(*aggs)
+            .count()
+        )
+        print(f"sigagg n={n} pre-repartition(doc_id,{int(base_sp)*4}): "
+              f"{cnt} signatures [{time.time()-t0:.1f}s]")
+
+
 def _embedding_lsh_probe(spark, emb_df, n):
     import math
     import time
@@ -874,6 +1028,19 @@ def main():
             int(sys.argv[2]) if len(sys.argv) > 2 else 1_000_000,
             vocab_size=int(sys.argv[3]) if len(sys.argv) > 3 else 0,
             ops=sys.argv[4] if len(sys.argv) > 4 else "",
+        )
+        spark.stop()
+        return
+    # `python tools/scale_probe.py round8 <n> [ops]` — semdedup occupancy
+    # scaling + minhash signature-agg strategy comparison (SCALE.md round 8)
+    if len(sys.argv) > 1 and sys.argv[1] == "round8":
+        from hpmr_spark.engine import get_spark
+
+        spark = get_spark("scale-probe-round8")
+        round8_probe(
+            spark,
+            int(sys.argv[2]) if len(sys.argv) > 2 else 1_000_000,
+            ops=sys.argv[3] if len(sys.argv) > 3 else "",
         )
         spark.stop()
         return
