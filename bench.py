@@ -125,17 +125,44 @@ BENCH_EXTRA = [
 ]
 
 
+def _machine_conditions() -> dict:
+    """Bench-honesty fields (VERDICT r7 item 7): cross-round BENCH
+    comparisons kept mis-reading machine load as repo regressions (the
+    r3→r4 creep chase, the r5 outliers — BASELINE.md). Record the load
+    average, CPU count, and the plans_golden pin hash AT RUN TIME so every
+    artifact self-documents its conditions."""
+    import hashlib
+
+    cond: dict = {"n_cpus": os.cpu_count()}
+    try:
+        cond["loadavg_1m"] = round(os.getloadavg()[0], 2)
+    except OSError:
+        cond["loadavg_1m"] = None
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "plans_golden.json"), "rb"
+        ) as fh:
+            cond["plan_pin_md5"] = hashlib.md5(fh.read()).hexdigest()[:12]
+    except OSError:
+        cond["plan_pin_md5"] = None
+    return cond
+
+
 def main() -> int:
     from __spark_entry__ import queries
 
     from hpmr_spark.engine import get_spark
 
+    cond_start = _machine_conditions()
     spark = get_spark("hpmr-bench")
     qs = queries()
 
     # warmup: touch the biggest input once so JVM/codegen startup doesn't
     # pollute the first measured query
+    t_warm = time.time()
     spark.read.parquet(f"{SF_DIR}/lineitem.parquet").count()
+    warmup_sec = round(time.time() - t_warm, 3)
 
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
@@ -153,6 +180,17 @@ def main() -> int:
 
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    cond_end = _machine_conditions()
+    conditions = {
+        "loadavg_1m_start": cond_start["loadavg_1m"],
+        "loadavg_1m_end": cond_end["loadavg_1m"],
+        "n_cpus": cond_start["n_cpus"],
+        "plan_pin_md5": cond_start["plan_pin_md5"],
+        # one fixed-SF session per bench run: every query is measured once,
+        # cold, after the single lineitem warmup scan
+        "session": "cold-start",
+        "warmup_sec": warmup_sec,
+    }
     result = {
         "metric": "headline_queries_total_sec",
         "value": total,
@@ -161,6 +199,7 @@ def main() -> int:
         "extra_queries": extra,
         "extra_total_sec": round(sum(extra.values()), 3),
         "sf": float(sf),
+        "conditions": conditions,
     }
     # VERDICT r5 lead item: BENCH_r05's stdout line (headline + 53 extras,
     # ~3 KB) overran the driver's bounded tail capture and lost its opening
@@ -180,6 +219,16 @@ def main() -> int:
     compact = {k: v for k, v in result.items() if k != "extra_queries"}
     compact["n_extra_queries"] = len(extra)
     compact["full_artifact"] = "bench_result.json"
+    # comparability note → STDERR (stdout must stay ONE parseable JSON
+    # line for the driver's bounded tail capture — the r5 lesson)
+    la = conditions["loadavg_1m_start"]
+    print(
+        f"bench comparability: loadavg {la}->{conditions['loadavg_1m_end']} "
+        f"on {conditions['n_cpus']} cpus; plan-pin {conditions['plan_pin_md5']}; "
+        f"cold session, warmup {warmup_sec}s. Compare BENCH_r{{N}} only at "
+        f"similar loadavg (BASELINE.md protocol).",
+        file=sys.stderr,
+    )
     print(json.dumps(compact))
     spark.stop()
     return 0
