@@ -1,9 +1,11 @@
 """MinHash + LSH near-dedup — the scale path for n-gram Jaccard.
 
 Pipeline (single DataFrame plan, no Python in the hot path):
-  1. shingle_sets → explode → h32 = md5-derived 32-bit shingle hash
-  2. one groupBy(doc_id) computes ALL N_PERM signature minima at once
-     (32 min() aggregates — one shuffle, map-side partial agg)
+  1. shingle_sets → per-doc h32 array (md5-derived 32-bit shingle hashes)
+  2. ALL N_PERM signature minima as per-row array_min(transform(...)) —
+     a pure MAP stage: no explode, no aggregate, no shuffle, nothing to
+     spill (round 8; the old explode+groupBy form fell back to sort-based
+     aggregation at 10M docs — SCALE.md round-8)
   3. signatures → bands of r rows; band key = concat of the band's sig values
   4. explode bands → self-join on (band_idx, band_key) → candidate pairs
   5. verify candidates EXACTLY: join shingle sets, integer-compare
@@ -25,7 +27,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from hpmr_spark.dedup.shingles import shingle_sets
-from hpmr_spark.functions.hashing import N_PERM, hash32, minhash_perm
+from hpmr_spark.functions.hashing import N_PERM
 
 #: Committed bound for size-aware join dispatch (VERDICT r7 item 2). The
 #: round-7 OOM happened because SPARK chose to broadcast a corpus-scale
@@ -45,14 +47,35 @@ def _bounded(n_docs: int | None) -> bool:
     return n_docs is not None and n_docs <= BROADCAST_MAX_DOCS
 
 
+def signatures_from_shingles(sh: DataFrame, n_perm: int = N_PERM) -> DataFrame:
+    """(doc_id, sig_0..sig_{n-1}) from a (doc_id, sh array) frame — the
+    AGGREGATION-FREE signature build: each permutation minimum is an
+    array_min over a per-row transform, so the whole build is one map
+    stage (no explode, no groupBy, no shuffle, nothing to spill). This is
+    the structural answer to the 10M sort-agg fallback (SCALE.md round 8):
+    the 600M-row explode + 32-min hash aggregate that fell back to
+    sort-based agg simply does not exist in this form. md5 is computed
+    ONCE per shingle (h32 array), then each permutation is integer
+    arithmetic over it — values identical to the old grouped form."""
+    from hpmr_spark.functions.hashing import MINHASH_A, MINHASH_B, P32
+
+    h32 = (
+        "transform(sh, _s -> CAST(conv(substring(md5(_s),1,15),16,10)"
+        f" AS BIGINT) % {P32})"
+    )
+    sig_exprs = [
+        f"array_min(transform(_h32, _h -> ({MINHASH_A[j]}L * _h"
+        f" + {MINHASH_B[j]}L) % {P32})) AS sig_{j}"
+        for j in range(n_perm)
+    ]
+    return sh.selectExpr("doc_id", f"{h32} AS _h32").selectExpr(
+        "doc_id", *sig_exprs
+    )
+
+
 def minhash_signatures(docs: DataFrame, n_perm: int = N_PERM) -> DataFrame:
-    """(doc_id, sig_0..sig_{n-1}): minhash signature via one grouped agg."""
-    sh = shingle_sets(docs)
-    hashed = sh.select(
-        "doc_id", F.explode("sh").alias("shingle")
-    ).select("doc_id", hash32(F.col("shingle")).alias("h32"))
-    aggs = [F.min(minhash_perm(F.col("h32"), j)).alias(f"sig_{j}") for j in range(n_perm)]
-    return hashed.groupBy("doc_id").agg(*aggs)
+    """(doc_id, sig_0..sig_{n-1}): per-row minhash signature (map-only)."""
+    return signatures_from_shingles(shingle_sets(docs), n_perm=n_perm)
 
 
 def lsh_candidate_pairs(
@@ -111,11 +134,7 @@ def minhash_dedup_pairs(
     from pyspark import StorageLevel
 
     sh = shingle_sets(docs).persist(StorageLevel.MEMORY_AND_DISK)
-    hashed = sh.select("doc_id", F.explode("sh").alias("shingle")).select(
-        "doc_id", hash32(F.col("shingle")).alias("h32")
-    )
-    aggs = [F.min(minhash_perm(F.col("h32"), j)).alias(f"sig_{j}") for j in range(n_perm)]
-    signatures = hashed.groupBy("doc_id").agg(*aggs)
+    signatures = signatures_from_shingles(sh, n_perm=n_perm)
     cands = lsh_candidate_pairs(signatures, bands, rows, n_docs=n_docs)
     sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))

@@ -949,6 +949,14 @@ def round8_probe(spark, n: int, ops: str = ""):
         )
         print(f"sigagg n={n} pre-repartition(doc_id,{int(base_sp)*4}): "
               f"{cnt} signatures [{time.time()-t0:.1f}s]")
+        # the round-8 structural fix: per-row array_min signatures — the
+        # aggregation does not exist, so neither does its sort fallback
+        from hpmr_spark.dedup.minhash import signatures_from_shingles
+
+        t0 = time.time()
+        cnt = signatures_from_shingles(shingle_sets(docs)).count()
+        print(f"sigagg n={n} array-based(map-only): {cnt} signatures "
+              f"[{time.time()-t0:.1f}s]")
 
 
 def _embedding_lsh_probe(spark, emb_df, n):
