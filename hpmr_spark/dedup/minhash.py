@@ -133,6 +133,16 @@ def minhash_dedup_pairs(
     materialize-the-shingle-table step (MEMORY_AND_DISK spills gracefully)."""
     from pyspark import StorageLevel
 
+    if _bounded(n_docs):
+        # Declared-small corpora usually arrive as ONE parquet row group →
+        # one task carries the whole shingle/signature/band pipeline while
+        # the rest of the cluster idles. A doc_id-hash repartition of the
+        # RAW docs (tiny — the corpus is bounded by declaration) spreads
+        # the expensive expressions across every core. Never done in the
+        # unbounded regime: corpus-scale input is already multi-file, and
+        # a blanket full-corpus shuffle of raw text would be pure waste.
+        par = docs.sparkSession.sparkContext.defaultParallelism
+        docs = docs.repartition(par, "doc_id")
     sh = shingle_sets(docs).persist(StorageLevel.MEMORY_AND_DISK)
     signatures = signatures_from_shingles(sh, n_perm=n_perm)
     cands = lsh_candidate_pairs(signatures, bands, rows, n_docs=n_docs)

@@ -93,6 +93,9 @@ SKIP = {
     "ivfpq_topk_search",  # k-means training + codebook seeds collect at build
     "ivfpq_recall_clustered_gate",  # same trainer collects + persisted synth corpus
     "semdedup_centroid_prune",  # integer-Lloyd collects + persisted assign frame
+    "dedup_minhash_lsh",  # persisted shingle frame: the r8 bounded-regime
+    # repartition is inside the cached subtree, so the counted shuffle set
+    # flips with cache-registration order (InMemoryTableScan flake class)
     "bpe_train_8_merges",  # 8 argmax collects + persisted vocab at build
     "bpe_apply_compression_report",  # same trainer collects at build
     "dedup_threshold_sweep",  # bounded ceiling-guard count() at build
