@@ -130,6 +130,7 @@ _MODULES = [
     "hpmr_spark.operators.aggregate2_queries",
     "hpmr_spark.operators.dsir_queries",
     "hpmr_spark.operators.web_queries",
+    "hpmr_spark.operators.pretrain2_queries",
 ]
 
 FAILED_MODULES: dict[str, str] = {}
@@ -345,7 +346,32 @@ for _m in _MODULES:
 # Out (all driver-green in r7): the entire r7 window — see the r7 comment
 # above for the 50 names; every family keeps full-sweep selfcheck coverage
 # at both SFs plus the partition-invariance artifact.
+# Round-9 note: the round-8 driver/judge pass left NO artifacts
+# (CORRECTNESS_r08.json / BENCH_r08.json / a round-8 VERDICT were never
+# written), so the 50 rows composed above were never actually
+# driver-checked — the true never-checked count at r9 start is 254 of 492
+# (the r8-close "204" assumed the r8 window would run). The r9 window
+# therefore KEEPS the r8 composition (those rows still deserve their
+# first driver row) and only swaps this round's five new operators in —
+# gopher_repetition_fractions, ccnet_ppl_buckets, data_repeats_budget,
+# contamination_span_profile, bitext_margin_mining (every new operator
+# gets a driver row in its own round) — for the five lowest-risk rows
+# whose classes keep other in-window representatives:
+# sql_session_variables + pipe_syntax_orders_summary (plain Spark-4 SQL
+# surfaces, selfcheck/invariance-green since r2/r6), rendezvous_hash_assign
+# (pure HRW expression), kmv_merge_property (sketch merge laws keep
+# minhash_merge_property + kmv_set_ops_gate + bloom_semi_prune +
+# sketch_bounded_checks), zipf_fit_slope (the LN/EXP family keeps five
+# other reps in-window). If CORRECTNESS_r09 runs this window, never-checked
+# drops 254 → 209 of 497 (45 first-time r8 rows retired + the round's 5
+# new operators checked in their own round).
 _CHECK_FIRST = [
+    # round-9 new operators (driver row in their own round)
+    "gopher_repetition_fractions",
+    "ccnet_ppl_buckets",
+    "data_repeats_budget",
+    "contamination_span_profile",
+    "bitext_margin_mining",
     # the r7 honesty nit + this round's four new operators
     "gopher_quality_rules",
     "ivfpq_recall_clustered_gate",
@@ -388,13 +414,11 @@ _CHECK_FIRST = [
     # sketch gates + merge laws
     "sketch_bounded_checks",
     "minhash_merge_property",
-    "kmv_merge_property",
     "kmv_set_ops_gate",
     "bloom_semi_prune",
     # LN/EXP-commitment family
     "weighted_sample_topk_es",
     "softmax_temperature_mixture",
-    "zipf_fit_slope",
     "token_entropy_by_lang",
     "markov_entropy_rate_nano",
     "kde_price_grid_nano",
@@ -406,9 +430,6 @@ _CHECK_FIRST = [
     "ab_test_z2_gate",
     # committed-bound GEMM pruning + Spark-4 SQL surfaces + HRW
     "gemm_block_prune_report",
-    "sql_session_variables",
-    "pipe_syntax_orders_summary",
-    "rendezvous_hash_assign",
 ]
 
 # Retained verbatim as the r7 rotation log (not used for ordering): the

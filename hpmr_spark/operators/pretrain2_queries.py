@@ -1,0 +1,764 @@
+"""Round-9 pretraining-pipeline batch: the standard corpus-curation recipes
+still missing after rounds 1-8 (each one a named step in a published
+pipeline, none reducible to an existing registry row):
+
+- gopher_repetition_fractions: the Gopher repetition filters (Rae et al.
+  2021, §A1.1) — fraction of characters inside the most-frequent
+  {2,3,4}-gram, plus the duplicated-5-gram coverage fraction with
+  overlap-safe interval union (token analog; this corpus is single-line,
+  single-space — the documented segment convention).
+- ccnet_ppl_buckets: the CCNet head/middle/tail perplexity terciles
+  (Wenzek et al. 2020) — per-language unigram-NLL tercile assignment, the
+  step BETWEEN scoring (doc_perplexity_avg_nll) and filtering.
+- data_repeats_budget: epochs-per-source allocation under a token budget
+  with diminishing returns on repeats (Muennighoff et al. 2023, "Scaling
+  Data-Constrained Language Models") — halving-utility integer analog.
+- contamination_span_profile: span-level decontamination report — longest
+  contiguous contaminated region per document via interval union over
+  hit 5-grams (extends contamination_check_5gram's count-only view the
+  way Brown et al. 2020 Appendix C removes CONTIGUOUS contaminated spans).
+- bitext_margin_mining: margin-based parallel-pair mining (Artetxe &
+  Schwenk 2019) — mutual top-1 by ratio-margin score over two corpus
+  halves; the exact brute-force baseline (documented O(n_A*n_B), like
+  similarity_bruteforce_pairs); the 100 TB path routes the same scoring
+  through the IVF shortlist (similarity/ivfpq.py).
+
+Integer discipline (CLAUDE.md): counts/positions/chars are exact BIGINTs;
+every ln is floored to integer micro-nats elementwise BEFORE summation;
+cosine/margin scores are one-final-double expressions over exact integer
+moments (identical SQL text both engines); floor divisions are
+non-negative or engine-paired (Spark `div` ≡ DuckDB `//`, both truncate).
+
+Reference parity: beyond the reference kv kernel
+(/root/reference/src/hpmr.h:1-10) along the brief's LLM-pipeline axis.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from hpmr_spark.catalog import _t, register
+from hpmr_spark.functions.hashing import hash60, sql_hash60
+
+# ---------------------------------------------------------------------------
+# Gopher repetition fractions: top-{2,3,4}-gram char share + dup-5-gram
+# coverage (interval union over token positions).
+# ---------------------------------------------------------------------------
+
+_GOPHER_REP_ORACLE = """
+    WITH d AS (
+      SELECT doc_id, text, string_split(text, ' ') AS toks,
+             CAST(len(text) AS BIGINT) AS n_chars,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, n, i,
+             list_aggregate(toks[i : i + n - 1], 'string_agg', ' ') AS gram
+      FROM (
+        SELECT d.doc_id, d.toks, n.n,
+               unnest(generate_series(1, CAST(len(d.toks) AS BIGINT)
+                                         - n.n + 1)) AS i
+        FROM d CROSS JOIN (SELECT unnest([2, 3, 4]) AS n) n
+      )
+    ),
+    cnt AS (
+      SELECT doc_id, n, gram, CAST(COUNT(*) AS BIGINT) AS c
+      FROM grams GROUP BY doc_id, n, gram
+    ),
+    top AS (
+      SELECT doc_id, n, gram, c,
+             ROW_NUMBER() OVER (PARTITION BY doc_id, n
+                                ORDER BY c DESC, gram) AS rk
+      FROM cnt
+    ),
+    toppiv AS (
+      SELECT t.doc_id,
+             CAST(MAX(CASE WHEN t.n = 2
+               THEN t.c * len(t.gram) * 1000000 // d.n_chars END) AS BIGINT)
+               AS top2_ppm,
+             CAST(MAX(CASE WHEN t.n = 3
+               THEN t.c * len(t.gram) * 1000000 // d.n_chars END) AS BIGINT)
+               AS top3_ppm,
+             CAST(MAX(CASE WHEN t.n = 4
+               THEN t.c * len(t.gram) * 1000000 // d.n_chars END) AS BIGINT)
+               AS top4_ppm
+      FROM top t JOIN d ON d.doc_id = t.doc_id
+      WHERE t.rk = 1
+      GROUP BY t.doc_id
+    ),
+    grams5 AS (
+      SELECT doc_id, i,
+             list_aggregate(toks[i : i + 4], 'string_agg', ' ') AS gram
+      FROM (
+        SELECT d.doc_id, d.toks,
+               unnest(generate_series(1, CAST(len(d.toks) AS BIGINT) - 4))
+                 AS i
+        FROM d
+      )
+    ),
+    dup5 AS (
+      SELECT doc_id, i,
+             COUNT(*) OVER (PARTITION BY doc_id, gram) AS c
+      FROM grams5
+    ),
+    starts AS (
+      SELECT doc_id, i, i + 4 AS e FROM dup5 WHERE c >= 2
+    ),
+    sw AS (
+      SELECT doc_id, i, e,
+             CASE WHEN i > MAX(e) OVER (PARTITION BY doc_id ORDER BY i
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  THEN 1 ELSE 0 END AS new_island
+      FROM starts
+    ),
+    isl AS (
+      SELECT doc_id, i, e,
+             SUM(new_island) OVER (PARTITION BY doc_id ORDER BY i
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island_id
+      FROM sw
+    ),
+    spans AS (
+      SELECT doc_id, island_id,
+             CAST(MAX(e) - MIN(i) + 1 AS BIGINT) AS span_tok
+      FROM isl GROUP BY doc_id, island_id
+    ),
+    cover AS (
+      SELECT doc_id, CAST(SUM(span_tok) AS BIGINT) AS covered_tok
+      FROM spans GROUP BY doc_id
+    )
+    SELECT d.doc_id, d.n_tok AS n_tokens, d.n_chars AS total_chars,
+           COALESCE(t.top2_ppm, 0) AS top2_ppm,
+           COALESCE(t.top3_ppm, 0) AS top3_ppm,
+           COALESCE(t.top4_ppm, 0) AS top4_ppm,
+           CAST(COALESCE(c.covered_tok, 0) * 1000000 // d.n_tok AS BIGINT)
+             AS dup5_cover_ppm
+    FROM d
+    LEFT JOIN toppiv t ON t.doc_id = d.doc_id
+    LEFT JOIN cover c ON c.doc_id = d.doc_id
+"""
+
+
+@register("gopher_repetition_fractions", _GOPHER_REP_ORACLE)
+def gopher_repetition_fractions(spark, sf_dir):
+    """Gopher repetition filters (Rae et al. 2021 Table A1): per document,
+    the ppm of characters contained in the single most-frequent
+    {2,3,4}-gram (count x gram-chars / doc-chars — can exceed 1e6 for
+    degenerate docs, exactly as the published rule can) and the ppm of
+    token positions covered by 5-grams that occur >= 2 times in the doc,
+    with overlapping occurrences counted ONCE via the sweep-line interval
+    union (the gaps-and-islands idiom of interval_coverage_union). This
+    corpus has no newlines, so the line/paragraph rules have no unit here;
+    the n-gram rules are the exact published arithmetic. All integers:
+    counts, positions and char lengths; top-gram selection carries the
+    full (count DESC, gram) tie-break. Every window is doc-partitioned —
+    per-doc state bounds memory at any corpus size, and the only shuffles
+    are (doc, n, gram)-keyed counts."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.split("text", " ").alias("a"),
+        F.length("text").cast("long").alias("n_chars"),
+        F.size(F.split("text", " ")).cast("long").alias("n_tok"),
+    )
+    # top-{2,3,4}-gram: ONE corpus scan builds all three gram sizes (concat
+    # of guarded transforms — sequence DESCENDS when size < n, the round-6
+    # trap, so each size gets its own CASE guard), then one explode
+    gram_arrays = " , ".join(
+        f"CASE WHEN size(a) >= {n} THEN "
+        f"transform(sequence(1, size(a) - {n} + 1), "
+        f"i -> struct({n} AS n, array_join(slice(a, i, {n}), ' ') AS gram)) "
+        f"ELSE array() END"
+        for n in (2, 3, 4)
+    )
+    stacked = d.select(
+        "doc_id",
+        "n_chars",
+        F.explode(F.expr(f"concat({gram_arrays})")).alias("s"),
+    ).select("doc_id", "n_chars", F.col("s.n").alias("n"), F.col("s.gram").alias("gram"))
+    cnt = stacked.groupBy("doc_id", "n_chars", "n", "gram").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("doc_id", "n").orderBy(F.desc("c"), "gram")
+    )
+    top = cnt.withColumn("rk", rk).where(F.col("rk") == 1)
+    share = "c * length(gram) * 1000000 div n_chars"
+    toppiv = top.groupBy("doc_id").agg(
+        F.max(F.expr(f"CASE WHEN n = 2 THEN {share} END"))
+        .cast("long")
+        .alias("top2_ppm"),
+        F.max(F.expr(f"CASE WHEN n = 3 THEN {share} END"))
+        .cast("long")
+        .alias("top3_ppm"),
+        F.max(F.expr(f"CASE WHEN n = 4 THEN {share} END"))
+        .cast("long")
+        .alias("top4_ppm"),
+    )
+    # duplicated-5-gram coverage: positions + per-(doc, gram) window count
+    g5 = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "CASE WHEN size(a) >= 5 THEN "
+                "transform(sequence(1, size(a) - 4), "
+                "i -> struct(i AS i, array_join(slice(a, i, 5), ' ') AS gram)) "
+                "ELSE array() END"
+            )
+        ).alias("s"),
+    ).select("doc_id", F.col("s.i").cast("long").alias("i"), "s.gram")
+    dup5 = g5.withColumn(
+        "c", F.count(F.lit(1)).over(Window.partitionBy("doc_id", "gram"))
+    )
+    starts = dup5.where(F.col("c") >= 2).select(
+        "doc_id", "i", (F.col("i") + 4).alias("e")
+    )
+    w_prev = (
+        Window.partitionBy("doc_id")
+        .orderBy("i")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    sw = starts.select(
+        "doc_id",
+        "i",
+        "e",
+        F.when(F.col("i") > F.max("e").over(w_prev), 1).otherwise(0).alias(
+            "new_island"
+        ),
+    )
+    w_run = (
+        Window.partitionBy("doc_id")
+        .orderBy("i")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    isl = sw.select(
+        "doc_id", "i", "e", F.sum("new_island").over(w_run).alias("island_id")
+    )
+    spans = isl.groupBy("doc_id", "island_id").agg(
+        (F.max("e") - F.min("i") + 1).cast("long").alias("span_tok")
+    )
+    cover = spans.groupBy("doc_id").agg(
+        F.sum("span_tok").cast("long").alias("covered_tok")
+    )
+    return (
+        d.select("doc_id", F.col("n_tok").alias("n_tokens"),
+                 F.col("n_chars").alias("total_chars"))
+        .join(toppiv, "doc_id", "left")
+        .join(cover, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            "total_chars",
+            F.coalesce("top2_ppm", F.lit(0)).cast("long").alias("top2_ppm"),
+            F.coalesce("top3_ppm", F.lit(0)).cast("long").alias("top3_ppm"),
+            F.coalesce("top4_ppm", F.lit(0)).cast("long").alias("top4_ppm"),
+            F.expr(
+                "coalesce(covered_tok, 0) * 1000000 div n_tokens"
+            ).cast("long").alias("dup5_cover_ppm"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# CCNet perplexity buckets: per-language head/middle/tail terciles over the
+# unigram-NLL score.
+# ---------------------------------------------------------------------------
+
+_CCNET_COST = (
+    "CAST(FLOOR(LN(CAST(tot AS DOUBLE) / CAST(n_w AS DOUBLE)) * 1000000)"
+    " AS BIGINT)"
+)
+
+_CCNET_ORACLE = f"""
+    WITH dt AS MATERIALIZED (
+      SELECT doc_id, lang, w, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+            FROM documents)
+      GROUP BY doc_id, lang, w
+    ),
+    c AS (
+      SELECT w, CAST(SUM(cnt) AS BIGINT) AS n_w FROM dt GROUP BY w
+    ),
+    t AS (SELECT CAST(SUM(n_w) AS BIGINT) AS tot FROM c),
+    cost AS (
+      SELECT w, {_CCNET_COST} AS cost_unano FROM c CROSS JOIN t
+    ),
+    nll AS (
+      SELECT k.doc_id, k.lang,
+             CAST(SUM(k.cnt) AS BIGINT) AS n_tokens,
+             CAST(CAST(SUM(k.cnt * cost.cost_unano) AS BIGINT)
+                  // CAST(SUM(k.cnt) AS BIGINT) AS BIGINT)
+               AS nll_unano
+      FROM dt k JOIN cost ON cost.w = k.w
+      GROUP BY k.doc_id, k.lang
+    ),
+    rk AS (
+      SELECT doc_id, lang, n_tokens, nll_unano,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY nll_unano, doc_id) AS r,
+             COUNT(*) OVER (PARTITION BY lang) AS n
+      FROM nll
+    )
+    SELECT doc_id, lang, n_tokens, nll_unano,
+           CASE WHEN r * 3 <= n THEN 'head'
+                WHEN r * 3 <= 2 * n THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM rk
+"""
+
+
+@register("ccnet_ppl_buckets", _CCNET_ORACLE)
+def ccnet_ppl_buckets(spark, sf_dir):
+    """CCNet's head/middle/tail split (Wenzek et al. 2020): score each
+    document with a corpus unigram LM (average negative log-likelihood,
+    micro-nats — each ln(T/c(w)) floored to BIGINT per WORD TYPE before
+    any sum: LN-parity commitment, vocab-bounded cost table broadcast),
+    then assign per-LANGUAGE terciles by exact integer cross-multiplication
+    (3r <= n / 3r <= 2n) over the (nll, doc_id) total order. head = the
+    most-fluent third, the part CCNet keeps by default. One corpus token
+    pass, one vocab-bounded agg + broadcast join, one per-lang window —
+    no global windows, nothing quadratic."""
+    from pyspark import StorageLevel
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", "lang", F.explode(F.split("text", " ")).alias("w"))
+    # per-doc token counts feed BOTH the vocab agg and the scoring join (no
+    # cross-tree CSE) — persist the pre-aggregated frame, made plan-unique
+    # with a junk agg column (cross-query cache-aliasing discipline)
+    dt = toks.groupBy("doc_id", "lang", "w").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+        F.max(F.lit(90201)).alias("_u_ccnet"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    c = dt.groupBy("w").agg(F.sum("cnt").cast("long").alias("n_w"))
+    t = c.agg(F.sum("n_w").cast("long").alias("tot"))
+    cost = c.crossJoin(F.broadcast(t)).select(
+        "w", F.expr(_CCNET_COST).alias("cost_unano")
+    )
+    nll = (
+        dt.join(F.broadcast(cost), "w")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_tokens"),
+            F.expr(
+                "CAST(SUM(cnt * cost_unano) AS BIGINT)"
+                " div CAST(SUM(cnt) AS BIGINT)"
+            )
+            .cast("long")
+            .alias("nll_unano"),
+        )
+    )
+    w_rk = Window.partitionBy("lang").orderBy("nll_unano", "doc_id")
+    w_n = Window.partitionBy("lang")
+    rk = nll.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        "nll_unano",
+        F.row_number().over(w_rk).alias("r"),
+        F.count(F.lit(1)).over(w_n).alias("n"),
+    )
+    return rk.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        "nll_unano",
+        F.expr(
+            "CASE WHEN r * 3 <= n THEN 'head' "
+            "WHEN r * 3 <= 2 * n THEN 'middle' ELSE 'tail' END"
+        ).alias("bucket"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Data-constrained repeats: epochs per source under a token budget with
+# halving utility per extra epoch.
+# ---------------------------------------------------------------------------
+
+_REPEATS_ORACLE = """
+    WITH u AS (
+      SELECT source,
+             CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS uniq_tok
+      FROM documents GROUP BY source
+    ),
+    t AS (
+      SELECT CAST(SUM(uniq_tok) AS BIGINT) AS total,
+             CAST(COUNT(*) AS BIGINT) AS n_src
+      FROM u
+    ),
+    a AS (
+      SELECT u.source, u.uniq_tok,
+             CAST(3 * (t.total // t.n_src) AS BIGINT) AS target_tok,
+             LEAST(4, GREATEST(1,
+               (3 * (t.total // t.n_src) + u.uniq_tok - 1) // u.uniq_tok))
+               AS epochs
+      FROM u CROSS JOIN t
+    )
+    SELECT source, uniq_tok, target_tok,
+           CAST(epochs AS BIGINT) AS epochs,
+           CAST(epochs * uniq_tok AS BIGINT) AS sampled_tok,
+           CAST(uniq_tok
+                + CASE WHEN epochs >= 2 THEN uniq_tok // 2 ELSE 0 END
+                + CASE WHEN epochs >= 3 THEN uniq_tok // 4 ELSE 0 END
+                + CASE WHEN epochs >= 4 THEN uniq_tok // 8 ELSE 0 END
+             AS BIGINT) AS effective_tok,
+           CAST(CAST(uniq_tok
+                + CASE WHEN epochs >= 2 THEN uniq_tok // 2 ELSE 0 END
+                + CASE WHEN epochs >= 3 THEN uniq_tok // 4 ELSE 0 END
+                + CASE WHEN epochs >= 4 THEN uniq_tok // 8 ELSE 0 END
+                AS HUGEINT)
+                * 1000000 // (epochs * uniq_tok) AS BIGINT)
+             AS utilization_ppm
+    FROM a
+"""
+
+
+@register("data_repeats_budget", _REPEATS_ORACLE)
+def data_repeats_budget(spark, sf_dir):
+    """Data-constrained scaling allocation (Muennighoff et al. 2023): each
+    source owns uniq_tok unique tokens; the per-source target is 3x the
+    equal share of the corpus (data-derived, so the answer is meaningful
+    at every SF); epochs = ceil(target/uniq) clamped to [1, 4] (the
+    paper's ~4-epoch "repeats are nearly free" knee); effective tokens
+    count each extra epoch at half the previous epoch's utility (integer
+    halving analog of the paper's diminishing-returns fit, exactly
+    summable as uniq + uniq//2 + uniq//4 + uniq//8). utilization_ppm =
+    effective/sampled. Pure integer arithmetic end to end; one corpus agg
+    plus a 1-row broadcast — scale-free."""
+    d = _t(spark, sf_dir, "documents")
+    u = d.groupBy("source").agg(
+        F.sum(F.size(F.split("text", " "))).cast("long").alias("uniq_tok")
+    )
+    t = u.agg(
+        F.sum("uniq_tok").cast("long").alias("total"),
+        F.count(F.lit(1)).cast("long").alias("n_src"),
+    )
+    a = u.crossJoin(F.broadcast(t)).select(
+        "source",
+        "uniq_tok",
+        F.expr("3 * (total div n_src)").cast("long").alias("target_tok"),
+        F.expr(
+            "LEAST(4, GREATEST(1, "
+            "(3 * (total div n_src) + uniq_tok - 1) div uniq_tok))"
+        ).alias("epochs"),
+    )
+    eff = (
+        "uniq_tok"
+        " + CASE WHEN epochs >= 2 THEN uniq_tok div 2 ELSE 0 END"
+        " + CASE WHEN epochs >= 3 THEN uniq_tok div 4 ELSE 0 END"
+        " + CASE WHEN epochs >= 4 THEN uniq_tok div 8 ELSE 0 END"
+    )
+    return a.select(
+        "source",
+        "uniq_tok",
+        "target_tok",
+        F.col("epochs").cast("long").alias("epochs"),
+        F.expr("epochs * uniq_tok").cast("long").alias("sampled_tok"),
+        F.expr(eff).cast("long").alias("effective_tok"),
+        F.expr(
+            f"CAST(CAST({eff} AS DECIMAL(38,0)) * 1000000"
+            " div (epochs * uniq_tok) AS BIGINT)"
+        ).alias("utilization_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Contamination span profile: interval union + longest contaminated run.
+# ---------------------------------------------------------------------------
+
+_SPAN_ORACLE = f"""
+    WITH d AS (
+      SELECT doc_id, source, string_split(text, ' ') AS toks,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+      FROM documents
+    ),
+    g AS (
+      SELECT d.doc_id, d.source, d.n_tok, g.i,
+             {sql_hash60("list_aggregate(d.toks[g.i : g.i + 4], 'string_agg', ' ')")}
+               AS gh
+      FROM d, LATERAL (
+        SELECT unnest(generate_series(1, CAST(len(d.toks) AS BIGINT) - 4))
+          AS i
+      ) g
+    ),
+    bench AS (SELECT DISTINCT gh FROM g WHERE source = 'src0'),
+    hits AS (
+      SELECT g.doc_id, g.n_tok, g.i, g.i + 4 AS e
+      FROM g JOIN bench ON bench.gh = g.gh
+      WHERE g.source <> 'src0'
+    ),
+    sw AS (
+      SELECT doc_id, n_tok, i, e,
+             CASE WHEN i > MAX(e) OVER (PARTITION BY doc_id ORDER BY i
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  THEN 1 ELSE 0 END AS new_island
+      FROM hits
+    ),
+    isl AS (
+      SELECT doc_id, n_tok, i, e,
+             SUM(new_island) OVER (PARTITION BY doc_id ORDER BY i
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island_id
+      FROM sw
+    ),
+    spans AS (
+      SELECT doc_id, MAX(n_tok) AS n_tok, island_id,
+             CAST(COUNT(*) AS BIGINT) AS n_grams,
+             CAST(MAX(e) - MIN(i) + 1 AS BIGINT) AS span_tok
+      FROM isl GROUP BY doc_id, island_id
+    )
+    SELECT doc_id,
+           CAST(SUM(n_grams) AS BIGINT) AS n_contam_grams,
+           CAST(COUNT(*) AS BIGINT) AS n_spans,
+           CAST(MAX(span_tok) AS BIGINT) AS longest_span_tok,
+           CAST(CAST(SUM(span_tok) AS BIGINT) * 1000000 // MAX(n_tok)
+             AS BIGINT) AS covered_ppm
+    FROM spans GROUP BY doc_id
+"""
+
+
+@register("contamination_span_profile", _SPAN_ORACLE)
+def contamination_span_profile(spark, sf_dir):
+    """Span-level decontamination report (the contiguous-span view GPT-3's
+    Appendix C decontamination removes; extends contamination_check_5gram's
+    per-doc COUNT): treating source='src0' as the held-out benchmark, each
+    contaminated 5-gram occurrence in a remaining document covers token
+    interval [i, i+4]; the sweep-line union merges overlapping hits so a
+    verbatim quoted passage reports as ONE span with its exact token
+    length. Emits per contaminated doc: total hit grams, span count,
+    longest span, covered-token ppm. Grams travel as 60-bit md5 (hash60),
+    the eval gram set is broadcast (eval benches are bounded by
+    definition), all windows are doc-partitioned — zero corpus-scale
+    shuffles beyond the one explode."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.split("text", " ").alias("a"),
+        F.size(F.split("text", " ")).cast("long").alias("n_tok"),
+    )
+    g = d.select(
+        "doc_id",
+        "source",
+        "n_tok",
+        F.explode(
+            F.expr(
+                "CASE WHEN size(a) >= 5 THEN "
+                "transform(sequence(1, size(a) - 4), "
+                "i -> struct(i AS i, array_join(slice(a, i, 5), ' ') AS gram)) "
+                "ELSE array() END"
+            )
+        ).alias("s"),
+    ).select(
+        "doc_id",
+        "source",
+        "n_tok",
+        F.col("s.i").cast("long").alias("i"),
+        hash60(F.col("s.gram")).alias("gh"),
+    )
+    bench = g.where(F.col("source") == "src0").select("gh").distinct()
+    hits = (
+        g.where(F.col("source") != "src0")
+        .join(F.broadcast(bench), "gh")
+        .select("doc_id", "n_tok", "i", (F.col("i") + 4).alias("e"))
+    )
+    w_prev = (
+        Window.partitionBy("doc_id")
+        .orderBy("i")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    sw = hits.select(
+        "doc_id",
+        "n_tok",
+        "i",
+        "e",
+        F.when(F.col("i") > F.max("e").over(w_prev), 1).otherwise(0).alias(
+            "new_island"
+        ),
+    )
+    w_run = (
+        Window.partitionBy("doc_id")
+        .orderBy("i")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    isl = sw.select(
+        "doc_id", "n_tok", "i", "e",
+        F.sum("new_island").over(w_run).alias("island_id"),
+    )
+    spans = isl.groupBy("doc_id", "island_id").agg(
+        F.max("n_tok").alias("n_tok"),
+        F.count(F.lit(1)).cast("long").alias("n_grams"),
+        (F.max("e") - F.min("i") + 1).cast("long").alias("span_tok"),
+    )
+    return spans.groupBy("doc_id").agg(
+        F.sum("n_grams").cast("long").alias("n_contam_grams"),
+        F.count(F.lit(1)).cast("long").alias("n_spans"),
+        F.max("span_tok").cast("long").alias("longest_span_tok"),
+        F.expr(
+            "CAST(SUM(span_tok) AS BIGINT) * 1000000 div MAX(n_tok)"
+        ).cast("long").alias("covered_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Margin-based bitext mining: mutual top-1 by ratio margin over two halves.
+# ---------------------------------------------------------------------------
+
+_MARGIN_K = 4  # neighborhood size for the margin denominator (committed)
+
+_SCORE_NANO = (
+    "CAST(FLOOR(CAST(dot_micros AS DOUBLE) * 1000000000.0"
+    " / SQRT(CAST(n2x AS DOUBLE) * CAST(n2y AS DOUBLE))) AS BIGINT)"
+)
+_MARGIN_NANO = (
+    "CAST(CASE WHEN sumx + sumy <> 0 THEN"
+    " FLOOR(CAST(score_nano AS DOUBLE) * 8000000000.0"
+    " / CAST(sumx + sumy AS DOUBLE)) END AS BIGINT)"
+)
+
+_BITEXT_ORACLE = f"""
+    WITH v AS (
+      SELECT vec_id,
+             list_transform(embedding, e -> CAST(e AS DOUBLE)) AS emb,
+             CAST(list_sum(list_transform(embedding,
+               e -> CAST(FLOOR(CAST(e AS DOUBLE) * CAST(e AS DOUBLE)
+                               * 1000000) AS BIGINT))) AS BIGINT) AS n2
+      FROM embeddings
+    ),
+    pairs AS MATERIALIZED (
+      SELECT a.vec_id AS x_id, b.vec_id AS y_id,
+             a.n2 AS n2x, b.n2 AS n2y,
+             CAST(list_sum(list_transform(generate_series(1, len(a.emb)),
+               i -> CAST(FLOOR(a.emb[i] * b.emb[i] * 1000000) AS BIGINT)))
+               AS BIGINT) AS dot_micros
+      FROM v a, v b
+      WHERE a.vec_id % 2 = 0 AND b.vec_id % 2 = 1
+    ),
+    scored AS MATERIALIZED (
+      SELECT x_id, y_id, {_SCORE_NANO} AS score_nano FROM pairs
+    ),
+    rks AS MATERIALIZED (
+      SELECT x_id, y_id, score_nano,
+             ROW_NUMBER() OVER (PARTITION BY x_id
+                                ORDER BY score_nano DESC, y_id) AS rnx,
+             ROW_NUMBER() OVER (PARTITION BY y_id
+                                ORDER BY score_nano DESC, x_id) AS rny
+      FROM scored
+    ),
+    sums AS MATERIALIZED (
+      SELECT x_id, y_id, score_nano,
+             CAST(SUM(CASE WHEN rnx <= {_MARGIN_K} THEN score_nano END)
+               OVER (PARTITION BY x_id) AS BIGINT) AS sumx,
+             CAST(SUM(CASE WHEN rny <= {_MARGIN_K} THEN score_nano END)
+               OVER (PARTITION BY y_id) AS BIGINT) AS sumy
+      FROM rks
+    ),
+    marg AS MATERIALIZED (
+      SELECT x_id, y_id, score_nano, {_MARGIN_NANO} AS margin_nano
+      FROM sums
+    ),
+    best AS (
+      SELECT x_id, y_id, score_nano, margin_nano,
+             ROW_NUMBER() OVER (PARTITION BY x_id
+                                ORDER BY margin_nano DESC NULLS LAST, y_id)
+               AS bx,
+             ROW_NUMBER() OVER (PARTITION BY y_id
+                                ORDER BY margin_nano DESC NULLS LAST, x_id)
+               AS by
+      FROM marg
+    )
+    SELECT x_id, y_id, score_nano, margin_nano
+    FROM best WHERE bx = 1 AND by = 1
+"""
+
+
+@register("bitext_margin_mining", _BITEXT_ORACLE)
+def bitext_margin_mining(spark, sf_dir):
+    """Margin-based parallel-pair mining (Artetxe & Schwenk 2019): split
+    the embedding corpus into halves A (even vec_id) / B (odd), score all
+    cross pairs with exact-integer cosine moments (per-term floored dot
+    micros + norm micros: the hof_zipwith idiom — partition-invariant),
+    margin(x, y) = cos / (mean of x's top-k cos + mean of y's top-k cos)/2
+    computed as one final double expression over exact BIGINT sums
+    (k = 4 committed), and keep pairs that are MUTUAL margin-top-1 in both
+    directions — the paper's "max-margin mutual" retrieval criterion.
+
+    This is the documented exact O(n_A x n_B) baseline (like
+    similarity_bruteforce_pairs): every window is partitioned by one side's
+    id, all tie-breaks total. The 100 TB path scores the same committed
+    expression over the IVF shortlist (similarity/ivfpq.py) instead of the
+    cross join."""
+    emb = _t(spark, sf_dir, "embeddings")
+    n2 = F.aggregate(
+        F.transform(
+            "embedding",
+            lambda e: F.floor(e.cast("double") * e.cast("double") * F.lit(1000000)).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, t: acc + t,
+    )
+    v = emb.select("vec_id", F.col("embedding").alias("emb"), n2.alias("n2"))
+    a = v.where(F.col("vec_id") % 2 == 0).select(
+        F.col("vec_id").alias("x_id"), F.col("emb").alias("ea"), F.col("n2").alias("n2x")
+    )
+    b = v.where(F.col("vec_id") % 2 == 1).select(
+        F.col("vec_id").alias("y_id"), F.col("emb").alias("eb"), F.col("n2").alias("n2y")
+    )
+    dot = F.aggregate(
+        F.zip_with(
+            "ea",
+            "eb",
+            lambda x, y: F.floor(x.cast("double") * y.cast("double") * F.lit(1000000)).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, t: acc + t,
+    )
+    pairs = a.crossJoin(b).select(
+        "x_id", "y_id", "n2x", "n2y", dot.alias("dot_micros")
+    )
+    scored = pairs.select("x_id", "y_id", F.expr(_SCORE_NANO).alias("score_nano"))
+    rks = scored.select(
+        "x_id",
+        "y_id",
+        "score_nano",
+        F.row_number()
+        .over(Window.partitionBy("x_id").orderBy(F.desc("score_nano"), "y_id"))
+        .alias("rnx"),
+        F.row_number()
+        .over(Window.partitionBy("y_id").orderBy(F.desc("score_nano"), "x_id"))
+        .alias("rny"),
+    )
+    sums = rks.select(
+        "x_id",
+        "y_id",
+        "score_nano",
+        F.sum(
+            F.expr(f"CASE WHEN rnx <= {_MARGIN_K} THEN score_nano END")
+        ).over(Window.partitionBy("x_id")).cast("long").alias("sumx"),
+        F.sum(
+            F.expr(f"CASE WHEN rny <= {_MARGIN_K} THEN score_nano END")
+        ).over(Window.partitionBy("y_id")).cast("long").alias("sumy"),
+    )
+    marg = sums.select(
+        "x_id", "y_id", "score_nano", F.expr(_MARGIN_NANO).alias("margin_nano")
+    )
+    best = marg.select(
+        "x_id",
+        "y_id",
+        "score_nano",
+        "margin_nano",
+        F.row_number()
+        .over(
+            Window.partitionBy("x_id").orderBy(
+                F.desc_nulls_last("margin_nano"), "y_id"
+            )
+        )
+        .alias("bx"),
+        F.row_number()
+        .over(
+            Window.partitionBy("y_id").orderBy(
+                F.desc_nulls_last("margin_nano"), "x_id"
+            )
+        )
+        .alias("by"),
+    )
+    return best.where((F.col("bx") == 1) & (F.col("by") == 1)).select(
+        "x_id", "y_id", "score_nano", "margin_nano"
+    )

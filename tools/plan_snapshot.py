@@ -127,6 +127,7 @@ SKIP = {
     "theil_u2_seasonal",  # persisted day frame (three lag consumers)
     "triplet_violation_rate",  # persisted quantized vector frame (5 consumers)
     "markov_stationary_power",  # persisted transition frame (8 iterations)
+    "ccnet_ppl_buckets",  # persisted per-doc token-count frame (plan-unique dummy)
 }
 
 SF_DIR = "/root/testdata/sf0.001"
