@@ -357,17 +357,24 @@ for _m in _MODULES:
 # contamination_span_profile, bitext_margin_mining (every new operator
 # gets a driver row in its own round) — for the five lowest-risk rows
 # whose classes keep other in-window representatives:
+# (wave-2 swaps: bradley_terry_lang_strength + systematic_resample_counts
+# in for minhash_merge_property — sketch merge laws keep kmv_set_ops_gate
+# + bloom_semi_prune + sketch_bounded_checks — and
+# softmax_temperature_mixture — the LN/EXP family keeps four other reps.)
 # sql_session_variables + pipe_syntax_orders_summary (plain Spark-4 SQL
 # surfaces, selfcheck/invariance-green since r2/r6), rendezvous_hash_assign
 # (pure HRW expression), kmv_merge_property (sketch merge laws keep
 # minhash_merge_property + kmv_set_ops_gate + bloom_semi_prune +
 # sketch_bounded_checks), zipf_fit_slope (the LN/EXP family keeps five
-# other reps in-window). If CORRECTNESS_r09 runs this window, never-checked
-# drops 254 → 209 of 497 (45 first-time r8 rows retired + the round's 5
-# new operators checked in their own round).
+# other reps in-window). With the wave-2 swaps the r9 window = the round's
+# 7 new operators + 43 r8-carryover first-time rows; if CORRECTNESS_r09
+# runs this window, never-checked drops 254 → 211 of 499 (43 first-time
+# r8 rows retired + all 7 new operators checked in their own round).
 _CHECK_FIRST = [
     # round-9 new operators (driver row in their own round)
     "gopher_repetition_fractions",
+    "bradley_terry_lang_strength",
+    "systematic_resample_counts",
     "ccnet_ppl_buckets",
     "data_repeats_budget",
     "contamination_span_profile",
@@ -413,12 +420,10 @@ _CHECK_FIRST = [
     "interval_coverage_union",
     # sketch gates + merge laws
     "sketch_bounded_checks",
-    "minhash_merge_property",
     "kmv_set_ops_gate",
     "bloom_semi_prune",
     # LN/EXP-commitment family
     "weighted_sample_topk_es",
-    "softmax_temperature_mixture",
     "token_entropy_by_lang",
     "markov_entropy_rate_nano",
     "kde_price_grid_nano",

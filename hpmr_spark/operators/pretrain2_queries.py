@@ -762,3 +762,285 @@ def bitext_margin_mining(spark, sf_dir):
     return best.where((F.col("bx") == 1) & (F.col("by") == 1)).select(
         "x_id", "y_id", "score_nano", "margin_nano"
     )
+
+
+# ---------------------------------------------------------------------------
+# Bradley-Terry strength fit (MM algorithm) over per-source token contests.
+# ---------------------------------------------------------------------------
+
+_BT_ITERS = 8  # MM iterations (committed; convergence is geometric)
+
+
+def _bt_fold(pdf):
+    """MM iterations (Hunter 2004) in plain Python floats — bit-identical
+    to the recursive-CTE oracle (test_libm_parity covers CPython float ops;
+    the fold order over j is the committed lang-sorted order both sides)."""
+    import math
+
+    import pandas as pd
+
+    langs = sorted(set(pdf["li"].tolist()))
+    ix = {l: i for i, l in enumerate(langs)}
+    m = len(langs)
+    wp = [[0] * m for _ in range(m)]  # smoothed wins i beats j
+    raw = [[0] * m for _ in range(m)]
+    for li, lj, w in zip(pdf["li"].tolist(), pdf["lj"].tolist(),
+                         pdf["w"].tolist()):
+        raw[ix[li]][ix[lj]] = int(w)
+        wp[ix[li]][ix[lj]] = int(w) + 1
+    big_w = [sum(wp[i][j] for j in range(m) if j != i) for i in range(m)]
+    s = [1.0] * m
+    for _ in range(_BT_ITERS):
+        new = []
+        for i in range(m):
+            acc = 0.0
+            for j in range(m):
+                if j != i:
+                    acc = acc + (wp[i][j] + wp[j][i]) / (s[i] + s[j])
+                else:
+                    acc = acc + 0.0
+            new.append(big_w[i] / acc)
+        s = new
+    total = 0.0
+    for x in s:
+        total = total + x
+    return pd.DataFrame(
+        {
+            "lang": langs,
+            "wins": [sum(raw[ix[l]]) for l in langs],
+            "games": [
+                sum(raw[ix[l]][j] + raw[j][ix[l]] for j in range(m))
+                for l in langs
+            ],
+            "strength_nano": [
+                math.floor(s[ix[l]] * 1000000000.0 / total) for l in langs
+            ],
+        }
+    )
+
+
+def _bt_oracle() -> str:
+    m_expr = "(SELECT CAST(COUNT(*) AS BIGINT) AS m FROM li)"
+    term = (
+        "CASE WHEN j <> i THEN "
+        "CAST(wl[CAST(i * mm.m + j + 1 AS BIGINT)]"
+        "   + wl[CAST(j * mm.m + i + 1 AS BIGINT)] AS DOUBLE)"
+        " / (s[CAST(i + 1 AS BIGINT)] + s[CAST(j + 1 AS BIGINT)]) "
+        "ELSE 0.0 END"
+    )
+    return f"""
+    WITH st AS MATERIALIZED (
+      SELECT source, lang,
+             CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tok
+      FROM documents GROUP BY source, lang
+    ),
+    li AS MATERIALIZED (
+      SELECT lang, ROW_NUMBER() OVER (ORDER BY lang) - 1 AS ix
+      FROM (SELECT DISTINCT lang FROM st)
+    ),
+    pw AS (
+      SELECT a.lang AS la, b.lang AS lb,
+             CAST(SUM(CASE WHEN a.tok > b.tok THEN 1 ELSE 0 END) AS BIGINT)
+               AS w
+      FROM st a JOIN st b ON b.source = a.source AND b.lang <> a.lang
+      GROUP BY a.lang, b.lang
+    ),
+    dense AS MATERIALIZED (
+      SELECT i.ix AS ii, j.ix AS jj, i.lang AS la, j.lang AS lb,
+             CASE WHEN i.lang = j.lang THEN 0
+                  ELSE COALESCE(pw.w, 0) END AS w,
+             CASE WHEN i.lang = j.lang THEN 0
+                  ELSE COALESCE(pw.w, 0) + 1 END AS wp
+      FROM li i CROSS JOIN li j
+      LEFT JOIN pw ON pw.la = i.lang AND pw.lb = j.lang
+    ),
+    mm AS ({m_expr}),
+    wmat AS (
+      SELECT list(wp ORDER BY ii * (SELECT m FROM li, mm LIMIT 1) + jj)
+        AS wl
+      FROM dense
+    ),
+    bw AS (
+      SELECT list(CAST(tw AS DOUBLE) ORDER BY ii) AS wlist
+      FROM (SELECT ii, SUM(wp) AS tw FROM dense WHERE ii <> jj GROUP BY ii)
+    ),
+    it AS (
+      WITH RECURSIVE rec(k, s) AS (
+        SELECT 0,
+               list_transform(range((SELECT m FROM mm)),
+                              i -> CAST(1.0 AS DOUBLE))
+        UNION ALL
+        SELECT k + 1,
+               list_transform(range(CAST(mm.m AS BIGINT)), i ->
+                 bw.wlist[CAST(i + 1 AS BIGINT)]
+                 / list_reduce(
+                     list_prepend(0.0,
+                       list_transform(range(CAST(mm.m AS BIGINT)), j ->
+                         {term})),
+                     (a, b) -> a + b))
+        FROM rec, wmat, bw, mm
+        WHERE k < {_BT_ITERS}
+      )
+      SELECT s FROM rec WHERE k = {_BT_ITERS}
+    ),
+    tot AS (
+      SELECT list_reduce(list_prepend(0.0, (SELECT s FROM it)),
+                         (a, b) -> a + b) AS total
+    )
+    SELECT li.lang,
+           CAST((SELECT SUM(w) FROM dense d WHERE d.ii = li.ix) AS BIGINT)
+             AS wins,
+           CAST((SELECT SUM(w) FROM dense d
+                 WHERE d.ii = li.ix OR d.jj = li.ix) AS BIGINT) AS games,
+           CAST(FLOOR((SELECT s FROM it)[CAST(li.ix + 1 AS BIGINT)]
+                      * 1000000000.0 / tot.total) AS BIGINT)
+             AS strength_nano
+    FROM li, tot
+    """
+
+
+@register("bradley_terry_lang_strength", _bt_oracle())
+def bradley_terry_lang_strength(spark, sf_dir):
+    """Bradley-Terry pairwise-strength fit via the MM algorithm (Hunter
+    2004) — the model behind RLHF reward fitting and LLM-arena rankings —
+    over deterministic contests: within each source, lang i "beats" lang j
+    when it contributed strictly more tokens. The contest aggregation is
+    distributed and exact-integer; the 5x5 (lang-bounded) smoothed wins
+    matrix (+1 virtual win per direction keeps every strength positive)
+    then runs {ITERS} MM iterations inside ONE grouped-pandas fold —
+    CPython float arithmetic, bit-identical to the recursive-CTE oracle
+    walking the same committed expression in the same lang-sorted fold
+    order (the UCB1-replay pattern; test_libm_parity is the sentinel).
+    Output per lang: raw wins, games, normalized strength in nanos.
+    Scale shape: one corpus agg, one bounded (sources x langs)^2 pair agg,
+    then O(langs^2) driver-free iteration — nothing grows with corpus
+    size.""".replace("{ITERS}", str(_BT_ITERS))
+    d = _t(spark, sf_dir, "documents")
+    st = d.groupBy("source", "lang").agg(
+        F.sum(F.size(F.split("text", " "))).cast("long").alias("tok")
+    )
+    a = st.select("source", F.col("lang").alias("la"), F.col("tok").alias("ta"))
+    b = st.select("source", F.col("lang").alias("lb"), F.col("tok").alias("tb"))
+    pw = (
+        a.join(b, "source")
+        .where(F.col("la") != F.col("lb"))
+        .groupBy("la", "lb")
+        .agg(
+            F.sum(F.when(F.col("ta") > F.col("tb"), 1).otherwise(0))
+            .cast("long")
+            .alias("w")
+        )
+    )
+    langs = st.select(F.col("lang")).distinct()
+    dense = (
+        langs.select(F.col("lang").alias("li"))
+        .crossJoin(langs.select(F.col("lang").alias("lj")))
+        .join(
+            pw.select(F.col("la").alias("li"), F.col("lb").alias("lj"), "w"),
+            ["li", "lj"],
+            "left",
+        )
+        .select(
+            "li",
+            "lj",
+            F.when(F.col("li") == F.col("lj"), F.lit(0))
+            .otherwise(F.coalesce("w", F.lit(0)))
+            .cast("long")
+            .alias("w"),
+        )
+    )
+    return (
+        dense.withColumn("g", F.lit(0))
+        .groupBy("g")
+        .applyInPandas(
+            lambda pdf: _bt_fold(pdf),
+            schema="lang string, wins long, games long, strength_nano long",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Systematic resampling: deterministic multinomial copy counts by token mass.
+# ---------------------------------------------------------------------------
+
+_RESAMPLE_N = 200  # committed sample size
+
+
+_RESAMPLE_F = (
+    "LEAST({N}, GREATEST(0, ({x} - u + step - 1) div step))"
+)
+
+
+def _resample_oracle() -> str:
+    fw = _RESAMPLE_F.format(N=_RESAMPLE_N, x="cum_tok").replace("div", "//")
+    fp = _RESAMPLE_F.format(N=_RESAMPLE_N, x="(cum_tok - n_tok)").replace(
+        "div", "//"
+    )
+    return f"""
+    WITH d AS (
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+      FROM documents
+    ),
+    pre AS (
+      SELECT doc_id, n_tok,
+             CAST(SUM(n_tok) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cum_tok
+      FROM d
+    ),
+    t AS (
+      SELECT CAST(SUM(n_tok) AS BIGINT) AS tot FROM d
+    ),
+    p AS (
+      SELECT doc_id, n_tok, cum_tok,
+             GREATEST(1, tot // {_RESAMPLE_N}) AS step,
+             GREATEST(1, tot // {_RESAMPLE_N}) // 2 AS u
+      FROM pre CROSS JOIN t
+    )
+    SELECT doc_id, n_tok, cum_tok,
+           CAST(({fw}) - ({fp}) AS BIGINT) AS n_copies
+    FROM p
+    WHERE ({fw}) - ({fp}) > 0
+    """
+
+
+@register("systematic_resample_counts", _resample_oracle())
+def systematic_resample_counts(spark, sf_dir):
+    """Systematic (stratified-grid) resampling (Kitagawa 1996), the
+    deterministic multinomial used for importance-resampling training data:
+    lay {N} evenly-spaced points u + k*step (step = total_tokens div {N},
+    u = step div 2 — all committed integers) over the cumulative
+    token-mass axis and give each document one copy per point falling in
+    its [prev, cum) interval: n_copies = f(cum) - f(prev) with
+    f(x) = clamp(ceil((x - u)/step), 0, {N}) — ceil as (x-u+step-1) div
+    step, safe for small-x negatives because Spark div ≡ DuckDB // (both
+    truncate) and the GREATEST(0, ...) clamp absorbs the difference from
+    mathematical floor. The exact prefix sum runs on the two-pass bucketed
+    builder (functions/ranking.global_running) — no single-partition
+    window at any scale; the oracle uses DuckDB's global window, same
+    integers.""".replace("{N}", str(_RESAMPLE_N))
+    from hpmr_spark.functions.ranking import global_running
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("n_tok"),
+    )
+    pre = global_running(d, ["doc_id"], "n_tok", kind="sum", out="cum_tok")
+    t = d.agg(F.sum("n_tok").cast("long").alias("tot"))
+    p = pre.crossJoin(F.broadcast(t)).select(
+        "doc_id",
+        "n_tok",
+        F.col("cum_tok").cast("long").alias("cum_tok"),
+        F.expr(f"GREATEST(1, tot div {_RESAMPLE_N})").alias("step"),
+        F.expr(f"GREATEST(1, tot div {_RESAMPLE_N}) div 2").alias("u"),
+    )
+    fw = _RESAMPLE_F.format(N=_RESAMPLE_N, x="cum_tok")
+    fp = _RESAMPLE_F.format(N=_RESAMPLE_N, x="(cum_tok - n_tok)")
+    out = p.select(
+        "doc_id",
+        "n_tok",
+        "cum_tok",
+        F.expr(f"CAST(({fw}) - ({fp}) AS BIGINT)").alias("n_copies"),
+    )
+    return out.where(F.col("n_copies") > 0)

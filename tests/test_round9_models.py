@@ -182,3 +182,59 @@ def test_bitext_margin_model(spark):
         for r in bitext_margin_mining(spark, SF).collect()
     }
     assert got == expect
+
+
+# ------------------------------------------------ systematic resampling
+
+
+def test_systematic_resample_model(spark):
+    from hpmr_spark.operators.pretrain2_queries import (
+        _RESAMPLE_N,
+        systematic_resample_counts,
+    )
+
+    docs = sorted(
+        (r["doc_id"], len(r["text"].split(" ")))
+        for r in spark.read.parquet(f"{SF}/documents.parquet").collect()
+    )
+    tot = sum(n for _d, n in docs)
+    step = max(1, tot // _RESAMPLE_N)
+    u = step // 2
+    # brute-force: place the N points, count per doc by interval walk
+    points = [u + k * step for k in range(_RESAMPLE_N)]
+    counts = {}
+    cum = 0
+    for doc_id, n in docs:
+        lo, hi = cum, cum + n
+        c = sum(1 for p in points if lo <= p < hi)
+        if c:
+            counts[doc_id] = c
+        cum = hi
+    got = {
+        r["doc_id"]: r["n_copies"]
+        for r in systematic_resample_counts(spark, SF).collect()
+    }
+    assert got == counts
+    assert sum(got.values()) == _RESAMPLE_N
+
+
+# ------------------------------------------------ Bradley-Terry sanity
+
+
+def test_bradley_terry_properties(spark):
+    """The MM fold itself IS Python (mirrored by the recursive-CTE oracle);
+    pin the invariants an MM bug would break: strengths positive, sum to
+    ~1e9, and strict win-rate dominance implies strength dominance."""
+    from hpmr_spark.operators.pretrain2_queries import (
+        bradley_terry_lang_strength,
+    )
+
+    rows = bradley_terry_lang_strength(spark, SF).collect()
+    assert len(rows) >= 2
+    total = sum(r["strength_nano"] for r in rows)
+    assert all(r["strength_nano"] > 0 for r in rows)
+    assert abs(total - 1_000_000_000) <= len(rows)  # floor slack
+    best = max(rows, key=lambda r: r["wins"])
+    worst = min(rows, key=lambda r: r["wins"])
+    if best["wins"] > worst["wins"]:
+        assert best["strength_nano"] > worst["strength_nano"]
