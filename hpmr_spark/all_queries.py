@@ -366,15 +366,24 @@ for _m in _MODULES:
 # (pure HRW expression), kmv_merge_property (sketch merge laws keep
 # minhash_merge_property + kmv_set_ops_gate + bloom_semi_prune +
 # sketch_bounded_checks), zipf_fit_slope (the LN/EXP family keeps five
-# other reps in-window). With the wave-2 swaps the r9 window = the round's
-# 7 new operators + 43 r8-carryover first-time rows; if CORRECTNESS_r09
-# runs this window, never-checked drops 254 → 211 of 499 (43 first-time
-# r8 rows retired + all 7 new operators checked in their own round).
+# other reps in-window). Wave-2/3 swaps add the other five r9 operators
+# for kmv_set_ops_gate + minhash_merge_property (sketch laws keep
+# bloom_semi_prune + sketch_bounded_checks), softmax_temperature_mixture +
+# kde_price_grid_nano (LN/EXP family keeps weighted_sample_topk_es,
+# token_entropy_by_lang, markov_entropy_rate_nano), woe_iv_segments
+# (int128 nanos family keeps label_drift_js, MI, LOO target encode, z²).
+# Final r9 window = the round's 10 new operators + 40 r8-carryover
+# first-time rows; if CORRECTNESS_r09 runs it, never-checked drops
+# 254 → 214 of 502 (40 first-time r8 rows retired + all 10 new operators
+# checked in their own round).
 _CHECK_FIRST = [
     # round-9 new operators (driver row in their own round)
     "gopher_repetition_fractions",
     "bradley_terry_lang_strength",
     "systematic_resample_counts",
+    "distinct_ngram_diversity",
+    "pipeline_filter_funnel",
+    "span_corruption_transform",
     "ccnet_ppl_buckets",
     "data_repeats_budget",
     "contamination_span_profile",
@@ -420,17 +429,14 @@ _CHECK_FIRST = [
     "interval_coverage_union",
     # sketch gates + merge laws
     "sketch_bounded_checks",
-    "kmv_set_ops_gate",
     "bloom_semi_prune",
     # LN/EXP-commitment family
     "weighted_sample_topk_es",
     "token_entropy_by_lang",
     "markov_entropy_rate_nano",
-    "kde_price_grid_nano",
     # sign-split / int128 nanos statistics
     "label_drift_js_nano",
     "mutual_information_nano",
-    "woe_iv_segments",
     "target_encoding_loo",
     "ab_test_z2_gate",
     # committed-bound GEMM pruning + Spark-4 SQL surfaces + HRW

@@ -140,22 +140,11 @@ _GOPHER_REP_ORACLE = """
 """
 
 
-@register("gopher_repetition_fractions", _GOPHER_REP_ORACLE)
-def gopher_repetition_fractions(spark, sf_dir):
-    """Gopher repetition filters (Rae et al. 2021 Table A1): per document,
-    the ppm of characters contained in the single most-frequent
-    {2,3,4}-gram (count x gram-chars / doc-chars — can exceed 1e6 for
-    degenerate docs, exactly as the published rule can) and the ppm of
-    token positions covered by 5-grams that occur >= 2 times in the doc,
-    with overlapping occurrences counted ONCE via the sweep-line interval
-    union (the gaps-and-islands idiom of interval_coverage_union). This
-    corpus has no newlines, so the line/paragraph rules have no unit here;
-    the n-gram rules are the exact published arithmetic. All integers:
-    counts, positions and char lengths; top-gram selection carries the
-    full (count DESC, gram) tie-break. Every window is doc-partitioned —
-    per-doc state bounds memory at any corpus size, and the only shuffles
-    are (doc, n, gram)-keyed counts."""
-    d = _t(spark, sf_dir, "documents").select(
+def gopher_fractions_df(docs):
+    """Frame-level builder over a (doc_id, text) DataFrame — reused by the
+    registered query below and by tools/scale_probe.py round9 (synthetic
+    corpora at 1M/3M/10M docs)."""
+    d = docs.select(
         "doc_id",
         F.split("text", " ").alias("a"),
         F.length("text").cast("long").alias("n_chars"),
@@ -257,6 +246,25 @@ def gopher_repetition_fractions(spark, sf_dir):
             ).cast("long").alias("dup5_cover_ppm"),
         )
     )
+
+
+@register("gopher_repetition_fractions", _GOPHER_REP_ORACLE)
+def gopher_repetition_fractions(spark, sf_dir):
+    """Gopher repetition filters (Rae et al. 2021 Table A1): per document,
+    the ppm of characters contained in the single most-frequent
+    {2,3,4}-gram (count x gram-chars / doc-chars — can exceed 1e6 for
+    degenerate docs, exactly as the published rule can) and the ppm of
+    token positions covered by 5-grams that occur >= 2 times in the doc,
+    with overlapping occurrences counted ONCE via the sweep-line interval
+    union (the gaps-and-islands idiom of interval_coverage_union). This
+    corpus has no newlines, so the line/paragraph rules have no unit here;
+    the n-gram rules are the exact published arithmetic. All integers:
+    counts, positions and char lengths; top-gram selection carries the
+    full (count DESC, gram) tie-break. Every window is doc-partitioned —
+    per-doc state bounds memory at any corpus size, and the only shuffles
+    are (doc, n, gram)-keyed counts. Plan/arithmetic live in
+    gopher_fractions_df (shared with the round9 scale probe)."""
+    return gopher_fractions_df(_t(spark, sf_dir, "documents"))
 
 
 # ---------------------------------------------------------------------------
@@ -527,8 +535,14 @@ def contamination_span_profile(spark, sf_dir):
     longest span, covered-token ppm. Grams travel as 60-bit md5 (hash60),
     the eval gram set is broadcast (eval benches are bounded by
     definition), all windows are doc-partitioned — zero corpus-scale
-    shuffles beyond the one explode."""
-    d = _t(spark, sf_dir, "documents").select(
+    shuffles beyond the one explode. Plan/arithmetic live in
+    contamination_spans_df (shared with the round9 scale probe)."""
+    return contamination_spans_df(_t(spark, sf_dir, "documents"))
+
+
+def contamination_spans_df(docs, eval_source: str = "src0"):
+    """Frame-level builder over a (doc_id, source, text) DataFrame."""
+    d = docs.select(
         "doc_id",
         "source",
         F.split("text", " ").alias("a"),
@@ -553,9 +567,9 @@ def contamination_span_profile(spark, sf_dir):
         F.col("s.i").cast("long").alias("i"),
         hash60(F.col("s.gram")).alias("gh"),
     )
-    bench = g.where(F.col("source") == "src0").select("gh").distinct()
+    bench = g.where(F.col("source") == eval_source).select("gh").distinct()
     hits = (
-        g.where(F.col("source") != "src0")
+        g.where(F.col("source") != eval_source)
         .join(F.broadcast(bench), "gh")
         .select("doc_id", "n_tok", "i", (F.col("i") + 4).alias("e"))
     )
@@ -1044,3 +1058,334 @@ def systematic_resample_counts(spark, sf_dir):
         F.expr(f"CAST(({fw}) - ({fp}) AS BIGINT)").alias("n_copies"),
     )
     return out.where(F.col("n_copies") > 0)
+
+
+# ---------------------------------------------------------------------------
+# Distinct-n diversity per source (Li et al. 2016).
+# ---------------------------------------------------------------------------
+
+_DIVERSITY_ORACLE = """
+    WITH d AS (
+      SELECT source, string_split(text, ' ') AS toks FROM documents
+    ),
+    grams AS (
+      SELECT source, n,
+             list_aggregate(toks[i : i + n - 1], 'string_agg', ' ') AS gram
+      FROM (
+        SELECT d.source, d.toks, n.n,
+               unnest(generate_series(1, CAST(len(d.toks) AS BIGINT)
+                                         - n.n + 1)) AS i
+        FROM d CROSS JOIN (SELECT unnest([1, 2, 3]) AS n) n
+      )
+    ),
+    agg AS (
+      SELECT source, n,
+             CAST(COUNT(*) AS BIGINT) AS total,
+             CAST(COUNT(DISTINCT gram) AS BIGINT) AS n_distinct
+      FROM grams GROUP BY source, n
+    )
+    SELECT source,
+           CAST(MAX(CASE WHEN n = 1 THEN total END) AS BIGINT) AS total_1,
+           CAST(MAX(CASE WHEN n = 1 THEN n_distinct * 1000000 // total END)
+             AS BIGINT) AS distinct1_ppm,
+           CAST(MAX(CASE WHEN n = 2 THEN n_distinct * 1000000 // total END)
+             AS BIGINT) AS distinct2_ppm,
+           CAST(MAX(CASE WHEN n = 3 THEN n_distinct * 1000000 // total END)
+             AS BIGINT) AS distinct3_ppm
+    FROM agg GROUP BY source
+"""
+
+
+@register("distinct_ngram_diversity", _DIVERSITY_ORACLE)
+def distinct_ngram_diversity(spark, sf_dir):
+    """distinct-n corpus diversity (Li et al. 2016): per source, the ppm of
+    {1,2,3}-grams that are DISTINCT — the standard degeneracy/diversity
+    metric for generated or crawled corpora (low distinct-n = templated or
+    repetitive text). One stacked-gram scan (the gopher builder's concat
+    trick), one (source, n)-keyed count-distinct agg, a 3-way MAX-CASE
+    pivot. At 100 TB the distinct count is the only heavy part — it
+    shuffles (source, n, gram) once; swap in approx_count_distinct for a
+    sketch when exactness isn't contractual (kept exact here for the
+    oracle)."""
+    d = _t(spark, sf_dir, "documents").select(
+        "source", F.split("text", " ").alias("a")
+    )
+    gram_arrays = " , ".join(
+        f"CASE WHEN size(a) >= {n} THEN "
+        f"transform(sequence(1, size(a) - {n} + 1), "
+        f"i -> struct({n} AS n, array_join(slice(a, i, {n}), ' ') AS gram)) "
+        f"ELSE array() END"
+        for n in (1, 2, 3)
+    )
+    stacked = d.select(
+        "source", F.explode(F.expr(f"concat({gram_arrays})")).alias("s")
+    ).select("source", F.col("s.n").alias("n"), F.col("s.gram").alias("gram"))
+    agg = stacked.groupBy("source", "n").agg(
+        F.count(F.lit(1)).cast("long").alias("total"),
+        F.countDistinct("gram").cast("long").alias("n_distinct"),
+    )
+    share = "n_distinct * 1000000 div total"
+    return agg.groupBy("source").agg(
+        F.max(F.expr("CASE WHEN n = 1 THEN total END"))
+        .cast("long")
+        .alias("total_1"),
+        F.max(F.expr(f"CASE WHEN n = 1 THEN {share} END"))
+        .cast("long")
+        .alias("distinct1_ppm"),
+        F.max(F.expr(f"CASE WHEN n = 2 THEN {share} END"))
+        .cast("long")
+        .alias("distinct2_ppm"),
+        F.max(F.expr(f"CASE WHEN n = 3 THEN {share} END"))
+        .cast("long")
+        .alias("distinct3_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pipeline filter funnel: cumulative survivor counts through committed rules.
+# ---------------------------------------------------------------------------
+
+# committed rules, in pipeline order (each evaluable from one token pass):
+#   r1 length:        10 <= n_tok <= 500
+#   r2 diversity:     distinct tokens >= 35% of tokens (int cross-mult)
+#   r3 top-token:     most frequent token <= 12% of tokens
+#   r4 word length:   3 <= mean chars/token <= 12 (exact: 3n <= chars-(n-1)
+#                     <= 12n, separators excluded)
+_FUNNEL_RULES = [
+    ("r1_length", "n_tok >= 10 AND n_tok <= 500"),
+    ("r2_diversity", "n_distinct * 100 >= 35 * n_tok"),
+    ("r3_top_token", "max_tok_c * 100 <= 12 * n_tok"),
+    (
+        "r4_word_len",
+        "3 * n_tok <= n_chars - (n_tok - 1) AND n_chars - (n_tok - 1) <= 12 * n_tok",
+    ),
+]
+
+
+def _funnel_oracle() -> str:
+    passes = ",\n             ".join(
+        f"CASE WHEN {cond} THEN 1 ELSE 0 END AS {name}"
+        for name, cond in _FUNNEL_RULES
+    )
+    cums = []
+    acc = []
+    for name, _ in _FUNNEL_RULES:
+        acc.append(name)
+        cums.append(" * ".join(acc))
+    stage_rows = "\n      UNION ALL\n".join(
+        f"      SELECT {k + 1} AS stage, '{name}' AS rule,"
+        f" CAST(SUM({name}) AS BIGINT) AS n_pass_rule,"
+        f" CAST(SUM({cums[k]}) AS BIGINT) AS survivors FROM f"
+        for k, (name, _c) in enumerate(_FUNNEL_RULES)
+    )
+    return f"""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+             CAST(len(text) AS BIGINT) AS n_chars,
+             CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+               AS n_distinct,
+             CAST((SELECT MAX(c) FROM (
+                SELECT COUNT(*) AS c
+                FROM unnest(string_split(text, ' ')) AS u(w) GROUP BY w))
+               AS BIGINT) AS max_tok_c
+      FROM documents
+    ),
+    f AS (
+      SELECT doc_id,
+             {passes}
+      FROM t
+    )
+    SELECT stage, rule, n_pass_rule, survivors FROM (
+{stage_rows}
+    )
+    """
+
+
+@register("pipeline_filter_funnel", _funnel_oracle())
+def pipeline_filter_funnel(spark, sf_dir):
+    """The filter funnel every pipeline paper reports (C4/Gopher/RefinedWeb
+    Table 1): four committed integer rules applied in order — length,
+    distinct-token diversity, top-token share, mean word length — with
+    per-rule pass counts AND cumulative survivors (docs passing rules
+    1..k). All thresholds are integer cross-multiplications (no division);
+    the per-doc signals come from ONE token pass (groupBy (doc, token) →
+    per-doc max + distinct + totals), then a 4-row funnel aggregate.
+    Scale: one corpus-token shuffle keyed (doc, token), then doc-keyed
+    rollup — linear, per-doc bounded."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.split("text", " ").alias("a"),
+        F.length("text").cast("long").alias("n_chars"),
+    )
+    tok = d.select("doc_id", "n_chars", F.explode("a").alias("w"))
+    per_tok = tok.groupBy("doc_id", "n_chars", "w").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    t = per_tok.groupBy("doc_id", "n_chars").agg(
+        F.sum("c").cast("long").alias("n_tok"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct"),
+        F.max("c").cast("long").alias("max_tok_c"),
+    )
+    f = t.select(
+        "doc_id",
+        *[
+            F.expr(f"CASE WHEN {cond} THEN 1 ELSE 0 END").alias(name)
+            for name, cond in _FUNNEL_RULES
+        ],
+    )
+    acc = []
+    stages = None
+    for k, (name, _cond) in enumerate(_FUNNEL_RULES):
+        acc.append(name)
+        stage = f.agg(
+            F.lit(k + 1).cast("int").alias("stage"),
+            F.lit(name).alias("rule"),
+            F.sum(name).cast("long").alias("n_pass_rule"),
+            F.sum(F.expr(" * ".join(acc))).cast("long").alias("survivors"),
+        )
+        stages = stage if stages is None else stages.unionByName(stage)
+    return stages
+
+
+# ---------------------------------------------------------------------------
+# Strided T5 span corruption: deterministic mask spans + target extraction.
+# ---------------------------------------------------------------------------
+
+_SPAN_LEN = 3  # tokens per corruption span (committed)
+_SPAN_STRIDE = 4  # candidate starts every STRIDE tokens (> LEN: no overlap)
+_SPAN_GATE = 60  # gate: hash % 100 < 60 -> ~15% of tokens masked
+
+
+def _span_sel(h: str) -> str:
+    """Committed span-start predicate over candidate position i (1-based):
+    candidates live at i % STRIDE == 1 and are hash-gated."""
+    return (
+        f"(i % {_SPAN_STRIDE} = 1 AND i + {_SPAN_LEN} - 1 <= n_tok"
+        f" AND ({h}) % 100 < {_SPAN_GATE})"
+    )
+
+
+def _span_oracle() -> str:
+    h = sql_hash60("CAST(doc_id AS VARCHAR) || '_' || CAST(i AS VARCHAR)")
+    sel = _span_sel(h)
+    return f"""
+    WITH d AS (
+      SELECT doc_id, string_split(text, ' ') AS toks,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+      FROM documents
+    ),
+    pos AS (
+      SELECT doc_id, n_tok, toks,
+             unnest(generate_series(1, CAST(n_tok AS BIGINT))) AS i
+      FROM d
+    ),
+    sel AS (
+      SELECT doc_id, n_tok, i,
+             CASE WHEN {sel} THEN 1 ELSE 0 END AS is_start
+      FROM pos
+    ),
+    spans AS (
+      SELECT doc_id, i AS s, i + {_SPAN_LEN} - 1 AS e,
+             ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i) AS sid
+      FROM sel WHERE is_start = 1
+    ),
+    tok_state AS (
+      SELECT p.doc_id, p.n_tok, p.i, p.toks[p.i] AS w,
+             sp.sid, sp.s
+      FROM pos p LEFT JOIN spans sp
+        ON sp.doc_id = p.doc_id AND p.i BETWEEN sp.s AND sp.e
+    ),
+    corrupted AS (
+      SELECT doc_id,
+             string_agg(CASE WHEN sid IS NULL THEN w
+                             WHEN i = s THEN '<X' || CAST(sid AS VARCHAR) || '>'
+                        END, ' ' ORDER BY i) AS corrupt_text,
+             string_agg(CASE WHEN sid IS NOT NULL THEN
+                 CASE WHEN i = s THEN '<X' || CAST(sid AS VARCHAR) || '> ' || w
+                      ELSE w END END, ' ' ORDER BY i) AS target_text,
+             CAST(COUNT(DISTINCT sid) AS BIGINT) AS n_spans,
+             CAST(SUM(CASE WHEN sid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_masked
+      FROM tok_state GROUP BY doc_id
+    )
+    SELECT c.doc_id, d.n_tok AS n_tokens, c.n_spans, c.n_masked,
+           CAST(c.n_masked * 1000000 // d.n_tok AS BIGINT) AS masked_ppm,
+           {sql_hash60("COALESCE(c.corrupt_text, '')")} AS corrupt_fp,
+           {sql_hash60("COALESCE(c.target_text, '')")} AS target_fp
+    FROM corrupted c JOIN d ON d.doc_id = c.doc_id
+    """
+
+
+@register("span_corruption_transform", _span_oracle())
+def span_corruption_transform(spark, sf_dir):
+    """T5-style span corruption (Raffel et al. 2020 §3.1.4), the masked
+    span-to-sentinel transform that turns raw text into (corrupted,
+    target) training pairs: deterministic STRIDED variant — candidate
+    span starts every {S} tokens, hash-gated to mask ~15% (gate {G}%,
+    span length {L}; stride > length makes spans non-overlapping BY
+    CONSTRUCTION, replacing T5's sequential greedy walk with a fully
+    parallel rule — the documented deviation). Sentinels <Xk> number
+    spans per doc in position order; the corrupted text keeps one
+    sentinel per span, the target lists sentinel + original tokens —
+    exactly T5's encoding. Output fingerprints the two texts with the
+    committed md5-60 (cross-engine) plus exact span/mask counts. One
+    posexplode + one per-doc window + broadcast-free per-doc rebuild;
+    linear at any corpus size.""".replace("{S}", str(_SPAN_STRIDE)).replace(
+        "{G}", str(_SPAN_GATE)
+    ).replace("{L}", str(_SPAN_LEN))
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.split("text", " ").alias("toks"),
+        F.size(F.split("text", " ")).cast("long").alias("n_tok"),
+    )
+    pos = d.select(
+        "doc_id",
+        "n_tok",
+        F.posexplode("toks").alias("i0", "w"),
+    ).select("doc_id", "n_tok", (F.col("i0") + 1).alias("i"), "w")
+    h = hash60(F.concat(F.col("doc_id").cast("string"), F.lit("_"),
+                        F.col("i").cast("string")))
+    sel = pos.withColumn("hh", h).where(
+        F.expr(_span_sel("hh"))
+    ).select("doc_id", F.col("i").alias("s"), (F.col("i") + _SPAN_LEN - 1).alias("e"))
+    spans = sel.withColumn(
+        "sid", F.row_number().over(Window.partitionBy("doc_id").orderBy("s"))
+    ).select(
+        F.col("doc_id").alias("sdoc"), "s", "e", "sid"
+    )
+    tok_state = pos.join(
+        spans,
+        (pos["doc_id"] == spans["sdoc"])
+        & (pos["i"] >= spans["s"])
+        & (pos["i"] <= spans["e"]),
+        "left",
+    ).select("doc_id", "n_tok", "i", "w", "sid", "s")
+    corrupted = tok_state.groupBy("doc_id").agg(
+        F.max("n_tok").alias("n_tok"),
+        F.expr(
+            "array_join(transform(array_sort(collect_list(CASE WHEN sid IS NULL"
+            " THEN struct(i, w)"
+            " WHEN i = s THEN struct(i, concat('<X', CAST(sid AS STRING), '>') AS w)"
+            " END)), x -> x.w), ' ')"
+        ).alias("corrupt_text"),
+        F.expr(
+            "array_join(transform(array_sort(collect_list(CASE WHEN sid IS NOT NULL"
+            " THEN struct(i, CASE WHEN i = s THEN"
+            " concat('<X', CAST(sid AS STRING), '> ', w) ELSE w END AS w)"
+            " END)), x -> x.w), ' ')"
+        ).alias("target_text"),
+        F.countDistinct("sid").cast("long").alias("n_spans"),
+        F.sum(F.expr("CASE WHEN sid IS NOT NULL THEN 1 ELSE 0 END"))
+        .cast("long")
+        .alias("n_masked"),
+    )
+    return corrupted.select(
+        "doc_id",
+        F.col("n_tok").alias("n_tokens"),
+        "n_spans",
+        "n_masked",
+        F.expr("n_masked * 1000000 div n_tok").cast("long").alias("masked_ppm"),
+        hash60(F.coalesce("corrupt_text", F.lit(""))).alias("corrupt_fp"),
+        hash60(F.coalesce("target_text", F.lit(""))).alias("target_fp"),
+    )

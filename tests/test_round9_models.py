@@ -238,3 +238,95 @@ def test_bradley_terry_properties(spark):
     worst = min(rows, key=lambda r: r["wins"])
     if best["wins"] > worst["wins"]:
         assert best["strength_nano"] > worst["strength_nano"]
+
+
+# ------------------------------------------------ T5 span corruption
+
+
+def _hash60_py(s: str) -> int:
+    import hashlib
+
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def test_span_corruption_model(spark):
+    from hpmr_spark.operators.pretrain2_queries import (
+        _SPAN_GATE,
+        _SPAN_LEN,
+        _SPAN_STRIDE,
+        span_corruption_transform,
+    )
+
+    got = {r["doc_id"]: r for r in span_corruption_transform(spark, SF).collect()}
+    docs = _docs(spark)
+    assert len(got) == len(docs)
+    for doc_id, _l, _s, text in docs:
+        toks = text.split(" ")
+        n = len(toks)
+        starts = [
+            i
+            for i in range(1, n + 1)
+            if i % _SPAN_STRIDE == 1
+            and i + _SPAN_LEN - 1 <= n
+            and _hash60_py(f"{doc_id}_{i}") % 100 < _SPAN_GATE
+        ]
+        sid = {s: k + 1 for k, s in enumerate(starts)}
+        covered = {}
+        for s in starts:
+            for i in range(s, s + _SPAN_LEN):
+                covered[i] = (sid[s], s)
+        corrupt, target = [], []
+        for i in range(1, n + 1):
+            w = toks[i - 1]
+            if i in covered:
+                k, s = covered[i]
+                if i == s:
+                    corrupt.append(f"<X{k}>")
+                    target.append(f"<X{k}> {w}")
+                else:
+                    target.append(w)
+            else:
+                corrupt.append(w)
+        g = got[doc_id]
+        assert g["n_spans"] == len(starts), doc_id
+        assert g["n_masked"] == len(covered), doc_id
+        assert g["masked_ppm"] == len(covered) * 1000000 // n, doc_id
+        assert g["corrupt_fp"] == _hash60_py(" ".join(corrupt)), doc_id
+        assert g["target_fp"] == _hash60_py(" ".join(target)), doc_id
+
+
+# ------------------------------------------------ filter funnel
+
+
+def test_filter_funnel_model(spark):
+    from hpmr_spark.operators.pretrain2_queries import (
+        _FUNNEL_RULES,
+        pipeline_filter_funnel,
+    )
+
+    docs = _docs(spark)
+    flags = []
+    for _d, _l, _s, text in docs:
+        toks = text.split(" ")
+        n_tok, n_chars = len(toks), len(text)
+        n_distinct = len(set(toks))
+        max_c = max(toks.count(w) for w in set(toks))
+        flags.append(
+            [
+                10 <= n_tok <= 500,
+                n_distinct * 100 >= 35 * n_tok,
+                max_c * 100 <= 12 * n_tok,
+                3 * n_tok <= n_chars - (n_tok - 1) <= 12 * n_tok,
+            ]
+        )
+    got = {r["stage"]: r for r in pipeline_filter_funnel(spark, SF).collect()}
+    assert len(got) == len(_FUNNEL_RULES)
+    for k in range(len(_FUNNEL_RULES)):
+        n_pass = sum(1 for f in flags if f[k])
+        surv = sum(1 for f in flags if all(f[: k + 1]))
+        g = got[k + 1]
+        assert (g["rule"], g["n_pass_rule"], g["survivors"]) == (
+            _FUNNEL_RULES[k][0],
+            n_pass,
+            surv,
+        ), k

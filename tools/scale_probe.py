@@ -1026,7 +1026,109 @@ def _ivfpq_probe(spark, emb_df, n):
           f"probed 2/8 cells)")
 
 
+
+
+def round9_probe(spark, n: int, vocab_size: int = 4096, ops: str = ""):
+    """Round-9 probes: the per-doc window pipelines (Gopher repetition
+    fractions, contamination span profile) at 1M/3M/10M synthetic docs.
+
+    Scale contracts under test: gopher is ONE stacked-gram count keyed on
+    (doc, n, gram) plus doc-partitioned windows — wall must be linear in
+    corpus tokens with per-doc memory; contamination is an explode + a
+    broadcast semi-join against the bounded eval gram set + doc windows —
+    linear, hit-count-bounded. vocab_size=4096 is the realistic regime
+    (cross-doc 5-gram hits ~ planted); the 40-word vocab would saturate
+    contamination hits (the round-7 J-bar artifact). Probe walls force
+    real work through aggregates over the computed columns (a naive
+    count() gets join-eliminated — round-7 lesson)."""
+    import time
+
+    from hpmr_spark.operators.pretrain2_queries import (
+        contamination_spans_df,
+        gopher_fractions_df,
+    )
+
+    do = set(ops.split(",")) if ops else {"gopher", "contam"}
+    base = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("src"), (F.col("id") % 20).cast("string")).alias(
+            "source"
+        ),
+        F.concat_ws(" ", F.transform(
+            F.sequence(F.lit(1), F.lit(60)),
+            lambda i: F.concat(F.lit("w"), (
+                (F.xxhash64(F.col("id") * 1000 + i) % vocab_size
+                 + vocab_size) % vocab_size).cast("string")),
+        )).alias("text"))
+    # plant contamination: every 500th non-eval doc quotes a 12-token run
+    # from an eval (src0) doc — a contiguous span the union must merge
+    quoted = (
+        base.where((F.col("doc_id") % 20 == 0) & (F.col("doc_id") % 500 == 0))
+        .select(
+            (F.col("doc_id") + 7).alias("doc_id"),
+            F.lit("src7").alias("source"),
+            F.concat(
+                F.concat_ws(" ", F.transform(
+                    F.sequence(F.lit(1), F.lit(20)),
+                    lambda i: F.concat(F.lit("q"), (
+                        (F.xxhash64(F.col("doc_id") * 31 + i) % vocab_size
+                         + vocab_size) % vocab_size).cast("string")),
+                )),
+                F.lit(" "),
+                F.substring_index(F.col("text"), " ", 12),
+            ).alias("text"),
+        )
+    )
+    docs = base.where(F.col("doc_id") % 500 != 7).unionByName(quoted)
+
+    if "gopher" in do:
+        t0 = time.time()
+        row = (
+            gopher_fractions_df(docs.select("doc_id", "text"))
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("top2_ppm").alias("s2"),
+                F.sum("dup5_cover_ppm").alias("s5"),
+            )
+            .collect()[0]
+        )
+        print(
+            f"round9 gopher n={n} wall={time.time() - t0:.1f}s "
+            f"docs={row['n']} sum_top2={row['s2']} sum_dup5={row['s5']}"
+        )
+
+    if "contam" in do:
+        t0 = time.time()
+        row = (
+            contamination_spans_df(docs)
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("n_contam_grams").alias("g"),
+                F.sum("longest_span_tok").alias("sp"),
+            )
+            .collect()[0]
+        )
+        print(
+            f"round9 contam n={n} wall={time.time() - t0:.1f}s "
+            f"contam_docs={row['n']} hit_grams={row['g']} "
+            f"sum_longest={row['sp']}"
+        )
+
+
 def main():
+    if len(sys.argv) > 1 and sys.argv[1] == "round9":
+        from hpmr_spark.engine import get_spark
+
+        spark = get_spark("scale-probe-round9")
+        round9_probe(
+            spark,
+            int(sys.argv[2]) if len(sys.argv) > 2 else 1_000_000,
+            vocab_size=int(sys.argv[3]) if len(sys.argv) > 3 else 4096,
+            ops=sys.argv[4] if len(sys.argv) > 4 else "",
+        )
+        spark.stop()
+        return
+
     if len(sys.argv) > 1 and sys.argv[1] == "round7llm":
         from hpmr_spark.engine import get_spark
 
