@@ -372,10 +372,13 @@ for _m in _MODULES:
 # kde_price_grid_nano (LN/EXP family keeps weighted_sample_topk_es,
 # token_entropy_by_lang, markov_entropy_rate_nano), woe_iv_segments
 # (int128 nanos family keeps label_drift_js, MI, LOO target encode, z²).
-# Final r9 window = the round's 10 new operators + 40 r8-carryover
-# first-time rows; if CORRECTNESS_r09 runs it, never-checked drops
-# 254 → 214 of 502 (40 first-time r8 rows retired + all 10 new operators
-# checked in their own round).
+# Wave-4 swaps cluster_balanced_sample + hard_negative_mining in for
+# bloom_semi_prune (sketch family keeps sketch_bounded_checks) and
+# markov_entropy_rate_nano (LN/EXP family keeps weighted_sample_topk_es +
+# token_entropy_by_lang). Final r9 window = the round's 12 new operators
+# + 38 r8-carryover first-time rows; if CORRECTNESS_r09 runs it,
+# never-checked drops 254 → 216 of 504 (38 first-time r8 rows retired +
+# all 12 new operators checked in their own round).
 _CHECK_FIRST = [
     # round-9 new operators (driver row in their own round)
     "gopher_repetition_fractions",
@@ -384,6 +387,8 @@ _CHECK_FIRST = [
     "distinct_ngram_diversity",
     "pipeline_filter_funnel",
     "span_corruption_transform",
+    "cluster_balanced_sample",
+    "hard_negative_mining",
     "ccnet_ppl_buckets",
     "data_repeats_budget",
     "contamination_span_profile",
@@ -429,11 +434,9 @@ _CHECK_FIRST = [
     "interval_coverage_union",
     # sketch gates + merge laws
     "sketch_bounded_checks",
-    "bloom_semi_prune",
     # LN/EXP-commitment family
     "weighted_sample_topk_es",
     "token_entropy_by_lang",
-    "markov_entropy_rate_nano",
     # sign-split / int128 nanos statistics
     "label_drift_js_nano",
     "mutual_information_nano",

@@ -1389,3 +1389,242 @@ def span_corruption_transform(spark, sf_dir):
         hash60(F.coalesce("corrupt_text", F.lit(""))).alias("corrupt_fp"),
         hash60(F.coalesce("target_text", F.lit(""))).alias("target_fp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cluster-balanced subsampling: cap per-cluster occupancy deterministically.
+# ---------------------------------------------------------------------------
+
+_BAL_K = 8  # committed cluster count (hash-seeded integer-L2 cells)
+_BAL_KEEP = 16  # per-cluster cap
+_BAL_SALT = "balance:"
+
+_BAL_MICROS = (
+    "transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000)"
+    " AS BIGINT))"
+)
+_BAL_DUCK_D2 = (
+    "list_sum(list_transform(range(1, 65), _k -> ({a}[_k] - {b}[_k])"
+    " * ({a}[_k] - {b}[_k])))"
+)
+
+
+def _bal_oracle() -> str:
+    from hpmr_spark.functions.hashing import sql_hash60
+
+    seed_h = sql_hash60("'" + _BAL_SALT + "' || CAST(vec_id AS STRING)")
+    rank_h = sql_hash60("'" + _BAL_SALT + "rk:' || CAST(vec_id AS STRING)")
+    return f"""
+    WITH vi AS MATERIALIZED (
+      SELECT vec_id,
+             list_transform(embedding,
+               _x -> CAST(FLOOR(CAST(_x AS DOUBLE) * 1000000) AS BIGINT)) AS v
+      FROM embeddings
+    ),
+    seeds AS MATERIALIZED (
+      SELECT ROW_NUMBER() OVER (ORDER BY h, vec_id) - 1 AS cell, v
+      FROM (SELECT vec_id, v, {seed_h} AS h FROM vi)
+      ORDER BY h, vec_id LIMIT {_BAL_K}
+    ),
+    asg AS MATERIALIZED (
+      SELECT vec_id, cell FROM (
+        SELECT vi.vec_id, s.cell,
+               ROW_NUMBER() OVER (
+                 PARTITION BY vi.vec_id
+                 ORDER BY {_BAL_DUCK_D2.format(a='vi.v', b='s.v')}, s.cell)
+                 AS rn
+        FROM vi, seeds s) WHERE rn = 1
+    ),
+    rk AS (
+      SELECT vec_id, cell,
+             ROW_NUMBER() OVER (PARTITION BY cell
+                                ORDER BY {rank_h}, vec_id) AS rank_in_cell,
+             COUNT(*) OVER (PARTITION BY cell) AS cell_occupancy
+      FROM asg
+    )
+    SELECT vec_id, CAST(cell AS BIGINT) AS cell,
+           CAST(rank_in_cell AS BIGINT) AS rank_in_cell,
+           CAST(cell_occupancy AS BIGINT) AS cell_occupancy
+    FROM rk WHERE rank_in_cell <= {_BAL_KEEP}
+    """
+
+
+@register("cluster_balanced_sample", _bal_oracle())
+def cluster_balanced_sample(spark, sf_dir):
+    """Cluster-balanced subsampling (the MetaCLIP/DataComp balancing
+    recipe): cluster the embedding corpus (committed-hash seed vectors →
+    exact integer-L2 assignment, the semdedup machinery with its own salt)
+    and cap every cluster at {KEEP} survivors, chosen by a committed
+    content-hash rank — flattening the cluster distribution so head
+    clusters stop dominating the training mix. Fully deterministic:
+    hash-rank selection is reproducible under any partitioning (unlike
+    df.sample), the argmin carries the (d2, cell) tie-break. One bounded
+    collect ({K} seed vectors — commented), one corpus scan for
+    assignment, one per-cell window. At 100 TB the cluster count grows
+    with the corpus (IVF routing) so the per-cell window stays
+    bounded.""".replace("{KEEP}", str(_BAL_KEEP)).replace("{K}", str(_BAL_K))
+    e = _t(spark, sf_dir, "embeddings")
+    vi = e.select("vec_id", F.expr(_BAL_MICROS).alias("v"))
+    seed_rows = sorted(
+        vi.select(
+            "vec_id",
+            "v",
+            hash60(
+                F.concat(F.lit(_BAL_SALT), F.col("vec_id").cast("string"))
+            ).alias("h"),
+        )
+        .orderBy("h", "vec_id")
+        .limit(_BAL_K)
+        .collect(),
+        key=lambda r: (r["h"], r["vec_id"]),
+    )
+    seeds = [[int(x) for x in r["v"]] for r in seed_rows]
+
+    def d2_text(v, arr):
+        a = "array(" + ",".join(str(int(x)) for x in arr) + ")"
+        return (
+            f"aggregate(zip_with({v},{a},(a,b)->(a-b)*(a-b)),"
+            f"CAST(0 AS BIGINT),(acc,x)->acc+x)"
+        )
+
+    structs = ",".join(
+        f"named_struct('d2',{d2_text('v', cv)},'cell',{ci})"
+        for ci, cv in enumerate(seeds)
+    )
+    asg = vi.select(
+        "vec_id",
+        F.expr(f"array_min(array({structs}))").getField("cell").alias("cell"),
+    )
+    rank_h = hash60(
+        F.concat(F.lit(_BAL_SALT + "rk:"), F.col("vec_id").cast("string"))
+    )
+    w_rk = Window.partitionBy("cell").orderBy(rank_h.asc(), "vec_id")
+    w_n = Window.partitionBy("cell")
+    rk = asg.select(
+        "vec_id",
+        F.col("cell").cast("long").alias("cell"),
+        F.row_number().over(w_rk).cast("long").alias("rank_in_cell"),
+        F.count(F.lit(1)).over(w_n).cast("long").alias("cell_occupancy"),
+    )
+    return rk.where(F.col("rank_in_cell") <= _BAL_KEEP)
+
+
+# ---------------------------------------------------------------------------
+# Hard-negative mining: top-k cross-label neighbors per query vector.
+# ---------------------------------------------------------------------------
+
+_HN_K = 5  # negatives per query (committed)
+_HN_QMOD = 10  # query subset: vec_id % 10 == 0 (committed bound)
+
+_HN_SCORE = (
+    "CAST(FLOOR(CAST(dot_micros AS DOUBLE) * 1000000000.0"
+    " / SQRT(CAST(n2q AS DOUBLE) * CAST(n2c AS DOUBLE))) AS BIGINT)"
+)
+
+_HN_ORACLE = f"""
+    WITH v AS (
+      SELECT vec_id, label,
+             list_transform(embedding, e -> CAST(e AS DOUBLE)) AS emb,
+             CAST(list_sum(list_transform(embedding,
+               e -> CAST(FLOOR(CAST(e AS DOUBLE) * CAST(e AS DOUBLE)
+                               * 1000000) AS BIGINT))) AS BIGINT) AS n2
+      FROM embeddings
+    ),
+    pairs AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neg_id,
+             q.n2 AS n2q, c.n2 AS n2c,
+             CAST(list_sum(list_transform(generate_series(1, len(q.emb)),
+               i -> CAST(FLOOR(q.emb[i] * c.emb[i] * 1000000) AS BIGINT)))
+               AS BIGINT) AS dot_micros
+      FROM v q JOIN v c
+        ON c.label <> q.label
+      WHERE q.vec_id % {_HN_QMOD} = 0
+    ),
+    scored AS (
+      SELECT query_id, neg_id, {_HN_SCORE} AS score_nano FROM pairs
+    ),
+    rk AS (
+      SELECT query_id, neg_id, score_nano,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY score_nano DESC, neg_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, neg_id, CAST(rank AS BIGINT) AS rank, score_nano
+    FROM rk WHERE rank <= {_HN_K}
+"""
+
+
+@register("hard_negative_mining", _HN_ORACLE)
+def hard_negative_mining(spark, sf_dir):
+    """Hard-negative mining for contrastive/retrieval training (DPR,
+    Karpukhin et al. 2020; ANCE): for each query vector (committed subset
+    vec_id % {Q} = 0), the top-{K} most-similar vectors with a DIFFERENT
+    label — the negatives that actually move the loss. Scores are the
+    committed exact-integer cosine (per-term floored dot/norm micros, one
+    final double per pair); ranking carries the (score DESC, neg_id)
+    total order. This is the documented exact baseline (query-subset x
+    corpus); at 100 TB the same scoring runs over the IVF shortlist
+    (similarity/ivfpq.py) instead of the full cross join, and the
+    label-mismatch filter pushes into the shortlist scan.""".replace(
+        "{Q}", str(_HN_QMOD)
+    ).replace("{K}", str(_HN_K))
+    emb = _t(spark, sf_dir, "embeddings")
+    n2 = F.aggregate(
+        F.transform(
+            "embedding",
+            lambda e: F.floor(
+                e.cast("double") * e.cast("double") * F.lit(1000000)
+            ).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, t: acc + t,
+    )
+    v = emb.select(
+        "vec_id", "label", F.col("embedding").alias("emb"), n2.alias("n2")
+    )
+    q = v.where(F.col("vec_id") % _HN_QMOD == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("ql"),
+        F.col("emb").alias("eq"),
+        F.col("n2").alias("n2q"),
+    )
+    c = v.select(
+        F.col("vec_id").alias("neg_id"),
+        F.col("label").alias("cl"),
+        F.col("emb").alias("ec"),
+        F.col("n2").alias("n2c"),
+    )
+    dot = F.aggregate(
+        F.zip_with(
+            "eq",
+            "ec",
+            lambda x, y: F.floor(
+                x.cast("double") * y.cast("double") * F.lit(1000000)
+            ).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, t: acc + t,
+    )
+    pairs = (
+        q.join(c, F.col("cl") != F.col("ql"))
+        .select("query_id", "neg_id", "n2q", "n2c", dot.alias("dot_micros"))
+    )
+    scored = pairs.select(
+        "query_id", "neg_id", F.expr(_HN_SCORE).alias("score_nano")
+    )
+    rk = scored.select(
+        "query_id",
+        "neg_id",
+        "score_nano",
+        F.row_number()
+        .over(
+            Window.partitionBy("query_id").orderBy(
+                F.desc("score_nano"), "neg_id"
+            )
+        )
+        .cast("long")
+        .alias("rank"),
+    )
+    return rk.where(F.col("rank") <= _HN_K).select(
+        "query_id", "neg_id", "rank", "score_nano"
+    )

@@ -330,3 +330,77 @@ def test_filter_funnel_model(spark):
             n_pass,
             surv,
         ), k
+
+
+# ------------------------------------------------ hard negative mining
+
+
+def test_hard_negative_model(spark):
+    from hpmr_spark.operators.pretrain2_queries import (
+        _HN_K,
+        _HN_QMOD,
+        hard_negative_mining,
+    )
+
+    rows = spark.read.parquet(f"{SF}/embeddings.parquet").select(
+        "vec_id", "label", "embedding"
+    ).collect()
+    vecs = {r["vec_id"]: ([float(x) for x in r["embedding"]], r["label"]) for r in rows}
+    n2 = {
+        i: sum(math.floor(x * x * 1000000) for x in v)
+        for i, (v, _l) in vecs.items()
+    }
+    expect = {}
+    for qid, (qv, ql) in vecs.items():
+        if qid % _HN_QMOD != 0:
+            continue
+        cand = []
+        for cid, (cv, cl) in vecs.items():
+            if cl == ql:
+                continue
+            dot = sum(
+                math.floor(a * b * 1000000) for a, b in zip(qv, cv)
+            )
+            s = math.floor(dot * 1000000000.0 / math.sqrt(float(n2[qid]) * float(n2[cid])))
+            cand.append((-s, cid))
+        cand.sort()
+        for rank, (negs, cid) in enumerate(cand[:_HN_K], start=1):
+            expect[(qid, cid)] = (rank, -negs)
+    got = {
+        (r["query_id"], r["neg_id"]): (r["rank"], r["score_nano"])
+        for r in hard_negative_mining(spark, SF).collect()
+    }
+    assert got == expect
+
+
+# ------------------------------------------------ cluster-balanced sample
+
+
+def test_cluster_balanced_properties(spark):
+    """Assignment arithmetic is the semdedup machinery (model-tested in
+    round 8); pin the balancing contract: per-cell cap respected, ranks
+    dense from 1, occupancy consistent, selection is the committed hash
+    rank (re-derived for one cell)."""
+    from hpmr_spark.operators.pretrain2_queries import (
+        _BAL_KEEP,
+        _BAL_SALT,
+        cluster_balanced_sample,
+    )
+
+    rows = cluster_balanced_sample(spark, SF).collect()
+    by_cell = {}
+    for r in rows:
+        by_cell.setdefault(r["cell"], []).append(r)
+    for cell, rs in by_cell.items():
+        ranks = sorted(r["rank_in_cell"] for r in rs)
+        occ = rs[0]["cell_occupancy"]
+        assert all(r["cell_occupancy"] == occ for r in rs)
+        assert ranks == list(range(1, min(occ, _BAL_KEEP) + 1)), cell
+        # the kept set must be the occ's lowest committed hash ranks —
+        # verify the ordering within the kept set matches the hash
+        keyed = sorted(
+            (_hash60_py(f"{_BAL_SALT}rk:{r['vec_id']}"), r["vec_id"],
+             r["rank_in_cell"])
+            for r in rs
+        )
+        assert [k[2] for k in keyed] == list(range(1, len(keyed) + 1)), cell

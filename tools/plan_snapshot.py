@@ -128,6 +128,7 @@ SKIP = {
     "triplet_violation_rate",  # persisted quantized vector frame (5 consumers)
     "markov_stationary_power",  # persisted transition frame (8 iterations)
     "ccnet_ppl_buckets",  # persisted per-doc token-count frame (plan-unique dummy)
+    "cluster_balanced_sample",  # bounded seed-vector collect at build
 }
 
 SF_DIR = "/root/testdata/sf0.001"
