@@ -372,13 +372,14 @@ for _m in _MODULES:
 # kde_price_grid_nano (LN/EXP family keeps weighted_sample_topk_es,
 # token_entropy_by_lang, markov_entropy_rate_nano), woe_iv_segments
 # (int128 nanos family keeps label_drift_js, MI, LOO target encode, z²).
-# Wave-4 swaps cluster_balanced_sample + hard_negative_mining in for
-# bloom_semi_prune (sketch family keeps sketch_bounded_checks) and
-# markov_entropy_rate_nano (LN/EXP family keeps weighted_sample_topk_es +
-# token_entropy_by_lang). Final r9 window = the round's 12 new operators
-# + 38 r8-carryover first-time rows; if CORRECTNESS_r09 runs it,
-# never-checked drops 254 → 216 of 504 (38 first-time r8 rows retired +
-# all 12 new operators checked in their own round).
+# Wave-4/5 swaps cluster_balanced_sample + hard_negative_mining +
+# winnowing_fingerprints in for bloom_semi_prune (sketch family keeps
+# sketch_bounded_checks), markov_entropy_rate_nano and
+# token_entropy_by_lang (LN/EXP family keeps weighted_sample_topk_es).
+# Final r9 window = the round's 13 new operators + 37 r8-carryover
+# first-time rows; if CORRECTNESS_r09 runs it, never-checked drops
+# 254 → 217 of 505 (37 first-time r8 rows retired + all 13 new operators
+# checked in their own round).
 _CHECK_FIRST = [
     # round-9 new operators (driver row in their own round)
     "gopher_repetition_fractions",
@@ -389,6 +390,7 @@ _CHECK_FIRST = [
     "span_corruption_transform",
     "cluster_balanced_sample",
     "hard_negative_mining",
+    "winnowing_fingerprints",
     "ccnet_ppl_buckets",
     "data_repeats_budget",
     "contamination_span_profile",
@@ -436,7 +438,6 @@ _CHECK_FIRST = [
     "sketch_bounded_checks",
     # LN/EXP-commitment family
     "weighted_sample_topk_es",
-    "token_entropy_by_lang",
     # sign-split / int128 nanos statistics
     "label_drift_js_nano",
     "mutual_information_nano",

@@ -1234,18 +1234,31 @@ def pipeline_filter_funnel(spark, sf_dir):
             for name, cond in _FUNNEL_RULES
         ],
     )
+    # ONE aggregate computes all per-rule + cumulative counts (a 4-way
+    # union of stage aggs would re-run the corpus token pass per stage —
+    # 8 shuffles vs 3), then a literal explode emits the 4 funnel rows.
+    aggs = []
     acc = []
-    stages = None
     for k, (name, _cond) in enumerate(_FUNNEL_RULES):
         acc.append(name)
-        stage = f.agg(
-            F.lit(k + 1).cast("int").alias("stage"),
-            F.lit(name).alias("rule"),
-            F.sum(name).cast("long").alias("n_pass_rule"),
-            F.sum(F.expr(" * ".join(acc))).cast("long").alias("survivors"),
+        aggs.append(F.sum(name).cast("long").alias(f"p{k}"))
+        aggs.append(
+            F.sum(F.expr(" * ".join(acc))).cast("long").alias(f"s{k}")
         )
-        stages = stage if stages is None else stages.unionByName(stage)
-    return stages
+    one = f.agg(*aggs)
+    rows = ", ".join(
+        f"struct({k + 1} AS stage, '{name}' AS rule,"
+        f" p{k} AS n_pass_rule, s{k} AS survivors)"
+        for k, (name, _cond) in enumerate(_FUNNEL_RULES)
+    )
+    return one.select(
+        F.explode(F.expr(f"array({rows})")).alias("r")
+    ).select(
+        F.col("r.stage").cast("int").alias("stage"),
+        F.col("r.rule").alias("rule"),
+        F.col("r.n_pass_rule").alias("n_pass_rule"),
+        F.col("r.survivors").alias("survivors"),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1627,4 +1640,144 @@ def hard_negative_mining(spark, sf_dir):
     )
     return rk.where(F.col("rank") <= _HN_K).select(
         "query_id", "neg_id", "rank", "score_nano"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (Schleimer et al. 2003): per-window rightmost-min
+# k-gram hash selection + cross-doc shared-fingerprint census.
+# ---------------------------------------------------------------------------
+
+_WIN_K = 5  # tokens per k-gram (committed)
+_WIN_W = 4  # winnowing window: guarantee-free gap <= w (committed)
+
+
+def _win_oracle() -> str:
+    g_h = sql_hash60("list_aggregate(toks[i : i + 4], 'string_agg', ' ')")
+    return f"""
+    WITH d AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    g AS MATERIALIZED (
+      SELECT doc_id, i, {g_h} AS h
+      FROM (
+        SELECT d.doc_id, d.toks,
+               unnest(generate_series(1, CAST(len(d.toks) AS BIGINT) - 4))
+                 AS i
+        FROM d
+      )
+    ),
+    ng AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams FROM g
+      GROUP BY doc_id
+    ),
+    winmin AS (
+      -- rightmost-min per window: min over the 4-gram frame of (h, -i)
+      SELECT doc_id,
+             MIN({{'h': h, 'negi': 0 - i}}) OVER (PARTITION BY doc_id ORDER BY i
+               ROWS BETWEEN CURRENT ROW AND {_WIN_W - 1} FOLLOWING) AS m,
+             i,
+             CAST(MAX(i) OVER (PARTITION BY doc_id) AS BIGINT) AS max_i
+      FROM g
+    ),
+    sel AS (
+      SELECT DISTINCT doc_id,
+             CAST(0 - (m).negi AS BIGINT) AS pos, (m).h AS h
+      FROM winmin
+      WHERE i <= max_i - {_WIN_W - 1}
+    ),
+    df AS (
+      SELECT h, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS ndocs
+      FROM sel GROUP BY h
+    )
+    SELECT s.doc_id,
+           CAST(MAX(ng.n_grams) AS BIGINT) AS n_grams,
+           CAST(COUNT(*) AS BIGINT) AS n_fp,
+           CAST(SUM(CASE WHEN df.ndocs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_shared_fp,
+           CAST(CAST(SUM(s.h) AS HUGEINT) % 9223372036854775783 AS BIGINT)
+             AS fp_checksum
+    FROM sel s
+    JOIN ng ON ng.doc_id = s.doc_id
+    JOIN df ON df.h = s.h
+    GROUP BY s.doc_id
+    """
+
+
+@register("winnowing_fingerprints", _win_oracle())
+def winnowing_fingerprints(spark, sf_dir):
+    """Winnowing document fingerprints (Schleimer et al. 2003 — the MOSS
+    algorithm, the brief's "document fingerprinting (rolling hash)" item
+    done properly): hash every {K}-token gram (committed md5-60), slide a
+    window of {W} consecutive gram hashes, and select each window's
+    minimum with the RIGHTMOST tie-break (robust winnowing) — encoded as
+    MIN over struct(h, -i), so min h wins and ties prefer larger i; the
+    guarantee is one fingerprint per {W}-gap. Fingerprints are the
+    DISTINCT selected (pos, h); the census reports per doc: gram count,
+    fingerprint count, fingerprints shared with ANY other doc (the
+    winnowing near-dup signal), and an exact mod-prime checksum of
+    selected hashes. Windows are doc-partitioned with bounded frames; the
+    only corpus shuffle is the fingerprint-keyed document-frequency count
+    (hashes, never text).""".replace("{K}", str(_WIN_K)).replace(
+        "{W}", str(_WIN_W)
+    )
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("a")
+    )
+    g = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"CASE WHEN size(a) >= {_WIN_K} THEN "
+                f"transform(sequence(1, size(a) - {_WIN_K - 1}), "
+                f"i -> struct(i AS i, array_join(slice(a, i, {_WIN_K}), ' ')"
+                f" AS gram)) ELSE array() END"
+            )
+        ).alias("s"),
+    ).select(
+        "doc_id",
+        F.col("s.i").cast("long").alias("i"),
+        hash60(F.col("s.gram")).alias("h"),
+    )
+    ng = g.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("n_grams"))
+    w_frame = (
+        Window.partitionBy("doc_id").orderBy("i").rowsBetween(0, _WIN_W - 1)
+    )
+    w_doc = Window.partitionBy("doc_id")
+    winmin = g.select(
+        "doc_id",
+        "i",
+        F.min(F.struct(F.col("h"), (-F.col("i")).alias("negi"))).over(
+            w_frame
+        ).alias("m"),
+        F.max("i").over(w_doc).alias("max_i"),
+    )
+    sel = (
+        winmin.where(F.col("i") <= F.col("max_i") - (_WIN_W - 1))
+        .select(
+            "doc_id",
+            (-F.col("m.negi")).cast("long").alias("pos"),
+            F.col("m.h").alias("h"),
+        )
+        .distinct()
+    )
+    df = sel.groupBy("h").agg(
+        F.countDistinct("doc_id").cast("long").alias("ndocs")
+    )
+    return (
+        sel.hint("merge")
+        .join(df, "h")
+        .join(ng, "doc_id")
+        .groupBy("doc_id")
+        .agg(
+            F.max("n_grams").cast("long").alias("n_grams"),
+            F.count(F.lit(1)).cast("long").alias("n_fp"),
+            F.sum(F.expr("CASE WHEN ndocs >= 2 THEN 1 ELSE 0 END"))
+            .cast("long")
+            .alias("n_shared_fp"),
+            F.expr(
+                "CAST(SUM(CAST(h AS DECIMAL(38,0))) % 9223372036854775783"
+                " AS BIGINT)"
+            ).alias("fp_checksum"),
+        )
     )

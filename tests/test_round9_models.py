@@ -404,3 +404,48 @@ def test_cluster_balanced_properties(spark):
             for r in rs
         )
         assert [k[2] for k in keyed] == list(range(1, len(keyed) + 1)), cell
+
+
+# ------------------------------------------------ winnowing fingerprints
+
+
+def test_winnowing_model(spark):
+    from hpmr_spark.operators.pretrain2_queries import (
+        _WIN_K,
+        _WIN_W,
+        winnowing_fingerprints,
+    )
+
+    docs = _docs(spark)
+    grams_by_doc = {}
+    for doc_id, _l, _s, text in docs:
+        toks = text.split(" ")
+        grams_by_doc[doc_id] = [
+            _hash60_py(" ".join(toks[i : i + _WIN_K]))
+            for i in range(len(toks) - _WIN_K + 1)
+        ]
+    sel_by_doc = {}
+    for doc_id, hs in grams_by_doc.items():
+        sel = set()
+        for t in range(len(hs) - _WIN_W + 1):
+            # rightmost minimum in window [t, t+W)
+            best = min(
+                range(t, t + _WIN_W), key=lambda i: (hs[i], -i)
+            )
+            sel.add((best + 1, hs[best]))  # 1-based positions
+        sel_by_doc[doc_id] = sel
+    doc_count = {}
+    for doc_id, sel in sel_by_doc.items():
+        for _p, h in set((0, h) for _p, h in sel):
+            doc_count[h] = doc_count.get(h, 0) + 1
+    got = {r["doc_id"]: r for r in winnowing_fingerprints(spark, SF).collect()}
+    assert set(got) == {d for d, s in sel_by_doc.items() if s}
+    for doc_id, sel in sel_by_doc.items():
+        if not sel:
+            continue
+        g = got[doc_id]
+        assert g["n_grams"] == len(grams_by_doc[doc_id]), doc_id
+        assert g["n_fp"] == len(sel), doc_id
+        shared = sum(1 for _p, h in sel if doc_count[h] >= 2)
+        assert g["n_shared_fp"] == shared, doc_id
+        assert g["fp_checksum"] == sum(h for _p, h in sel) % 9223372036854775783, doc_id
