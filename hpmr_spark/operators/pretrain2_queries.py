@@ -46,7 +46,7 @@ from hpmr_spark.functions.hashing import hash60, sql_hash60
 # coverage (interval union over token positions).
 # ---------------------------------------------------------------------------
 
-_GOPHER_REP_ORACLE = """
+_GOPHER_REP_ORACLE_TMPL = """
     WITH d AS (
       SELECT doc_id, text, string_split(text, ' ') AS toks,
              CAST(len(text) AS BIGINT) AS n_chars,
@@ -64,25 +64,31 @@ _GOPHER_REP_ORACLE = """
       )
     ),
     cnt AS (
-      SELECT doc_id, n, gram, CAST(COUNT(*) AS BIGINT) AS c
-      FROM grams GROUP BY doc_id, n, gram
+      -- shuffle key is the committed md5-60 of the gram (+ its length),
+      -- never the string: the 10M probe exhausted spill disk on string
+      -- keys; tie-break commitment is (count DESC, hash ASC)
+      SELECT doc_id, n, h, l, CAST(COUNT(*) AS BIGINT) AS c
+      FROM (SELECT doc_id, n, HASH60GRAM AS h,
+                   CAST(len(gram) AS BIGINT) AS l
+            FROM grams)
+      GROUP BY doc_id, n, h, l
     ),
     top AS (
-      SELECT doc_id, n, gram, c,
+      SELECT doc_id, n, h, l, c,
              ROW_NUMBER() OVER (PARTITION BY doc_id, n
-                                ORDER BY c DESC, gram) AS rk
+                                ORDER BY c DESC, h) AS rk
       FROM cnt
     ),
     toppiv AS (
       SELECT t.doc_id,
              CAST(MAX(CASE WHEN t.n = 2
-               THEN t.c * len(t.gram) * 1000000 // d.n_chars END) AS BIGINT)
+               THEN t.c * t.l * 1000000 // d.n_chars END) AS BIGINT)
                AS top2_ppm,
              CAST(MAX(CASE WHEN t.n = 3
-               THEN t.c * len(t.gram) * 1000000 // d.n_chars END) AS BIGINT)
+               THEN t.c * t.l * 1000000 // d.n_chars END) AS BIGINT)
                AS top3_ppm,
              CAST(MAX(CASE WHEN t.n = 4
-               THEN t.c * len(t.gram) * 1000000 // d.n_chars END) AS BIGINT)
+               THEN t.c * t.l * 1000000 // d.n_chars END) AS BIGINT)
                AS top4_ppm
       FROM top t JOIN d ON d.doc_id = t.doc_id
       WHERE t.rk = 1
@@ -100,7 +106,7 @@ _GOPHER_REP_ORACLE = """
     ),
     dup5 AS (
       SELECT doc_id, i,
-             COUNT(*) OVER (PARTITION BY doc_id, gram) AS c
+             COUNT(*) OVER (PARTITION BY doc_id, HASH60GRAM) AS c
       FROM grams5
     ),
     starts AS (
@@ -139,6 +145,10 @@ _GOPHER_REP_ORACLE = """
     LEFT JOIN cover c ON c.doc_id = d.doc_id
 """
 
+_GOPHER_REP_ORACLE = _GOPHER_REP_ORACLE_TMPL.replace(
+    "HASH60GRAM", sql_hash60("gram")
+)
+
 
 def gopher_fractions_df(docs):
     """Frame-level builder over a (doc_id, text) DataFrame — reused by the
@@ -160,19 +170,28 @@ def gopher_fractions_df(docs):
         f"ELSE array() END"
         for n in (2, 3, 4)
     )
+    # shuffle key is the committed md5-60 of the gram (+ its length),
+    # never the string: the 10M probe exhausted spill disk on string keys;
+    # tie-break commitment is (count DESC, hash ASC)
     stacked = d.select(
         "doc_id",
         "n_chars",
         F.explode(F.expr(f"concat({gram_arrays})")).alias("s"),
-    ).select("doc_id", "n_chars", F.col("s.n").alias("n"), F.col("s.gram").alias("gram"))
-    cnt = stacked.groupBy("doc_id", "n_chars", "n", "gram").agg(
+    ).select(
+        "doc_id",
+        "n_chars",
+        F.col("s.n").alias("n"),
+        hash60(F.col("s.gram")).alias("h"),
+        F.length("s.gram").cast("long").alias("l"),
+    )
+    cnt = stacked.groupBy("doc_id", "n_chars", "n", "h", "l").agg(
         F.count(F.lit(1)).cast("long").alias("c")
     )
     rk = F.row_number().over(
-        Window.partitionBy("doc_id", "n").orderBy(F.desc("c"), "gram")
+        Window.partitionBy("doc_id", "n").orderBy(F.desc("c"), "h")
     )
     top = cnt.withColumn("rk", rk).where(F.col("rk") == 1)
-    share = "c * length(gram) * 1000000 div n_chars"
+    share = "c * l * 1000000 div n_chars"
     toppiv = top.groupBy("doc_id").agg(
         F.max(F.expr(f"CASE WHEN n = 2 THEN {share} END"))
         .cast("long")
@@ -195,9 +214,13 @@ def gopher_fractions_df(docs):
                 "ELSE array() END"
             )
         ).alias("s"),
-    ).select("doc_id", F.col("s.i").cast("long").alias("i"), "s.gram")
+    ).select(
+        "doc_id",
+        F.col("s.i").cast("long").alias("i"),
+        hash60(F.col("s.gram")).alias("gh"),
+    )
     dup5 = g5.withColumn(
-        "c", F.count(F.lit(1)).over(Window.partitionBy("doc_id", "gram"))
+        "c", F.count(F.lit(1)).over(Window.partitionBy("doc_id", "gh"))
     )
     starts = dup5.where(F.col("c") >= 2).select(
         "doc_id", "i", (F.col("i") + 4).alias("e")

@@ -20,6 +20,11 @@ def _docs(spark):
 
 
 def _py_gopher(text: str):
+    import hashlib
+
+    def h60(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
     toks = text.split(" ")
     n_tok, n_chars = len(toks), len(text)
     tops = {}
@@ -31,8 +36,9 @@ def _py_gopher(text: str):
         if not cnt:
             tops[n] = 0
             continue
-        # full (count DESC, gram ASC) tie-break, exactly as committed
-        g, c = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        # committed tie-break: (count DESC, hash60(gram) ASC) — the
+        # shuffle key is the hash, never the string (disk-scale rule)
+        g, c = sorted(cnt.items(), key=lambda kv: (-kv[1], h60(kv[0])))[0]
         tops[n] = c * len(g) * 1000000 // n_chars
     # duplicated-5-gram token coverage via exact interval union
     cnt5 = {}
