@@ -131,6 +131,8 @@ _MODULES = [
     "hpmr_spark.operators.dsir_queries",
     "hpmr_spark.operators.web_queries",
     "hpmr_spark.operators.pretrain2_queries",
+    "hpmr_spark.operators.pretrain3_queries",
+    "hpmr_spark.operators.mixing_eval_queries",
 ]
 
 FAILED_MODULES: dict[str, str] = {}
