@@ -134,6 +134,7 @@ _MODULES = [
     "hpmr_spark.operators.pretrain3_queries",
     "hpmr_spark.operators.mixing_eval_queries",
     "hpmr_spark.operators.corpus_lm2_queries",
+    "hpmr_spark.operators.decode_profile_queries",
 ]
 
 FAILED_MODULES: dict[str, str] = {}

@@ -129,6 +129,8 @@ SKIP = {
     "markov_stationary_power",  # persisted transition frame (8 iterations)
     "ccnet_ppl_buckets",  # persisted per-doc token-count frame (plan-unique dummy)
     "cluster_balanced_sample",  # bounded seed-vector collect at build
+    "lm_beam_search_decode",  # per-step 2-row localCheckpoint + persisted bigram frame
+    "matrix_profile_daily",  # persisted day rollup (InMemoryTableScan flake class)
 }
 
 SF_DIR = "/root/testdata/sf0.001"
