@@ -380,12 +380,34 @@ for _m in _MODULES:
 # winnowing_fingerprints in for bloom_semi_prune (sketch family keeps
 # sketch_bounded_checks), markov_entropy_rate_nano and
 # token_entropy_by_lang (LN/EXP family keeps weighted_sample_topk_es).
-# Final r9 window = the round's 13 new operators + 37 r8-carryover
-# first-time rows; if CORRECTNESS_r09 runs it, never-checked drops
-# 254 → 217 of 505 (37 first-time r8 rows retired + all 13 new operators
+# Final r9 window (second sitting) = ALL 29 round-9 new operators (13
+# from the first sitting's pretrain2 wave + 16 from the second sitting's
+# pretrain3/mixing_eval/corpus_lm2/decode_profile waves — every new
+# operator gets a driver row in its own round) + the 5 never-checked
+# r8-new operators (the r8 driver artifacts never landed) + 16 carryover
+# first-time rows, one per highest-risk execution class. Swapped out vs
+# the first-sitting window (each class keeps an in-window rep):
+# pandas_udf_token_count + pydatasource_seq_agg (Python-worker paths keep
+# grouped_map_lang_stats + applyinarrow_lang_stats + the five new
+# grouped-pandas folds), multimodal_frame_sample (multimodal keeps
+# content_dedup), streaming_sliding_activity (streaming keeps tumbling +
+# debounce), ivm_running_daily_revenue (write-at-build keeps merge_upsert
+# + sink_partitioned_pruned), clustering_coefficient_ppm (iterative
+# persisted graphs keep graph_bfs_3hop + new bellman_ford),
+# bigram_lm_counts + rolling_median_7day + chi_square_independence
+# (cache-aliasing keeps cooccurrence_window2 + lttb_downsample_12 + the
+# new persisted matrix_profile/beam frames), holt_linear_forecast_weekly
+# + mmr_diversified_topk (folds/chained oracles keep interval_coverage_
+# union + unimax/doremi/bradley_terry), weighted_sample_topk_es (LN/EXP
+# keeps doremi/stupid_backoff/beam/CE-matrix), label_drift_js_nano +
+# mutual_information_nano + target_encoding_loo (int128 nanos keep
+# ab_test_z2_gate + the new word_burstiness_vmr), dedup_incremental_
+# epochs (dedup keeps minhash_estimate_error + semdedup + url rows).
+# If CORRECTNESS_r09 runs this window, never-checked drops 254 → 225 of
+# 521 (16 first-time carryovers + 5 r8 rows retired; all 29 new operators
 # checked in their own round).
 _CHECK_FIRST = [
-    # round-9 new operators (driver row in their own round)
+    # round-9 new operators, first sitting (driver row in their own round)
     "gopher_repetition_fractions",
     "bradley_terry_lang_strength",
     "systematic_resample_counts",
@@ -399,7 +421,24 @@ _CHECK_FIRST = [
     "data_repeats_budget",
     "contamination_span_profile",
     "bitext_margin_mining",
-    # the r7 honesty nit + this round's four new operators
+    # round-9 new operators, second sitting
+    "mlm_masking_bert",
+    "prefix_cache_sharing",
+    "seqlen_bucket_padding_waste",
+    "softdedup_commonness_weights",
+    "unimax_language_budget",
+    "doremi_domain_weights",
+    "best_of_n_reward",
+    "bellman_ford_nation_days",
+    "stupid_backoff_trigram_score",
+    "paged_kv_fragmentation",
+    "word_burstiness_vmr",
+    "self_bleu2_diversity",
+    "cross_entropy_lang_matrix",
+    "lm_beam_search_decode",
+    "matrix_profile_daily",
+    "minhash_estimate_error",
+    # the r8-new operators (r8 driver artifacts never landed)
     "gopher_quality_rules",
     "ivfpq_recall_clustered_gate",
     "url_canonical_dedup_groups",
@@ -408,46 +447,29 @@ _CHECK_FIRST = [
     # r7-rewritten / heavy machinery
     "mahalanobis_outliers_top20",
     "median_absolute_deviation",
-    "dedup_incremental_epochs",
     # pandas / Arrow / Python-worker execution paths
     "grouped_map_lang_stats",
-    "pandas_udf_token_count",
     "applyinarrow_lang_stats",
-    "pydatasource_seq_agg",
     # multimodal binary columns
     "multimodal_content_dedup",
-    "multimodal_frame_sample",
     # streaming
     "streaming_tumbling_counts",
-    "streaming_sliding_activity",
     "debounce_events_5s",
-    # write-at-build sources / sinks / IVM
+    # write-at-build sources / sinks
     "merge_upsert_customers",
     "sink_partitioned_pruned",
-    "ivm_running_daily_revenue",
     # iterative / persisted graph frames
     "graph_bfs_3hop",
-    "clustering_coefficient_ppm",
     # cross-query cache-aliasing classes
     "cooccurrence_window2",
-    "bigram_lm_counts",
     "lttb_downsample_12",
-    "rolling_median_7day",
-    "chi_square_independence",
     # grouped-pandas folds / chained-MATERIALIZED oracles
-    "holt_linear_forecast_weekly",
-    "mmr_diversified_topk",
     "interval_coverage_union",
     # sketch gates + merge laws
     "sketch_bounded_checks",
-    # LN/EXP-commitment family
-    "weighted_sample_topk_es",
     # sign-split / int128 nanos statistics
-    "label_drift_js_nano",
-    "mutual_information_nano",
-    "target_encoding_loo",
     "ab_test_z2_gate",
-    # committed-bound GEMM pruning + Spark-4 SQL surfaces + HRW
+    # committed-bound GEMM pruning
     "gemm_block_prune_report",
 ]
 

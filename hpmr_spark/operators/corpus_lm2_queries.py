@@ -149,21 +149,10 @@ def _sb_oracle() -> str:
     """
 
 
-@register("stupid_backoff_trigram_score", _sb_oracle())
-def stupid_backoff_trigram_score(spark, sf_dir):
-    """Stupid Backoff (Brants et al. 2007) held-out scoring: every trigram
-    occurrence is scored S = c3/c12, backing off (alpha = 0.4 per level)
-    to the bigram then unigram estimate — against LEAVE-ONE-DOC-OUT corpus
-    counts, so doc-unique n-grams genuinely exercise the backoff chain
-    (scored on its own counts every c3 >= 1 and the recursion is dead
-    code). Counts for all three gram orders live in ONE kind-tagged
-    hash-keyed table (the encoding-advisor stacking rewrite: 2 count joins
-    + 1 pivot regroup instead of 10 per-order joins); per-trigram LN
-    scores are floored to nanos elementwise, per-doc mean by truncating
-    division. Scale shape: gram explodes are linear; every join shuffles
-    on committed 60-bit hashes; merge-pinned corpus-frame joins (r7
-    rule)."""
-    d = _t(spark, sf_dir, "documents").select(
+def stupid_backoff_df(docs):
+    """DF-level Stupid-Backoff pipeline over a (doc_id, text) frame —
+    shared by the registered query and tools/scale_probe.py round9b."""
+    d = docs.select(
         "doc_id",
         F.split("text", " ").alias("toks"),
         F.size(F.split("text", " ")).cast("long").alias("n_tok"),
@@ -257,6 +246,23 @@ def stupid_backoff_trigram_score(spark, sf_dir):
             "CAST(SUM(s_nano) AS BIGINT) div CAST(COUNT(*) AS BIGINT)"
         ).alias("sb_mean_nano"),
     )
+
+
+@register("stupid_backoff_trigram_score", _sb_oracle())
+def stupid_backoff_trigram_score(spark, sf_dir):
+    """Stupid Backoff (Brants et al. 2007) held-out scoring: every trigram
+    occurrence is scored S = c3/c12, backing off (alpha = 0.4 per level)
+    to the bigram then unigram estimate — against LEAVE-ONE-DOC-OUT corpus
+    counts, so doc-unique n-grams genuinely exercise the backoff chain
+    (scored on its own counts every c3 >= 1 and the recursion is dead
+    code). Counts for all three gram orders live in ONE kind-tagged
+    hash-keyed table (the encoding-advisor stacking rewrite: 2 count joins
+    + 1 pivot regroup instead of 10 per-order joins); per-trigram LN
+    scores are floored to nanos elementwise, per-doc mean by truncating
+    division. Scale shape: gram explodes are linear; every join shuffles
+    on committed 60-bit hashes; merge-pinned corpus-frame joins (r7
+    rule)."""
+    return stupid_backoff_df(_t(spark, sf_dir, "documents"))
 
 
 # ---------------------------------------------------------------------------

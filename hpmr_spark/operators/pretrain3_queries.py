@@ -96,19 +96,9 @@ _MLM_ORACLE = f"""
 """
 
 
-@register("mlm_masking_bert", _MLM_ORACLE)
-def mlm_masking_bert(spark, sf_dir):
-    """BERT masked-LM corruption (Devlin et al. 2019 §3.1): each token is
-    selected for prediction when a committed md5-60 hash of
-    (doc, position, token) lands under 15%; selected tokens split 80/10/10
-    into [MASK] / random-vocab-token / kept by a second hash; the random
-    replacement is vocab[hash % V] over the corpus vocab ranked by word.
-    Emits per-doc counts plus two exact-integer checksums (selected
-    position sum, replacement vocab-rank sum) so the oracle pins the exact
-    masking pattern, not just the rates. Scale shape: one token explode,
-    one bounded broadcast vocab join, one per-doc agg — no windows, no
-    driver collect (vocab ranks ride bounded_rank's broadcast self-join)."""
-    d = _t(spark, sf_dir, "documents")
+def mlm_masking_df(d):
+    """DF-level MLM pipeline over a (doc_id, lang, text) frame — shared by
+    the registered query and tools/scale_probe.py round9b."""
     tok = d.select(
         "doc_id",
         "lang",
@@ -190,6 +180,21 @@ def mlm_masking_bert(spark, sf_dir):
         .cast("long")
         .alias("repl_rank_sum"),
     )
+
+
+@register("mlm_masking_bert", _MLM_ORACLE)
+def mlm_masking_bert(spark, sf_dir):
+    """BERT masked-LM corruption (Devlin et al. 2019 §3.1): each token is
+    selected for prediction when a committed md5-60 hash of
+    (doc, position, token) lands under 15%; selected tokens split 80/10/10
+    into [MASK] / random-vocab-token / kept by a second hash; the random
+    replacement is vocab[hash % V] over the corpus vocab ranked by word.
+    Emits per-doc counts plus two exact-integer checksums (selected
+    position sum, replacement vocab-rank sum) so the oracle pins the exact
+    masking pattern, not just the rates. Scale shape: one token explode,
+    one bounded broadcast vocab join, one per-doc agg — no windows, no
+    driver collect (vocab ranks ride bounded_rank's broadcast self-join)."""
+    return mlm_masking_df(_t(spark, sf_dir, "documents"))
 
 
 # ---------------------------------------------------------------------------
@@ -436,20 +441,10 @@ _SOFTDEDUP_ORACLE = f"""
 """
 
 
-@register("softdedup_commonness_weights", _SOFTDEDUP_ORACLE)
-def softdedup_commonness_weights(spark, sf_dir):
-    """SoftDeDup (He et al. 2024): instead of DROPPING near-duplicate text,
-    downweight docs by "data commonness" — the mean log-probability of the
-    doc's {N}-grams under the corpus {N}-gram distribution. Per-gram
-    LN(c/T) is floored to integer nanos elementwise (libm-parity
-    commitment), summed exactly, divided by the gram count (truncating div,
-    negative-safe: Spark `div` ≡ DuckDB `//`). Sampling weight is the
-    min-max-normalized UNcommonness in ppm; per-source effective tokens =
-    sum(n_tok * w_ppm) / 1e6. Scale shape: one gram explode, one corpus
-    gram-count agg joined back on the committed 60-bit gram hash, one
-    per-doc agg, a 1-row min/max broadcast, one per-source rollup — every
-    stage shuffles on hashes or bounded keys.""".replace("{N}", str(_SD_N))
-    d = _t(spark, sf_dir, "documents").select(
+def softdedup_commonness_df(docs):
+    """DF-level SoftDeDup pipeline over a (doc_id, source, text) frame —
+    shared by the registered query and tools/scale_probe.py round9b."""
+    d = docs.select(
         "doc_id",
         "source",
         F.split("text", " ").alias("toks"),
@@ -509,3 +504,19 @@ def softdedup_commonness_weights(spark, sf_dir):
             "eff_tok"
         ),
     )
+
+
+@register("softdedup_commonness_weights", _SOFTDEDUP_ORACLE)
+def softdedup_commonness_weights(spark, sf_dir):
+    """SoftDeDup (He et al. 2024): instead of DROPPING near-duplicate text,
+    downweight docs by "data commonness" — the mean log-probability of the
+    doc's {N}-grams under the corpus {N}-gram distribution. Per-gram
+    LN(c/T) is floored to integer nanos elementwise (libm-parity
+    commitment), summed exactly, divided by the gram count (truncating div,
+    negative-safe: Spark `div` ≡ DuckDB `//`). Sampling weight is the
+    min-max-normalized UNcommonness in ppm; per-source effective tokens =
+    sum(n_tok * w_ppm) / 1e6. Scale shape: one gram explode, one corpus
+    gram-count agg joined back on the committed 60-bit gram hash, one
+    per-doc agg, a 1-row min/max broadcast, one per-source rollup — every
+    stage shuffles on hashes or bounded keys.""".replace("{N}", str(_SD_N))
+    return softdedup_commonness_df(_t(spark, sf_dir, "documents"))

@@ -1115,7 +1115,103 @@ def round9_probe(spark, n: int, vocab_size: int = 4096, ops: str = ""):
         )
 
 
+def round9b_probe(spark, n: int, vocab_size: int = 4096, ops: str = ""):
+    """Round-9 second-sitting probes: the three heaviest new per-token
+    pipelines at 1M/3M/10M synthetic docs.
+
+    Scale contracts under test: softdedup is one gram explode + one corpus
+    gram-count agg + one hash join + per-doc/per-source aggs — wall linear
+    in corpus tokens; stupid_backoff is 3 linear gram explodes + 2
+    hash-keyed count joins + a per-occurrence pivot regroup — linear with
+    a ~5x token fan (the stacked-key table); mlm is a token explode + a
+    bounded vocab broadcast + a per-doc agg — linear. Nothing quadratic
+    anywhere; probe walls force real work through aggregates over computed
+    columns (a naive count() gets join-eliminated — round-7 lesson)."""
+    import time
+
+    from hpmr_spark.operators.corpus_lm2_queries import stupid_backoff_df
+    from hpmr_spark.operators.pretrain3_queries import (
+        mlm_masking_df,
+        softdedup_commonness_df,
+    )
+
+    do = set(ops.split(",")) if ops else {"softdedup", "backoff", "mlm"}
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("l"), (F.col("id") % 5).cast("string")).alias("lang"),
+        F.concat(F.lit("src"), (F.col("id") % 20).cast("string")).alias(
+            "source"
+        ),
+        F.concat_ws(" ", F.transform(
+            F.sequence(F.lit(1), F.lit(60)),
+            lambda i: F.concat(F.lit("w"), (
+                (F.xxhash64(F.col("id") * 1000 + i) % vocab_size
+                 + vocab_size) % vocab_size).cast("string")),
+        )).alias("text"))
+
+    if "softdedup" in do:
+        t0 = time.time()
+        row = (
+            softdedup_commonness_df(docs)
+            .agg(
+                F.count(F.lit(1)).alias("k"),
+                F.sum("eff_tok").alias("eff"),
+                F.sum("mean_common_nano").alias("mc"),
+            )
+            .collect()[0]
+        )
+        print(
+            f"round9b softdedup n={n} wall={time.time() - t0:.1f}s "
+            f"sources={row['k']} eff_tok={row['eff']} sum_mean={row['mc']}"
+        )
+
+    if "backoff" in do:
+        t0 = time.time()
+        row = (
+            stupid_backoff_df(docs)
+            .agg(
+                F.count(F.lit(1)).alias("k"),
+                F.sum("n_tri").alias("tri"),
+                F.sum("sb_mean_nano").alias("sb"),
+            )
+            .collect()[0]
+        )
+        print(
+            f"round9b backoff n={n} wall={time.time() - t0:.1f}s "
+            f"docs={row['k']} trigrams={row['tri']} sum_mean={row['sb']}"
+        )
+
+    if "mlm" in do:
+        t0 = time.time()
+        row = (
+            mlm_masking_df(docs)
+            .agg(
+                F.count(F.lit(1)).alias("k"),
+                F.sum("n_sel").alias("sel"),
+                F.sum("repl_rank_sum").alias("rr"),
+            )
+            .collect()[0]
+        )
+        print(
+            f"round9b mlm n={n} wall={time.time() - t0:.1f}s "
+            f"docs={row['k']} selected={row['sel']} repl_checksum={row['rr']}"
+        )
+
+
 def main():
+    if len(sys.argv) > 1 and sys.argv[1] == "round9b":
+        from hpmr_spark.engine import get_spark
+
+        spark = get_spark("scale-probe-round9b")
+        round9b_probe(
+            spark,
+            int(sys.argv[2]) if len(sys.argv) > 2 else 1_000_000,
+            vocab_size=int(sys.argv[3]) if len(sys.argv) > 3 else 4096,
+            ops=sys.argv[4] if len(sys.argv) > 4 else "",
+        )
+        spark.stop()
+        return
+
     if len(sys.argv) > 1 and sys.argv[1] == "round9":
         from hpmr_spark.engine import get_spark
 
