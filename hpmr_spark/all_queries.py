@@ -135,6 +135,7 @@ _MODULES = [
     "hpmr_spark.operators.mixing_eval_queries",
     "hpmr_spark.operators.corpus_lm2_queries",
     "hpmr_spark.operators.decode_profile_queries",
+    "hpmr_spark.operators.planning_eval_queries",
 ]
 
 FAILED_MODULES: dict[str, str] = {}
@@ -380,13 +381,18 @@ for _m in _MODULES:
 # winnowing_fingerprints in for bloom_semi_prune (sketch family keeps
 # sketch_bounded_checks), markov_entropy_rate_nano and
 # token_entropy_by_lang (LN/EXP family keeps weighted_sample_topk_es).
-# Final r9 window (second sitting) = ALL 29 round-9 new operators (13
-# from the first sitting's pretrain2 wave + 16 from the second sitting's
-# pretrain3/mixing_eval/corpus_lm2/decode_profile waves — every new
-# operator gets a driver row in its own round) + the 5 never-checked
-# r8-new operators (the r8 driver artifacts never landed) + 16 carryover
-# first-time rows, one per highest-risk execution class. Swapped out vs
-# the first-sitting window (each class keeps an in-window rep):
+# Final r9 window (second sitting) = ALL 33 round-9 new operators (13
+# from the first sitting's pretrain2 wave + 20 from the second sitting's
+# pretrain3/mixing_eval/corpus_lm2/decode_profile/planning_eval waves —
+# every new operator gets a driver row in its own round) + the 5
+# never-checked r8-new operators (the r8 driver artifacts never landed)
+# + 12 carryover first-time rows, one per highest-risk execution class.
+# Additional swaps for the wave-6 rows: mahalanobis_outliers_top20
+# (machinery keeps median_absolute_deviation), debounce_events_5s
+# (streaming keeps tumbling), sink_partitioned_pruned (write-at-build
+# keeps merge_upsert), cooccurrence_window2 (cache-aliasing keeps
+# lttb_downsample_12 + the new persisted matrix-profile/beam frames).
+# Swapped out vs the first-sitting window (each class keeps a rep):
 # pandas_udf_token_count + pydatasource_seq_agg (Python-worker paths keep
 # grouped_map_lang_stats + applyinarrow_lang_stats + the five new
 # grouped-pandas folds), multimodal_frame_sample (multimodal keeps
@@ -403,8 +409,8 @@ for _m in _MODULES:
 # mutual_information_nano + target_encoding_loo (int128 nanos keep
 # ab_test_z2_gate + the new word_burstiness_vmr), dedup_incremental_
 # epochs (dedup keeps minhash_estimate_error + semdedup + url rows).
-# If CORRECTNESS_r09 runs this window, never-checked drops 254 → 225 of
-# 521 (16 first-time carryovers + 5 r8 rows retired; all 29 new operators
+# If CORRECTNESS_r09 runs this window, never-checked drops 254 → 233 of
+# 525 (12 first-time carryovers + 5 r8 rows retired; all 33 new operators
 # checked in their own round).
 _CHECK_FIRST = [
     # round-9 new operators, first sitting (driver row in their own round)
@@ -438,6 +444,10 @@ _CHECK_FIRST = [
     "lm_beam_search_decode",
     "matrix_profile_daily",
     "minhash_estimate_error",
+    "chinchilla_data_budget",
+    "importance_weight_ess",
+    "temperature_scaling_grid",
+    "dedup_signal_agreement",
     # the r8-new operators (r8 driver artifacts never landed)
     "gopher_quality_rules",
     "ivfpq_recall_clustered_gate",
@@ -445,7 +455,6 @@ _CHECK_FIRST = [
     "url_host_dup_profile",
     "semdedup_centroid_prune",
     # r7-rewritten / heavy machinery
-    "mahalanobis_outliers_top20",
     "median_absolute_deviation",
     # pandas / Arrow / Python-worker execution paths
     "grouped_map_lang_stats",
@@ -454,14 +463,11 @@ _CHECK_FIRST = [
     "multimodal_content_dedup",
     # streaming
     "streaming_tumbling_counts",
-    "debounce_events_5s",
     # write-at-build sources / sinks
     "merge_upsert_customers",
-    "sink_partitioned_pruned",
     # iterative / persisted graph frames
     "graph_bfs_3hop",
     # cross-query cache-aliasing classes
-    "cooccurrence_window2",
     "lttb_downsample_12",
     # grouped-pandas folds / chained-MATERIALIZED oracles
     "interval_coverage_union",

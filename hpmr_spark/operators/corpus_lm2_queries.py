@@ -42,22 +42,28 @@ from hpmr_spark.functions.hashing import hash60, sql_hash60
 # Stupid Backoff held-out trigram scoring.
 # ---------------------------------------------------------------------------
 
-# The committed score expression (identical text both engines; LOO counts):
+# The committed score expression (identical double ops both engines —
+# identifier spelling differs by binding site; LOO counts):
 # c3/c12 if c3>0, else 0.4 * (c23/cu2 if c23>0 else 0.4 * cu3/tl).
 # GREATEST(cu3, 1) is a committed guard for the (never-seen-here) case of a
 # word unique to its doc; tl = T - n_tok(doc) > 0 always.
-_SB_SCORE = (
-    "CASE WHEN c3 > 0 THEN"
-    " CAST(FLOOR(LN(CAST(c3 AS DOUBLE) / CAST(c12 AS DOUBLE))"
-    " * 1000000000) AS BIGINT)"
-    " WHEN c23 > 0 THEN"
-    " CAST(FLOOR((LN(0.4) + LN(CAST(c23 AS DOUBLE) / CAST(cu2 AS DOUBLE)))"
-    " * 1000000000) AS BIGINT)"
-    " ELSE"
-    " CAST(FLOOR((LN(0.4) + LN(0.4)"
-    " + LN(CAST(GREATEST(cu3, 1) AS DOUBLE) / CAST(tl AS DOUBLE)))"
-    " * 1000000000) AS BIGINT) END"
-)
+def _sb_score_expr(c3, c12, c23, cu2, cu3, tl):
+    return (
+        f"CASE WHEN {c3} > 0 THEN"
+        f" CAST(FLOOR(LN(CAST({c3} AS DOUBLE) / CAST({c12} AS DOUBLE))"
+        " * 1000000000) AS BIGINT)"
+        f" WHEN {c23} > 0 THEN"
+        f" CAST(FLOOR((LN(0.4) + LN(CAST({c23} AS DOUBLE)"
+        f" / CAST({cu2} AS DOUBLE)))"
+        " * 1000000000) AS BIGINT)"
+        " ELSE"
+        " CAST(FLOOR((LN(0.4) + LN(0.4)"
+        f" + LN(CAST(GREATEST({cu3}, 1) AS DOUBLE) / CAST({tl} AS DOUBLE)))"
+        " * 1000000000) AS BIGINT) END"
+    )
+
+
+_SB_SCORE = _sb_score_expr("c3", "c12", "c23", "cu2", "cu3", "tl")
 
 
 def _sb_oracle() -> str:
@@ -151,100 +157,121 @@ def _sb_oracle() -> str:
 
 def stupid_backoff_df(docs):
     """DF-level Stupid-Backoff pipeline over a (doc_id, text) frame —
-    shared by the registered query and tools/scale_probe.py round9b."""
+    shared by the registered query and tools/scale_probe.py round9b.
+
+    MAP-SIDE LOO design (round-9 probe: the first build stacked a 5x
+    per-occurrence key table through two 290M-row sort-merge joins —
+    700 s at 1M docs; this shape moved it to per-doc in-row gram counts,
+    ONE corpus-count join on the distinct-gram frame, a per-doc LOO map,
+    and a single map stage computing every trigram score in-row):
+
+      1. garr: all tagged grams of a doc (u|/b|/t|), built in-row.
+      2. dg: (doc, gram-hash, in-doc count) — array_distinct + in-row
+         filter counts, explode. Shuffle volume = per-doc DISTINCT grams.
+      3. cc: corpus counts = SUM(cd) over dg (one agg — occurrences
+         reconstructed exactly from the in-doc counts).
+      4. loo map per doc: map(kh -> c - cd) via map_from_entries.
+      5. scores: one projection over (toks, m, tl) rebuilding the five
+         position keys per trigram and folding the committed CASE score
+         in-row (sequential integer fold — order-deterministic)."""
+    from hpmr_spark.functions.hashing import spark_sql_hash60
+
     d = docs.select(
         "doc_id",
         F.split("text", " ").alias("toks"),
         F.size(F.split("text", " ")).cast("long").alias("n_tok"),
     )
     tot = d.agg(F.sum("n_tok").cast("long").alias("t"))
-    uni = d.select(
-        "doc_id",
-        F.explode(
-            F.expr("transform(toks, w -> concat('u|', w))")
-        ).alias("g"),
-    ).select("doc_id", hash60(F.col("g")).alias("kh"))
-    bi = d.select(
-        "doc_id",
-        F.explode(
+    garr = (
+        "concat("
+        " transform(toks, w -> concat('u|', w)),"
+        " CASE WHEN size(toks) >= 2 THEN"
+        "  transform(sequence(1, size(toks) - 1),"
+        "   i -> concat('b|', array_join(slice(toks, i, 2), ' ')))"
+        "  ELSE array() END,"
+        " CASE WHEN size(toks) >= 3 THEN"
+        "  transform(sequence(1, size(toks) - 2),"
+        "   i -> concat('t|', array_join(slice(toks, i, 3), ' ')))"
+        "  ELSE array() END)"
+    )
+    g1 = d.select("doc_id", "toks", "n_tok", F.expr(garr).alias("garr"))
+    # in-doc counts by sorted-hash run-length (O(n log n) on longs): the
+    # first form counted via filter(garr, x = g) per distinct gram —
+    # O(distinct * grams) STRING equality, the dominant cost at 1M docs
+    dg = (
+        g1.select(
+            "doc_id",
             F.expr(
-                "CASE WHEN size(toks) >= 2 THEN"
-                " transform(sequence(1, size(toks) - 1),"
-                " i -> concat('b|', array_join(slice(toks, i, 2), ' ')))"
-                " ELSE array() END"
-            )
-        ).alias("g"),
-    ).select("doc_id", hash60(F.col("g")).alias("kh"))
-    tri = d.select(
-        "doc_id",
-        F.posexplode(
-            F.expr(
-                "CASE WHEN size(toks) >= 3 THEN"
-                " transform(sequence(1, size(toks) - 2), i -> struct("
-                " concat('t|', array_join(slice(toks, i, 3), ' ')) AS g3,"
-                " concat('b|', array_join(slice(toks, i, 2), ' ')) AS g12,"
-                " concat('b|', array_join(slice(toks, i + 1, 2), ' ')) AS g23,"
-                " concat('u|', toks[i]) AS g2,"
-                " concat('u|', toks[i + 1]) AS g1w3))"
-                " ELSE array() END"
-            )
-        ).alias("i", "gs"),
-    ).select(
-        "doc_id",
-        F.col("i").cast("long").alias("i"),
-        hash60(F.col("gs.g3")).alias("k3"),
-        hash60(F.col("gs.g12")).alias("k12"),
-        hash60(F.col("gs.g23")).alias("k23"),
-        hash60(F.col("gs.g2")).alias("k2"),
-        hash60(F.col("gs.g1w3")).alias("k1w3"),
-    )
-    allg = uni.unionByName(bi).unionByName(
-        tri.select("doc_id", F.col("k3").alias("kh"))
-    )
-    cc = allg.groupBy("kh").agg(F.count(F.lit(1)).cast("long").alias("c"))
-    dc = allg.groupBy("doc_id", "kh").agg(
-        F.count(F.lit(1)).cast("long").alias("cd")
-    )
-    stacked = None
-    for slot, col in (
-        ("t3", "k3"),
-        ("b12", "k12"),
-        ("b23", "k23"),
-        ("u2", "k2"),
-        ("u3", "k1w3"),
-    ):
-        part = tri.select(
-            "doc_id", "i", F.lit(slot).alias("slot"), F.col(col).alias("kh")
+                f"array_sort(transform(garr, g -> {spark_sql_hash60('g')}))"
+            ).alias("ha"),
         )
-        stacked = part if stacked is None else stacked.unionByName(part)
-    looed = (
-        stacked.join(cc.hint("merge"), "kh")
-        .join(dc.hint("merge"), ["doc_id", "kh"], "left")
         .select(
             "doc_id",
-            "i",
-            "slot",
-            (F.col("c") - F.coalesce("cd", F.lit(0))).alias("loo"),
+            "ha",
+            F.expr(
+                "filter(sequence(1, size(ha)), i ->"
+                " i = 1 OR element_at(ha, i) != element_at(ha, i - 1))"
+            ).alias("bnd"),
+        )
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(bnd)), j -> struct("
+                    " element_at(ha, element_at(bnd, j)) AS kh,"
+                    " CAST((CASE WHEN j < size(bnd)"
+                    "  THEN element_at(bnd, j + 1)"
+                    "  ELSE size(ha) + 1 END)"
+                    "  - element_at(bnd, j) AS BIGINT) AS cd))"
+                )
+            ).alias("e"),
+        )
+        .select("doc_id", "e.kh", "e.cd")
+    )
+    cc = dg.groupBy("kh").agg(F.sum("cd").cast("long").alias("c"))
+    loo_map = (
+        dg.join(cc.hint("merge"), "kh")
+        .groupBy("doc_id")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(
+                    F.struct(
+                        F.col("kh"), (F.col("c") - F.col("cd")).alias("loo")
+                    )
+                )
+            ).alias("m")
         )
     )
-    occ = looed.groupBy("doc_id", "i").agg(
-        F.max(F.when(F.col("slot") == "t3", F.col("loo"))).alias("c3"),
-        F.max(F.when(F.col("slot") == "b12", F.col("loo"))).alias("c12"),
-        F.max(F.when(F.col("slot") == "b23", F.col("loo"))).alias("c23"),
-        F.max(F.when(F.col("slot") == "u2", F.col("loo"))).alias("cu2"),
-        F.max(F.when(F.col("slot") == "u3", F.col("loo"))).alias("cu3"),
+    key = {
+        "c3": "concat('t|', array_join(slice(toks, i, 3), ' '))",
+        "c12": "concat('b|', array_join(slice(toks, i, 2), ' '))",
+        "c23": "concat('b|', array_join(slice(toks, i + 1, 2), ' '))",
+        "cu2": "concat('u|', toks[i])",
+        "cu3": "concat('u|', toks[i + 1])",
+    }
+    fields = ", ".join(
+        f"element_at(m, {spark_sql_hash60(expr)}) AS {name}"
+        for name, expr in key.items()
     )
-    scored = (
-        occ.join(d.select("doc_id", "n_tok").hint("merge"), "doc_id")
+    score = _sb_score_expr("s.c3", "s.c12", "s.c23", "s.cu2", "s.cu3", "tl")
+    scores = (
+        "transform(transform(sequence(1, size(toks) - 2),"
+        f" i -> struct({fields})),"
+        f" s -> {score})"
+    )
+    return (
+        g1.where(F.col("n_tok") >= 3)
+        .join(loo_map.hint("merge"), "doc_id")
         .crossJoin(F.broadcast(tot))
         .withColumn("tl", F.col("t") - F.col("n_tok"))
-        .select("doc_id", F.expr(_SB_SCORE).alias("s_nano"))
-    )
-    return scored.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("long").alias("n_tri"),
-        F.expr(
-            "CAST(SUM(s_nano) AS BIGINT) div CAST(COUNT(*) AS BIGINT)"
-        ).alias("sb_mean_nano"),
+        .select(
+            "doc_id",
+            (F.col("n_tok") - 2).cast("long").alias("n_tri"),
+            F.expr(
+                f"aggregate({scores}, 0L, (a, x) -> a + x)"
+                " div (size(toks) - 2)"
+            ).alias("sb_mean_nano"),
+        )
     )
 
 

@@ -389,7 +389,9 @@ def seqlen_bucket_padding_waste(spark, sf_dir):
 _SD_N = 3  # committed commonness n-gram order
 
 
-_SOFTDEDUP_ORACLE = f"""
+# Shared CTE prefix through the per-doc weights frame `w` — also consumed
+# by importance_weight_ess (operators/planning_eval_queries.py).
+SOFTDEDUP_W_CTES = f"""
     WITH d AS (
       SELECT doc_id, source, string_split(text, ' ') AS toks,
              CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
@@ -430,6 +432,9 @@ _SOFTDEDUP_ORACLE = f"""
                // GREATEST(ext.cmax - ext.cmin, 1) AS w_ppm
       FROM per_doc, ext
     )
+"""
+
+_SOFTDEDUP_ORACLE = SOFTDEDUP_W_CTES + """
     SELECT source,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
            CAST(SUM(n_tok) AS BIGINT) AS tok_total,
@@ -441,9 +446,10 @@ _SOFTDEDUP_ORACLE = f"""
 """
 
 
-def softdedup_commonness_df(docs):
-    """DF-level SoftDeDup pipeline over a (doc_id, source, text) frame —
-    shared by the registered query and tools/scale_probe.py round9b."""
+def softdedup_doc_weights_df(docs):
+    """Per-doc SoftDeDup frame (doc_id is implicit in the rows: source,
+    n_tok, common_nano, w_ppm) — the substrate for the per-source rollup
+    AND the importance_weight_ess diagnostic."""
     d = docs.select(
         "doc_id",
         "source",
@@ -486,7 +492,8 @@ def softdedup_commonness_df(docs):
         F.min("common_nano").cast("long").alias("cmin"),
         F.max("common_nano").cast("long").alias("cmax"),
     )
-    w = per_doc.crossJoin(F.broadcast(ext)).select(
+    return per_doc.crossJoin(F.broadcast(ext)).select(
+        "doc_id",
         "source",
         "n_tok",
         "common_nano",
@@ -494,6 +501,13 @@ def softdedup_commonness_df(docs):
             "(cmax - common_nano) * 1000000 div GREATEST(cmax - cmin, 1)"
         ).alias("w_ppm"),
     )
+
+
+def softdedup_commonness_df(docs):
+    """DF-level SoftDeDup per-source rollup over a (doc_id, source, text)
+    frame — shared by the registered query and tools/scale_probe.py
+    round9b."""
+    w = softdedup_doc_weights_df(docs)
     return w.groupBy("source").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum("n_tok").cast("long").alias("tok_total"),
