@@ -136,6 +136,7 @@ _MODULES = [
     "hpmr_spark.operators.corpus_lm2_queries",
     "hpmr_spark.operators.decode_profile_queries",
     "hpmr_spark.operators.planning_eval_queries",
+    "hpmr_spark.operators.selection_richness_queries",
 ]
 
 FAILED_MODULES: dict[str, str] = {}

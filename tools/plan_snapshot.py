@@ -131,6 +131,10 @@ SKIP = {
     "cluster_balanced_sample",  # bounded seed-vector collect at build
     "lm_beam_search_decode",  # per-step 2-row localCheckpoint + persisted bigram frame
     "matrix_profile_daily",  # persisted day rollup (InMemoryTableScan flake class)
+    "kcenter_greedy_coreset",  # 8 per-step argmax collects at build
+    "ssl_prototype_prune",  # integer-Lloyd collects at build; shares the
+    # semdedup assignment subtree (SKIPped-persisted-sibling rule)
+    "good_turing_unseen_mass",  # persisted spectrum frame (3 consumers)
 }
 
 SF_DIR = "/root/testdata/sf0.001"
