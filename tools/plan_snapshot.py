@@ -135,6 +135,9 @@ SKIP = {
     "ssl_prototype_prune",  # integer-Lloyd collects at build; shares the
     # semdedup assignment subtree (SKIPped-persisted-sibling rule)
     "good_turing_unseen_mass",  # persisted spectrum frame (3 consumers)
+    "youden_j_threshold",  # persisted score histogram (totals + prefix)
+    "krippendorff_alpha_nominal",  # persisted (doc, label) counts (2 consumers)
+    "randomization_test_mean_diff",  # persisted calendar-day rollup (obs + B-fold)
 }
 
 SF_DIR = "/root/testdata/sf0.001"
