@@ -138,6 +138,7 @@ _MODULES = [
     "hpmr_spark.operators.planning_eval_queries",
     "hpmr_spark.operators.selection_richness_queries",
     "hpmr_spark.operators.eval_robust_queries",
+    "hpmr_spark.operators.symbolic_stats_queries",
 ]
 
 FAILED_MODULES: dict[str, str] = {}

@@ -138,6 +138,8 @@ SKIP = {
     "youden_j_threshold",  # persisted score histogram (totals + prefix)
     "krippendorff_alpha_nominal",  # persisted (doc, label) counts (2 consumers)
     "randomization_test_mean_diff",  # persisted calendar-day rollup (obs + B-fold)
+    "sax_symbolic_motifs",  # persisted PAA rollup (rank + totals consumers)
+    "bh_fdr_control",  # persisted hypothesis grid (rank + m consumers)
 }
 
 SF_DIR = "/root/testdata/sf0.001"
