@@ -140,6 +140,7 @@ _MODULES = [
     "hpmr_spark.operators.eval_robust_queries",
     "hpmr_spark.operators.symbolic_stats_queries",
     "hpmr_spark.operators.seq_align_queries",
+    "hpmr_spark.operators.tokenize_serving_queries",
 ]
 
 FAILED_MODULES: dict[str, str] = {}

@@ -140,6 +140,8 @@ SKIP = {
     "randomization_test_mean_diff",  # persisted calendar-day rollup (obs + B-fold)
     "sax_symbolic_motifs",  # persisted PAA rollup (rank + totals consumers)
     "bh_fdr_control",  # persisted hypothesis grid (rank + m consumers)
+    "wordpiece_maxmatch_tokenize",  # bounded vocab TakeOrdered collects at build
+    "moe_router_load_balance",  # persisted 8-row expert census (totals + final)
 }
 
 SF_DIR = "/root/testdata/sf0.001"
