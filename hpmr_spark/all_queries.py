@@ -141,6 +141,8 @@ _MODULES = [
     "hpmr_spark.operators.symbolic_stats_queries",
     "hpmr_spark.operators.seq_align_queries",
     "hpmr_spark.operators.tokenize_serving_queries",
+    "hpmr_spark.operators.storage_quant_queries",
+    "hpmr_spark.operators.hpo_ot_queries",
 ]
 
 FAILED_MODULES: dict[str, str] = {}

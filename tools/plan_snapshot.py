@@ -142,6 +142,7 @@ SKIP = {
     "bh_fdr_control",  # persisted hypothesis grid (rank + m consumers)
     "wordpiece_maxmatch_tokenize",  # bounded vocab TakeOrdered collects at build
     "moe_router_load_balance",  # persisted 8-row expert census (totals + final)
+    "successive_halving_replay",  # persisted rung frame + per-rung localCheckpoints
 }
 
 SF_DIR = "/root/testdata/sf0.001"
