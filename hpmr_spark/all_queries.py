@@ -143,6 +143,7 @@ _MODULES = [
     "hpmr_spark.operators.tokenize_serving_queries",
     "hpmr_spark.operators.storage_quant_queries",
     "hpmr_spark.operators.hpo_ot_queries",
+    "hpmr_spark.operators.rl_planning_queries",
 ]
 
 FAILED_MODULES: dict[str, str] = {}

@@ -143,6 +143,7 @@ SKIP = {
     "wordpiece_maxmatch_tokenize",  # bounded vocab TakeOrdered collects at build
     "moe_router_load_balance",  # persisted 8-row expert census (totals + final)
     "successive_halving_replay",  # persisted rung frame + per-rung localCheckpoints
+    "condorcet_copeland_winner",  # persisted 25-row ranked frame (3 consumers)
 }
 
 SF_DIR = "/root/testdata/sf0.001"
