@@ -420,71 +420,69 @@ for _m in _MODULES:
 # If CORRECTNESS_r09 runs this window, never-checked drops 254 → 233 of
 # 525 (12 first-time carryovers + 5 r8 rows retired; all 33 new operators
 # checked in their own round).
+# Round-10 window. No driver artifact has landed since CORRECTNESS_r07, so
+# EVERY current row is still never-checked; any 50-row choice is zero-sum
+# among unchecked rows. This composition honors the own-round rule (all 26
+# round-10 operators get rows while fresh) and keeps the oldest own-round
+# debts (the 5 r8-new) plus the 19 riskiest r9-new classes (chained
+# checkpoints, persisted rollups, recursive oracles, build-time collects).
+# Rotated out: 12 class-carryover reps + 14 plainer r9 rows — all remain
+# fully verified in the committed selfcheck artifact at both SFs.
 _CHECK_FIRST = [
-    # round-9 new operators, first sitting (driver row in their own round)
-    "gopher_repetition_fractions",
-    "bradley_terry_lang_strength",
-    "systematic_resample_counts",
-    "distinct_ngram_diversity",
-    "pipeline_filter_funnel",
-    "span_corruption_transform",
-    "cluster_balanced_sample",
-    "hard_negative_mining",
-    "winnowing_fingerprints",
-    "ccnet_ppl_buckets",
-    "data_repeats_budget",
-    "contamination_span_profile",
-    "bitext_margin_mining",
-    # round-9 new operators, second sitting
-    "mlm_masking_bert",
-    "prefix_cache_sharing",
-    "seqlen_bucket_padding_waste",
-    "softdedup_commonness_weights",
-    "unimax_language_budget",
-    "doremi_domain_weights",
-    "best_of_n_reward",
-    "bellman_ford_nation_days",
-    "stupid_backoff_trigram_score",
-    "paged_kv_fragmentation",
-    "word_burstiness_vmr",
-    "self_bleu2_diversity",
-    "cross_entropy_lang_matrix",
-    "lm_beam_search_decode",
-    "matrix_profile_daily",
-    "minhash_estimate_error",
-    "chinchilla_data_budget",
-    "importance_weight_ess",
-    "temperature_scaling_grid",
-    "dedup_signal_agreement",
+    # round-10 new operators (driver row in their own round)
+    "kcenter_greedy_coreset",
+    "ssl_prototype_prune",
+    "good_turing_unseen_mass",
+    "yule_k_richness",
+    "err_graded_ranking",
+    "youden_j_threshold",
+    "dpo_margin_stats",
+    "krippendorff_alpha_nominal",
+    "randomization_test_mean_diff",
+    "sax_symbolic_motifs",
+    "renyi_efficiency_alpha2",
+    "bh_fdr_control",
+    "mantel_haenszel_pooled_or",
+    "rouge_l_lead_tail",
+    "curriculum_competence_pacing",
+    "wordpiece_maxmatch_tokenize",
+    "moe_router_load_balance",
+    "attention_io_cost_model",
+    "doubly_robust_ope",
+    "cdc_chunk_dedup",
+    "nf4_quantize_error",
+    "successive_halving_replay",
+    "sinkhorn_ot_langs",
+    "gae_advantage_replay",
+    "condorcet_copeland_winner",
+    "parallelism_memory_plan",
     # the r8-new operators (r8 driver artifacts never landed)
     "gopher_quality_rules",
     "ivfpq_recall_clustered_gate",
     "url_canonical_dedup_groups",
     "url_host_dup_profile",
     "semdedup_centroid_prune",
-    # r7-rewritten / heavy machinery
-    "median_absolute_deviation",
-    # pandas / Arrow / Python-worker execution paths
-    "grouped_map_lang_stats",
-    "applyinarrow_lang_stats",
-    # multimodal binary columns
-    "multimodal_content_dedup",
-    # streaming
-    "streaming_tumbling_counts",
-    # write-at-build sources / sinks
-    "merge_upsert_customers",
-    # iterative / persisted graph frames
-    "graph_bfs_3hop",
-    # cross-query cache-aliasing classes
-    "lttb_downsample_12",
-    # grouped-pandas folds / chained-MATERIALIZED oracles
-    "interval_coverage_union",
-    # sketch gates + merge laws
-    "sketch_bounded_checks",
-    # sign-split / int128 nanos statistics
-    "ab_test_z2_gate",
-    # committed-bound GEMM pruning
-    "gemm_block_prune_report",
+    # riskiest r9-new classes (chained checkpoint decode, persisted
+    # rollups, recursive-CTE oracles, build-time collects, LN-nano LMs)
+    "lm_beam_search_decode",
+    "matrix_profile_daily",
+    "ccnet_ppl_buckets",
+    "cluster_balanced_sample",
+    "doremi_domain_weights",
+    "unimax_language_budget",
+    "stupid_backoff_trigram_score",
+    "paged_kv_fragmentation",
+    "gopher_repetition_fractions",
+    "winnowing_fingerprints",
+    "bradley_terry_lang_strength",
+    "span_corruption_transform",
+    "hard_negative_mining",
+    "mlm_masking_bert",
+    "prefix_cache_sharing",
+    "softdedup_commonness_weights",
+    "dedup_signal_agreement",
+    "minhash_estimate_error",
+    "chinchilla_data_budget",
 ]
 
 # Retained verbatim as the r7 rotation log (not used for ordering): the

@@ -1198,7 +1198,134 @@ def round9b_probe(spark, n: int, vocab_size: int = 4096, ops: str = ""):
         )
 
 
+def round10_probe(spark, n: int, vocab_size: int = 4096, ops: str = ""):
+    """Round-10 probes: the in-row fold operators at 1M/3M synthetic docs.
+
+    Scale contracts under test: every one of these is a map-only in-row
+    computation followed by ONE small-key aggregate, so wall must be
+    linear in corpus size with flat per-row memory:
+    - cdc: one committed md5 per char position (the honest CDC cost) +
+      an exact-distinct census;
+    - rouge: the 81-cell LCS DP fold per doc;
+    - moe: 8 hash logits + softmax + argmax per token, ×8 explode;
+    - wordpiece: the ≤8-step greedy maximal-munch fold per token
+      (probe uses a fixed literal vocab — the registered query derives
+      its committed vocab from the corpus with two bounded collects).
+    """
+    import time
+
+    do = set(ops.split(",")) if ops else {"cdc", "rouge", "moe", "wordpiece"}
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.lit("en").alias("lang"),
+        F.concat_ws(" ", F.transform(
+            F.sequence(F.lit(1), F.lit(60)),
+            lambda i: F.concat(F.lit("w"), (
+                (F.xxhash64(F.col("id") * 1000 + i) % vocab_size
+                 + vocab_size) % vocab_size).cast("string")),
+        )).alias("text"))
+
+    if "cdc" in do:
+        from hpmr_spark.operators.storage_quant_queries import _cdc_spark
+
+        t0 = time.time()
+        row = (
+            docs.select(F.explode(F.expr(_cdc_spark())).alias("chunk"))
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.countDistinct("chunk").alias("d"),
+                F.sum(F.length("chunk")).alias("s"),
+            )
+            .collect()[0]
+        )
+        print(
+            f"round10 cdc n={n} wall={time.time() - t0:.1f}s "
+            f"chunks={row['n']} distinct={row['d']} chars={row['s']}"
+        )
+
+    if "rouge" in do:
+        from hpmr_spark.operators.seq_align_queries import _RL_M, _lcs_spark
+
+        t0 = time.time()
+        row = (
+            docs.select(F.split("text", " ").alias("t"))
+            .select(
+                F.expr(f"slice(t, 1, {_RL_M})").alias("a"),
+                F.expr(f"slice(t, size(t) - {_RL_M - 1}, {_RL_M})").alias("b"),
+            )
+            .select(F.expr(_lcs_spark("a", "b")).alias("lcs"))
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("lcs").alias("s"))
+            .collect()[0]
+        )
+        print(
+            f"round10 rouge n={n} wall={time.time() - t0:.1f}s "
+            f"docs={row['n']} sum_lcs={row['s']}"
+        )
+
+    if "moe" in do:
+        from hpmr_spark.operators.tokenize_serving_queries import (
+            _MOE_E,
+            _MOE_LOGIT_SPARK,
+        )
+
+        t0 = time.time()
+        row = (
+            docs.select(F.explode(F.split("text", " ")).alias("w"))
+            .select(
+                F.expr(
+                    f"transform(sequence(0, {_MOE_E - 1}),"
+                    f" e -> ({_MOE_LOGIT_SPARK} % 1000))"
+                ).alias("la")
+            )
+            .select(
+                F.expr(
+                    f"array_max(transform(sequence(0, {_MOE_E - 1}), e ->"
+                    f" named_struct('l', element_at(la, CAST(e + 1 AS INT)),"
+                    f" 'nege', 0 - e))).nege"
+                ).alias("nege")
+            )
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("nege").alias("s"))
+            .collect()[0]
+        )
+        print(
+            f"round10 moe n={n} wall={time.time() - t0:.1f}s "
+            f"tokens={row['n']} route_checksum={row['s']}"
+        )
+
+    if "wordpiece" in do:
+        from hpmr_spark.operators.tokenize_serving_queries import (
+            _wp_fold_spark,
+        )
+
+        v2 = "array(" + ",".join(f"'w{i}'" for i in range(10, 30)) + ")"
+        v3 = "array(" + ",".join(f"'w{i}0'" for i in range(1, 11)) + ")"
+        t0 = time.time()
+        row = (
+            docs.select(F.explode(F.split("text", " ")).alias("w"))
+            .select(F.expr(_wp_fold_spark(v2, v3)).alias("np"))
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("np").alias("s"))
+            .collect()[0]
+        )
+        print(
+            f"round10 wordpiece n={n} wall={time.time() - t0:.1f}s "
+            f"words={row['n']} pieces={row['s']}"
+        )
+
+
 def main():
+    if len(sys.argv) > 1 and sys.argv[1] == "round10":
+        from hpmr_spark.engine import get_spark
+
+        spark = get_spark("scale-probe-round10")
+        round10_probe(
+            spark,
+            int(sys.argv[2]) if len(sys.argv) > 2 else 1_000_000,
+            vocab_size=int(sys.argv[3]) if len(sys.argv) > 3 else 4096,
+            ops=sys.argv[4] if len(sys.argv) > 4 else "",
+        )
+        spark.stop()
+        return
+
     if len(sys.argv) > 1 and sys.argv[1] == "round9b":
         from hpmr_spark.engine import get_spark
 
