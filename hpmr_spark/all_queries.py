@@ -144,6 +144,7 @@ _MODULES = [
     "hpmr_spark.operators.storage_quant_queries",
     "hpmr_spark.operators.hpo_ot_queries",
     "hpmr_spark.operators.rl_planning_queries",
+    "hpmr_spark.operators.string_membership_queries",
 ]
 
 FAILED_MODULES: dict[str, str] = {}
@@ -456,6 +457,8 @@ _CHECK_FIRST = [
     "gae_advantage_replay",
     "condorcet_copeland_winner",
     "parallelism_memory_plan",
+    "jaro_winkler_pairs",
+    "mink_prob_membership",
     # the r8-new operators (r8 driver artifacts never landed)
     "gopher_quality_rules",
     "ivfpq_recall_clustered_gate",
@@ -481,8 +484,6 @@ _CHECK_FIRST = [
     "prefix_cache_sharing",
     "softdedup_commonness_weights",
     "dedup_signal_agreement",
-    "minhash_estimate_error",
-    "chinchilla_data_budget",
 ]
 
 # Retained verbatim as the r7 rotation log (not used for ordering): the

@@ -144,6 +144,8 @@ SKIP = {
     "moe_router_load_balance",  # persisted 8-row expert census (totals + final)
     "successive_halving_replay",  # persisted rung frame + per-rung localCheckpoints
     "condorcet_copeland_winner",  # persisted 25-row ranked frame (3 consumers)
+    "jaro_winkler_pairs",  # persisted vocab frame (rank + join-back)
+    "mink_prob_membership",  # persisted unigram LM frame (tot + token join)
 }
 
 SF_DIR = "/root/testdata/sf0.001"
