@@ -145,6 +145,7 @@ _MODULES = [
     "hpmr_spark.operators.hpo_ot_queries",
     "hpmr_spark.operators.rl_planning_queries",
     "hpmr_spark.operators.string_membership_queries",
+    "hpmr_spark.operators.fairness_quality_queries",
 ]
 
 FAILED_MODULES: dict[str, str] = {}
@@ -459,6 +460,9 @@ _CHECK_FIRST = [
     "parallelism_memory_plan",
     "jaro_winkler_pairs",
     "mink_prob_membership",
+    "fairness_equalized_odds_audit",
+    "ewma_control_chart",
+    "rbp_ranking_metric",
     # the r8-new operators (r8 driver artifacts never landed)
     "gopher_quality_rules",
     "ivfpq_recall_clustered_gate",
@@ -480,9 +484,6 @@ _CHECK_FIRST = [
     "bradley_terry_lang_strength",
     "span_corruption_transform",
     "hard_negative_mining",
-    "mlm_masking_bert",
-    "prefix_cache_sharing",
-    "softdedup_commonness_weights",
     "dedup_signal_agreement",
 ]
 

@@ -146,6 +146,7 @@ SKIP = {
     "condorcet_copeland_winner",  # persisted 25-row ranked frame (3 consumers)
     "jaro_winkler_pairs",  # persisted vocab frame (rank + join-back)
     "mink_prob_membership",  # persisted unigram LM frame (tot + token join)
+    "fairness_equalized_odds_audit",  # persisted 3-row rates frame (gaps + final)
 }
 
 SF_DIR = "/root/testdata/sf0.001"
