@@ -146,6 +146,7 @@ _MODULES = [
     "hpmr_spark.operators.rl_planning_queries",
     "hpmr_spark.operators.string_membership_queries",
     "hpmr_spark.operators.fairness_quality_queries",
+    "hpmr_spark.operators.effectsize_transport_queries",
 ]
 
 FAILED_MODULES: dict[str, str] = {}
@@ -463,6 +464,9 @@ _CHECK_FIRST = [
     "fairness_equalized_odds_audit",
     "ewma_control_chart",
     "rbp_ranking_metric",
+    "sliced_wasserstein_labels",
+    "hodges_lehmann_location",
+    "cliffs_delta_effect",
     # the r8-new operators (r8 driver artifacts never landed)
     "gopher_quality_rules",
     "ivfpq_recall_clustered_gate",
@@ -479,11 +483,8 @@ _CHECK_FIRST = [
     "unimax_language_budget",
     "stupid_backoff_trigram_score",
     "paged_kv_fragmentation",
-    "gopher_repetition_fractions",
     "winnowing_fingerprints",
     "bradley_terry_lang_strength",
-    "span_corruption_transform",
-    "hard_negative_mining",
     "dedup_signal_agreement",
 ]
 

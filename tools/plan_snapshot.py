@@ -147,6 +147,8 @@ SKIP = {
     "jaro_winkler_pairs",  # persisted vocab frame (rank + join-back)
     "mink_prob_membership",  # persisted unigram LM frame (tot + token join)
     "fairness_equalized_odds_audit",  # persisted 3-row rates frame (gaps + final)
+    "hodges_lehmann_location",  # persisted calendar-day rollup (3 consumers)
+    "cliffs_delta_effect",  # persisted calendar-day rollup (4 consumers)
 }
 
 SF_DIR = "/root/testdata/sf0.001"
