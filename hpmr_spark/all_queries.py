@@ -147,6 +147,7 @@ _MODULES = [
     "hpmr_spark.operators.string_membership_queries",
     "hpmr_spark.operators.fairness_quality_queries",
     "hpmr_spark.operators.effectsize_transport_queries",
+    "hpmr_spark.operators.pystream_source_queries",
 ]
 
 FAILED_MODULES: dict[str, str] = {}
@@ -467,6 +468,7 @@ _CHECK_FIRST = [
     "sliced_wasserstein_labels",
     "hodges_lehmann_location",
     "cliffs_delta_effect",
+    "pystream_source_tumbling",
     # the r8-new operators (r8 driver artifacts never landed)
     "gopher_quality_rules",
     "ivfpq_recall_clustered_gate",
@@ -484,7 +486,6 @@ _CHECK_FIRST = [
     "stupid_backoff_trigram_score",
     "paged_kv_fragmentation",
     "winnowing_fingerprints",
-    "bradley_terry_lang_strength",
     "dedup_signal_agreement",
 ]
 

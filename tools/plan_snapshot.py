@@ -149,6 +149,7 @@ SKIP = {
     "fairness_equalized_odds_audit",  # persisted 3-row rates frame (gaps + final)
     "hodges_lehmann_location",  # persisted calendar-day rollup (3 consumers)
     "cliffs_delta_effect",  # persisted calendar-day rollup (4 consumers)
+    "pystream_source_tumbling",  # runs the Python stream at build
 }
 
 SF_DIR = "/root/testdata/sf0.001"
