@@ -149,6 +149,7 @@ _MODULES = [
     "hpmr_spark.operators.effectsize_transport_queries",
     "hpmr_spark.operators.pystream_source_queries",
     "hpmr_spark.operators.advisor_tables_queries",
+    "hpmr_spark.operators.cascade_scan_queries",
 ]
 
 FAILED_MODULES: dict[str, str] = {}
@@ -473,6 +474,8 @@ _CHECK_FIRST = [
     "hodges_lehmann_location",
     "cliffs_delta_effect",
     "pystream_source_tumbling",
+    "cascade_routing_frontier",
+    "kadane_max_subarray",
     # the r8-new operators (r8 driver artifacts never landed)
     "gopher_quality_rules",
     "ivfpq_recall_clustered_gate",
@@ -488,9 +491,7 @@ _CHECK_FIRST = [
     "doremi_domain_weights",
     "unimax_language_budget",
     "stupid_backoff_trigram_score",
-    "paged_kv_fragmentation",
     "winnowing_fingerprints",
-    "dedup_signal_agreement",
 ]
 
 # Retained verbatim as the r7 rotation log (not used for ordering): the
