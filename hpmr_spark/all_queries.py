@@ -150,6 +150,7 @@ _MODULES = [
     "hpmr_spark.operators.pystream_source_queries",
     "hpmr_spark.operators.advisor_tables_queries",
     "hpmr_spark.operators.cascade_scan_queries",
+    "hpmr_spark.operators.raking_energy_queries",
 ]
 
 FAILED_MODULES: dict[str, str] = {}
@@ -434,9 +435,11 @@ for _m in _MODULES:
 # checkpoints, persisted rollups, recursive oracles, build-time collects).
 # Rotated out: 12 class-carryover reps + plainer r9 rows — all remain
 # fully verified in the committed selfcheck artifact at both SFs. Two
-# round-10 ops stay OUT by choice (lsh_s_curve_advisor,
-# power_analysis_table — literal planning tables, the lowest-risk class;
-# windowing them would displace riskier never-checked rows).
+# round-10 ops stay OUT by choice — lsh_s_curve_advisor,
+# power_analysis_table (literal planning tables), ipf_raking_weights,
+# energy_distance_twosample (fold / bounded-pair classes already
+# represented) — windowing them would displace riskier never-checked
+# rows.
 _CHECK_FIRST = [
     # round-10 new operators (driver row in their own round)
     "kcenter_greedy_coreset",

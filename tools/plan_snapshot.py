@@ -150,6 +150,7 @@ SKIP = {
     "hodges_lehmann_location",  # persisted calendar-day rollup (3 consumers)
     "cliffs_delta_effect",  # persisted calendar-day rollup (4 consumers)
     "pystream_source_tumbling",  # runs the Python stream at build
+    "energy_distance_twosample",  # persisted calendar-day rollup (5 consumers)
 }
 
 SF_DIR = "/root/testdata/sf0.001"
