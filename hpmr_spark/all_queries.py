@@ -151,6 +151,7 @@ _MODULES = [
     "hpmr_spark.operators.advisor_tables_queries",
     "hpmr_spark.operators.cascade_scan_queries",
     "hpmr_spark.operators.raking_energy_queries",
+    "hpmr_spark.operators.survival2_queries",
 ]
 
 FAILED_MODULES: dict[str, str] = {}
@@ -479,6 +480,7 @@ _CHECK_FIRST = [
     "pystream_source_tumbling",
     "cascade_routing_frontier",
     "kadane_max_subarray",
+    "rmst_survival_time",
     # the r8-new operators (r8 driver artifacts never landed)
     "gopher_quality_rules",
     "ivfpq_recall_clustered_gate",
@@ -494,7 +496,6 @@ _CHECK_FIRST = [
     "doremi_domain_weights",
     "unimax_language_budget",
     "stupid_backoff_trigram_score",
-    "winnowing_fingerprints",
 ]
 
 # Retained verbatim as the r7 rotation log (not used for ordering): the

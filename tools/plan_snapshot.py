@@ -151,6 +151,7 @@ SKIP = {
     "cliffs_delta_effect",  # persisted calendar-day rollup (4 consumers)
     "pystream_source_tumbling",  # runs the Python stream at build
     "energy_distance_twosample",  # persisted calendar-day rollup (5 consumers)
+    "rmst_survival_time",  # persisted KM output frame (builds on a SKIPped query)
 }
 
 SF_DIR = "/root/testdata/sf0.001"
