@@ -428,19 +428,12 @@ for _m in _MODULES:
 # If CORRECTNESS_r09 runs this window, never-checked drops 254 → 233 of
 # 525 (12 first-time carryovers + 5 r8 rows retired; all 33 new operators
 # checked in their own round).
-# Round-10 window. No driver artifact has landed since CORRECTNESS_r07, so
-# EVERY current row is still never-checked; any 50-row choice is zero-sum
-# among unchecked rows. This composition honors the own-round rule (all 26
-# round-10 operators get rows while fresh) and keeps the oldest own-round
-# debts (the 5 r8-new) plus the 19 riskiest r9-new classes (chained
-# checkpoints, persisted rollups, recursive oracles, build-time collects).
-# Rotated out: 12 class-carryover reps + plainer r9 rows — all remain
-# fully verified in the committed selfcheck artifact at both SFs. Two
-# round-10 ops stay OUT by choice — lsh_s_curve_advisor,
-# power_analysis_table (literal planning tables), ipf_raking_weights,
-# energy_distance_twosample (fold / bounded-pair classes already
-# represented) — windowing them would displace riskier never-checked
-# rows.
+# Round-10 window AS DRIVER-CHECKED (CORRECTNESS_r08 ran it 50/50 green).
+# Actual committed composition was 38 r10-new + 5 r8-new + 7 riskiest
+# r9-new rows; four r10 ops stayed OUT by documented choice
+# (lsh_s_curve_advisor, power_analysis_table, ipf_raking_weights,
+# energy_distance_twosample — lowest-risk literal-table/fold classes).
+# [Comment corrected per ADVICE r8 — the earlier text undercounted.]
 _CHECK_FIRST = [
     # round-10 new operators (driver row in their own round)
     "kcenter_greedy_coreset",

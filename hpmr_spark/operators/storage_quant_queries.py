@@ -50,10 +50,15 @@ def _cdc_chunks(engine_hash, el, arr, dist) -> str:
         f" CASE WHEN length(text) >= {_CDC_W} THEN {bp}"
         f" ELSE array() END, array(CAST(length(text) AS BIGINT))))"
     )
+    # Descending-sequence guard (CLAUDE.md): empty text collapses cp to
+    # [0] and sequence(1, 0) DESCENDS to [1, 0] → element_at past-end
+    # throws under ANSI. DuckDB's range is naturally empty, oracle agrees.
     return (
-        f"transform(sequence(1, size({cp}) - 1), _i ->"
+        f"CASE WHEN size({cp}) >= 2 THEN"
+        f" transform(sequence(1, size({cp}) - 1), _i ->"
         f" substr(text, CAST({el(cp, '_i')} + 1 AS INT),"
         f" CAST({el(cp, '_i + 1')} - {el(cp, '_i')} AS INT)))"
+        f" ELSE CAST(array() AS ARRAY<STRING>) END"
     )
 
 

@@ -180,3 +180,24 @@ def test_sinkhorn_model(spark):
     row = sinkhorn_ot_langs(spark, SF).collect()[0]
     assert (row["lang_a"], row["lang_b"]) == (la, lb)
     assert int(row["sinkhorn_cost_nano"]) == math.floor(cost * 1e9)
+
+
+def test_cdc_empty_text_guard(spark):
+    # ADVICE r8: empty text collapses the cut array to [0] and the
+    # unguarded sequence(1, 0) DESCENDS -> ANSI element_at throw. The
+    # CASE-wrapped slicer must yield an empty chunk array instead.
+    from pyspark.sql import functions as F
+
+    from hpmr_spark.operators.storage_quant_queries import _cdc_spark
+
+    df = spark.createDataFrame(
+        [("",), ("ab",), ("the quick brown fox jumps over the lazy dog",)],
+        ["text"],
+    ).select(F.expr(_cdc_spark()).alias("chunks"), "text")
+    rows = {r["text"]: r["chunks"] for r in df.collect()}
+    assert rows[""] == []
+    # short-but-nonempty text still yields the single whole-text chunk
+    assert rows["ab"] == ["ab"]
+    assert "".join(rows["the quick brown fox jumps over the lazy dog"]) == (
+        "the quick brown fox jumps over the lazy dog"
+    )
