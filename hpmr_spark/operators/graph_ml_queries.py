@@ -288,17 +288,72 @@ def graph_bfs_3hop(spark, sf_dir):
     )
 
 
+_LPA_EDGES = """
+    pe AS (
+      SELECT c_nationkey AS src, s_nationkey AS dst,
+             CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS v
+      FROM customer
+        JOIN orders   ON o_custkey = c_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN supplier ON s_suppkey = l_suppkey
+      GROUP BY 1, 2
+    ),
+    tot AS (SELECT CAST(SUM(v) AS BIGINT) AS t FROM pe),
+    und AS (
+      SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS w
+      FROM pe, tot WHERE v * 625 > t AND src <> dst
+    ),
+    ed AS (SELECT u AS src, w AS dst FROM und
+           UNION ALL SELECT w, u FROM und),
+    nodes AS (SELECT DISTINCT src AS node FROM ed)
+"""
+
+
 # ---------------------------------------------------------------------------
 # k-core decomposition (k=2) by iterative peeling.
 # ---------------------------------------------------------------------------
-@register("graph_kcore_2", None)  # iterative fixpoint — no SQL oracle
+# VERDICT r8 item 2: the peel IS recursive-CTE expressible — the alive set
+# only shrinks, so one recursion row carries the whole alive LIST and each
+# step list_filters it by in-alive degree (edge list cross-joined into the
+# FROM so the lambda can reference it — DuckDB lambdas reject subqueries).
+# Materialized twins (symm/el/nds) guard the CTE-inlining blowup.
+_KCORE_ORACLE = (
+    "WITH RECURSIVE "
+    + _LPA_EDGES
+    + """,
+    symm AS MATERIALIZED (SELECT src AS a, dst AS b FROM ed),
+    el AS MATERIALIZED (SELECT list({'a': a, 'b': b}) AS es FROM symm),
+    nds AS MATERIALIZED (SELECT list_sort(list(DISTINCT a)) AS ns FROM symm),
+    peel(it, alive) AS (
+      SELECT 0, ns FROM nds
+      UNION ALL
+      SELECT it + 1,
+             list_filter(alive, n -> len(list_filter(el.es,
+               e -> e.a = n AND list_contains(alive, e.b))) >= 2)
+      FROM peel, el
+      WHERE it < 30
+        AND len(list_filter(alive, n -> len(list_filter(el.es,
+              e -> e.a = n AND list_contains(alive, e.b))) >= 2)) < len(alive)
+    ),
+    fin AS (SELECT alive FROM peel ORDER BY it DESC LIMIT 1)
+    SELECT CAST(s.a AS BIGINT) AS nationkey,
+           CAST(COUNT(*) AS BIGINT) AS core_degree
+    FROM symm s, fin
+    WHERE list_contains(fin.alive, s.a) AND list_contains(fin.alive, s.b)
+    GROUP BY s.a
+    """
+)
+
+
+@register("graph_kcore_2", _KCORE_ORACLE)
 def graph_kcore_2(spark, sf_dir):
     """2-core of the committed trade graph: iteratively peel nodes whose
     degree drops below k until the fixpoint (degeneracy peel — the standard
-    k-core algorithm). Non-monotone deletion has no recursive-CTE oracle, so
-    this registers rows-only (like the other honest-iterative entries);
-    tests/test_properties.py pins it against an in-Python reference peel and
-    the min-degree invariant. Per round: one degree agg + one semi-join
+    k-core algorithm). The fixpoint is order-independent (the maximal
+    2-core is unique), so a recursive-CTE oracle carrying the monotone
+    shrinking alive-list reproduces it exactly;
+    tests/test_properties.py additionally pins it against an in-Python
+    reference peel and the min-degree invariant. Per round: one degree agg + one semi-join
     filter over the (persisted) edge list, localCheckpoint caps lineage; at
     real scale each round shuffles O(|E|) by node id — same discipline as
     BFS/pagerank above."""
@@ -349,25 +404,6 @@ def graph_kcore_2(spark, sf_dir):
 # ---------------------------------------------------------------------------
 # Label-propagation communities (3 synchronous rounds, deterministic).
 # ---------------------------------------------------------------------------
-_LPA_EDGES = """
-    pe AS (
-      SELECT c_nationkey AS src, s_nationkey AS dst,
-             CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS v
-      FROM customer
-        JOIN orders   ON o_custkey = c_custkey
-        JOIN lineitem ON l_orderkey = o_orderkey
-        JOIN supplier ON s_suppkey = l_suppkey
-      GROUP BY 1, 2
-    ),
-    tot AS (SELECT CAST(SUM(v) AS BIGINT) AS t FROM pe),
-    und AS (
-      SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS w
-      FROM pe, tot WHERE v * 625 > t AND src <> dst
-    ),
-    ed AS (SELECT u AS src, w AS dst FROM und
-           UNION ALL SELECT w, u FROM und),
-    nodes AS (SELECT DISTINCT src AS node FROM ed)
-"""
 
 
 def _lpa_round_sql(prev: str, cur: str) -> str:

@@ -55,14 +55,52 @@ def dedup_incremental_epochs(spark, sf_dir):
     return spark_df
 
 
-@register("similarity_topk_numpy", None)  # float32 BLAS path — rows-only
+def _numpy_gate_oracle() -> str:
+    from hpmr_spark.functions.vectors import sql_cosine
+
+    return f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings
+               WHERE vec_id < 10),
+         c AS (SELECT vec_id AS neighbor_id, embedding FROM embeddings)
+    SELECT query_id, neighbor_id, rank, TRUE AS numpy_rank_equal FROM (
+      SELECT q.query_id, c.neighbor_id,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY q.query_id
+               ORDER BY {sql_cosine('q.embedding', 'c.embedding', 64)} DESC,
+                        c.neighbor_id
+             ) AS BIGINT) AS rank
+      FROM q, c WHERE q.query_id != c.neighbor_id)
+    WHERE rank <= 10
+    """
+
+
+@register("similarity_topk_numpy", _numpy_gate_oracle())
 def similarity_topk_numpy(spark, sf_dir):
-    """Arrow→numpy GEMM top-k (the production dense-vector path). Rank
-    equality with the exact JVM path is asserted in tests."""
+    """Arrow→numpy GEMM top-k (the production dense-vector path), gated
+    (VERDICT r8 item 2): the hashed VALUES are the exact JVM path's
+    (query_id, neighbor_id, rank) — SQL-reproducible — plus a boolean
+    asserting the numpy GEMM produced the identical neighbor at that rank.
+    GEMM summation order can differ from the sequential fold in the last
+    ulp, so rank equality is a committed property of THIS corpus (adjacent
+    sims differ ≫ float error; also pytest-asserted) — a regression flips
+    the boolean and the value hash goes red."""
+    from hpmr_spark.similarity.brute_force import cosine_topk
     from hpmr_spark.similarity.vectorized import cosine_topk_numpy
 
     e = _t(spark, sf_dir, "embeddings")
-    return cosine_topk_numpy(e, e.where(F.col("vec_id") < 10), k=10)
+    q = e.where(F.col("vec_id") < 10)
+    exact = cosine_topk(e, q, k=10)
+    np_tk = cosine_topk_numpy(e, q, k=10).withColumnRenamed(
+        "neighbor_id", "np_neighbor"
+    )
+    return exact.join(np_tk, ["query_id", "rank"], "left").select(
+        "query_id",
+        "neighbor_id",
+        "rank",
+        F.coalesce(
+            F.col("np_neighbor") == F.col("neighbor_id"), F.lit(False)
+        ).alias("numpy_rank_equal"),
+    )
 
 
 @register(

@@ -352,10 +352,30 @@ def filter_projection_pushdown(spark, sf_dir):
     ).select("l_orderkey", "l_shipdate")
 
 
-@register("approx_distinct_custkeys", None)  # HLL sketches differ across engines
+@register(
+    "approx_distinct_custkeys",
+    """
+    SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_keys_exact,
+           TRUE AS within_bound
+    FROM orders
+    """,
+)
 def approx_distinct_custkeys(spark, sf_dir):
     """approx_count_distinct — the cheap variant of get_n_keys
-    (ref src/dist_map.h:90-96). No oracle: HLL implementations differ; the
-    exact twin `distmap_n_keys` is the hash-checked one."""
+    (ref src/dist_map.h:90-96). HLL sketches differ across engines, so the
+    approximate VALUE never reaches the output (sketch-gating pattern,
+    VERDICT r6/r8): emit the exact count plus an integer-cross-multiplied
+    boolean |approx − exact|·100 ≤ exact·15 — a committed 15% bound, ~3σ of
+    the default rsd=0.05 HLL++ (measured ≤3% at sf0.001..0.1). The two
+    aggregates run as separate one-row frames (the r2 countDistinct+sketch
+    single-agg Expand pathology) and crossJoin."""
     o = _t(spark, sf_dir, "orders")
-    return o.agg(F.approx_count_distinct("o_custkey").alias("n_keys_approx"))
+    ex = o.agg(F.countDistinct("o_custkey").cast("long").alias("n_keys_exact"))
+    ap = o.agg(F.approx_count_distinct("o_custkey").alias("approx"))
+    return ex.crossJoin(F.broadcast(ap)).select(
+        "n_keys_exact",
+        (
+            F.abs(F.col("approx") - F.col("n_keys_exact")) * F.lit(100)
+            <= F.col("n_keys_exact") * F.lit(15)
+        ).alias("within_bound"),
+    )
