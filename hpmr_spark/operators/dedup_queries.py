@@ -326,14 +326,49 @@ _ANN_GATE_ORACLE = f"""
 
 def _ann_recall_gated(
     e, ann_df, k: int, floor_permille: int, queries=None,
-    gate_col: str = "recall_floor_ok",
+    gate_col: str = "recall_floor_ok", materialize: bool = False,
 ):
     """Wrap an ANN shortlist into the gated-oracle shape: one row per query
     (query_id, exact_top1, <gate_col>). Declarative throughout --
-    the hit count rides a 1-row broadcast, no driver collect."""
+    the hit count rides a 1-row broadcast, no driver collect.
+
+    materialize=True (r9 stage diet): the default shape consumes the exact
+    top-k frame THREE times (top1 + hits + tot -- no cross-tree CSE), so
+    the ann+exact pipeline re-executes per consumer. The materialized path
+    marks ANN hits on the exact frame once, folds everything to one
+    |queries|-row frame, and eagerly localCheckpoints it -- ONE execution
+    of the whole pipeline, bounded checkpoint (callers using it must sit in
+    plan_snapshot SKIP: checkpoint at build)."""
     if queries is None:
         queries = e.where(F.col("vec_id") < 10)
     exact = cosine_topk(e, queries, k=k)
+    if materialize:
+        marked = exact.join(
+            ann_df.select("query_id", "neighbor_id")
+            .distinct()
+            .withColumn("_hit", F.lit(1)),
+            ["query_id", "neighbor_id"],
+            "left",
+        )
+        pq = (
+            marked.groupBy("query_id")
+            .agg(
+                # rank is a per-query row_number -> unique -> deterministic
+                F.min_by("neighbor_id", "rank").alias("exact_top1"),
+                F.sum(F.coalesce(F.col("_hit"), F.lit(0)))
+                .cast("long")
+                .alias("h"),
+                F.count(F.lit(1)).cast("long").alias("t"),
+            )
+            .coalesce(1)
+            .localCheckpoint(eager=True)
+        )
+        gate = pq.agg(
+            (
+                F.sum("h") * 1000 >= F.lit(floor_permille) * F.sum("t")
+            ).alias(gate_col)
+        )
+        return pq.select("query_id", "exact_top1").crossJoin(F.broadcast(gate))
     top1 = exact.where(F.col("rank") == 1).select(
         "query_id", F.col("neighbor_id").alias("exact_top1")
     )
@@ -394,7 +429,7 @@ def ivfpq_topk_search(spark, sf_dir):
 
     e = _t(spark, sf_dir, "embeddings")
     ann = ivfpq_topk(e, e.where(F.col("vec_id") < 10), k=10, n_cells=8)
-    return _ann_recall_gated(e, ann, k=10, floor_permille=250)
+    return _ann_recall_gated(e, ann, k=10, floor_permille=250, materialize=True)
 
 
 # ----------------- clustered-corpus STRONG recall gate (VERDICT r7 item 3)

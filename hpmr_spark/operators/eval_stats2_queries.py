@@ -350,9 +350,21 @@ def km_survival_curve(spark, sf_dir):
         F.max(F.lit(0)).alias("_uq_km"),
     ).drop("_uq_km")
     # the duration histogram feeds the total, the prefix machinery's three
-    # branches, and the final ordered pass — persist the SMALL grouped
-    # frame so the events aggregation shuffles once (plan_snapshot SKIP)
-    g = g.persist(StorageLevel.MEMORY_AND_DISK)
+    # branches, and the final ordered pass. Size-aware dispatch (the r8
+    # BROADCAST_MAX_DOCS discipline, via the declared parquet footer count
+    # — driver-side metadata, no Spark job): a bounded histogram gets
+    # coalesce(4) + eager localCheckpoint, which cuts the events-agg
+    # lineage out of every downstream machinery job (measured 8.8 → 2.8 s
+    # warm at sf0.1, hashes identical); an unbounded one keeps the persist
+    # path — coalescing a billion-duration histogram to 4 partitions would
+    # be the real regression (plan_snapshot SKIP either way).
+    from hpmr_spark.operators.dedup_queries import _parquet_num_rows
+
+    n_events = _parquet_num_rows(f"{sf_dir}/events.parquet")
+    if n_events is not None and n_events <= 10_000_000:
+        g = g.coalesce(4).localCheckpoint(eager=True)
+    else:
+        g = g.persist(StorageLevel.MEMORY_AND_DISK)
     n = g.agg(F.sum("cnt").cast("long").alias("total"))
     cum = global_running(
         g, ["dur_us"], "cnt", kind="sum", strict=True, out="lt"

@@ -56,6 +56,11 @@ from hpmr_spark.similarity.lsh import (
 M_SUB = 8  # PQ subspaces
 D_SUB = 8  # dims per subspace (64-dim embeddings)
 K_CODES = 16  # centroids per subspace (4-bit codes)
+#: query sets up to this size get driver-computed literal LUTs (map-only
+#: ADC, zero query-side Spark jobs); larger sets use the broadcast-join
+#: LUT path. 128 queries × n_probe × M_SUB×K_CODES longs ≈ 300 KB of SQL
+#: literal — parse stays in milliseconds.
+_LUT_MAX_QUERIES = 128
 
 
 def _sql_residual(v: str, cents: list[list[float]], cell: str) -> str:
@@ -107,24 +112,50 @@ def ivfpq_topk(
     L=4k vs ≥0.9 at L=10k)."""
     L = shortlist or 10 * k
     d = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
-    cents = train_centroids(d, n_cells=n_cells, train_iters=train_iters, salt="ivfpq:")
 
-    # --- PQ codebook: residual subvectors of committed-hash seed vectors ---
-    # Collect ONLY the raw vectors (tiny hash+TakeOrdered job) and derive
-    # cell + residual micros driver-side: the codebook is an index-STEERING
-    # constant — any deterministic choice is valid, and keeping the index
-    # expressions out of this bounded collect avoids dragging them through
-    # codegen for a K_CODES-row result (measured 8 s → <2 s at sf0.1).
-    seed_rows = (
+    # --- ONE fused bounded collect (r9 stage diet): trainer seeds + PQ
+    # codebook seeds + (up to _LUT_MAX_QUERIES+1) query vectors ride a
+    # single job instead of three — each TakeOrdered/limit subtree runs in
+    # parallel inside it. The query side is bounded by contract (it is
+    # broadcast either way); the +1 sentinel detects overflow and routes
+    # to the Spark-side LUT path without ever collecting a large set.
+    tag_tr = (
         d.select(
             "vec",
-            hash60(F.concat(F.lit("ivfpq-pq:"), F.col("id").cast("string"))).alias(
-                "h"
+            hash60(F.concat(F.lit("ivfpq:"), F.col("id").cast("string"))).alias(
+                "kk"
             ),
+            F.lit(0).alias("tag"),
         )
-        .orderBy("h")
+        .orderBy("kk")
+        .limit(n_cells)
+    )
+    tag_pq = (
+        d.select(
+            "vec",
+            hash60(
+                F.concat(F.lit("ivfpq-pq:"), F.col("id").cast("string"))
+            ).alias("kk"),
+            F.lit(1).alias("tag"),
+        )
+        .orderBy("kk")
         .limit(K_CODES)
-        .collect()
+    )
+    tag_q = queries.select(
+        F.col(vec_col).alias("vec"),
+        F.col(id_col).cast("long").alias("kk"),
+        F.lit(2).alias("tag"),
+    ).limit(_LUT_MAX_QUERIES + 1)
+    fused = tag_tr.unionByName(tag_pq).unionByName(tag_q).collect()
+    tr_seeds = [r["vec"] for r in sorted(
+        (r for r in fused if r["tag"] == 0), key=lambda r: r["kk"]
+    )]
+    seed_rows = [r for r in fused if r["tag"] == 1]
+    q_rows = [r for r in fused if r["tag"] == 2]
+
+    cents = train_centroids(
+        d, n_cells=n_cells, train_iters=train_iters, salt="ivfpq:",
+        seeds=tr_seeds,
     )
 
     def _py_residual(vec) -> list[int]:
@@ -149,7 +180,7 @@ def ivfpq_topk(
             _py_residual(r["vec"])[s * D_SUB : (s + 1) * D_SUB]
             for s in range(M_SUB)
         ]
-        for r in sorted(seed_rows, key=lambda r: r["h"])
+        for r in sorted(seed_rows, key=lambda r: r["kk"])
     ]
 
     # --- index: cell + residual + codes per corpus vector (one scan) ---
@@ -173,40 +204,128 @@ def ivfpq_topk(
         )
     )
 
-    # --- query side: probe cells + per-(query, cell) LUT ---
-    q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
-    ).withColumn(
-        "cell", F.explode(nearest_cells("q_vec", cents, n_probe))
-    )
-    qr = q.withColumn("qr", F.expr(_sql_residual("q_vec", cents, "cell")))
-    # LUT: array over subspaces of array over codes of exact integer d2
-    lut_sql = "array(" + ",".join(
-        "array("
-        + ",".join(
-            _sql_d2(f"slice(qr,{s * D_SUB + 1},{D_SUB})", codebook[code][s])
-            for code in range(K_CODES)
-        )
-        + ")"
-        for s in range(M_SUB)
-    ) + ")"
-    qlut = qr.select("query_id", "q_vec", "cell", F.expr(lut_sql).alias("lut"))
+    if 0 < len(q_rows) <= _LUT_MAX_QUERIES:
+        # --- literal-LUT fast path: the bounded query side becomes SQL
+        # literals, so ADC is a MAP-ONLY pass over the codes — no query
+        # jobs, no broadcast exchange (r9 stage diet). Every number is the
+        # same exact integer the Spark-side expressions commit to: the
+        # cosine/residual/d2 arithmetic below replicates the SQL folds
+        # left-to-right (LN/SQRT/FLOOR CPython≡JVM parity is pinned by
+        # tests/test_libm_parity.py), and either way the shortlist is
+        # exact-refined, so LUT choice only STEERS recall.
+        def _py_cos(v, cv):
+            num = 0.0
+            for a, b in zip(v, cv):
+                num += a * b
+            da = 0.0
+            for a in v:
+                da += a * a
+            db = 0.0
+            for b in cv:
+                db += b * b
+            return num / (math.sqrt(da) * math.sqrt(db))
 
-    # --- ADC: codes ⋈ broadcast(LUT) on cell; score = Σ_s lut[s][code_s] ---
-    adc = (
-        encoded.join(F.broadcast(qlut), "cell")
-        .where(F.col("query_id") != F.col("neighbor_id"))
-        .select(
-            "query_id",
-            "q_vec",
-            "neighbor_id",
-            F.expr(
-                "aggregate(zip_with(codes,lut,"
-                "(c,row)->element_at(row,CAST(c+1 AS INT))),"
-                "CAST(0 AS BIGINT),(acc,x)->acc+x)"
-            ).alias("adc_d2"),
+        entries = []
+        for r in q_rows:
+            qid = int(r["kk"])
+            v = [float(x) for x in r["vec"]]
+            sims = [(_py_cos(v, cv), ci) for ci, cv in enumerate(cents)]
+            # nearest_cells order: reverse(array_sort) = descending
+            # (sim, cell) — ties break to the HIGHER cell id
+            probed = [ci for _, ci in sorted(sims, reverse=True)[:n_probe]]
+            for cell in probed:
+                cv = cents[cell]
+                qr_i = [
+                    int(math.floor((a - b) * 1_000_000.0))
+                    for a, b in zip(v, cv)
+                ]
+                lut = [
+                    [
+                        sum(
+                            (qr_i[s * D_SUB + j] - codebook[code][s][j]) ** 2
+                            for j in range(D_SUB)
+                        )
+                        for code in range(K_CODES)
+                    ]
+                    for s in range(M_SUB)
+                ]
+                entries.append((qid, cell, lut))
+        ql_txt = "array(" + ",".join(
+            f"named_struct('query_id',CAST({qid} AS BIGINT),'cell',{cell},"
+            + "'lut',array("
+            + ",".join(
+                "array(" + ",".join(f"CAST({x} AS BIGINT)" for x in row) + ")"
+                for row in lut
+            )
+            + "))"
+            for qid, cell, lut in entries
+        ) + ")"
+        adc = (
+            encoded.select(
+                "neighbor_id",
+                "codes",
+                F.explode(
+                    F.expr(f"filter({ql_txt}, p -> p.cell = cell)")
+                ).alias("p"),
+            )
+            .where(F.col("p.query_id") != F.col("neighbor_id"))
+            .select(
+                F.col("p.query_id").alias("query_id"),
+                F.col("neighbor_id"),
+                F.expr(
+                    "aggregate(zip_with(codes,p.lut,"
+                    "(c,row)->element_at(row,CAST(c+1 AS INT))),"
+                    "CAST(0 AS BIGINT),(acc,x)->acc+x)"
+                ).alias("adc_d2"),
+            )
         )
-    )
+        # refine needs q_vec back: bounded literal lookup by query_id
+        qv_txt = "array(" + ",".join(
+            f"named_struct('query_id',CAST({int(r['kk'])} AS BIGINT),"
+            f"'v',{sql_vec_lit([float(x) for x in r['vec']])})"
+            for r in q_rows
+        ) + ")"
+        adc = adc.withColumn(
+            "q_vec",
+            F.expr(f"filter({qv_txt}, s -> s.query_id = query_id)[0].v"),
+        )
+    else:
+        # --- scale path: probe cells + per-(query, cell) LUT in Spark ---
+        q = queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+        ).withColumn(
+            "cell", F.explode(nearest_cells("q_vec", cents, n_probe))
+        )
+        qr = q.withColumn("qr", F.expr(_sql_residual("q_vec", cents, "cell")))
+        # LUT: array over subspaces of array over codes of exact integer d2
+        lut_sql = "array(" + ",".join(
+            "array("
+            + ",".join(
+                _sql_d2(f"slice(qr,{s * D_SUB + 1},{D_SUB})", codebook[code][s])
+                for code in range(K_CODES)
+            )
+            + ")"
+            for s in range(M_SUB)
+        ) + ")"
+        qlut = qr.select(
+            "query_id", "q_vec", "cell", F.expr(lut_sql).alias("lut")
+        )
+
+        # --- ADC: codes ⋈ broadcast(LUT); score = Σ_s lut[s][code_s] ---
+        adc = (
+            encoded.join(F.broadcast(qlut), "cell")
+            .where(F.col("query_id") != F.col("neighbor_id"))
+            .select(
+                "query_id",
+                "q_vec",
+                "neighbor_id",
+                F.expr(
+                    "aggregate(zip_with(codes,lut,"
+                    "(c,row)->element_at(row,CAST(c+1 AS INT))),"
+                    "CAST(0 AS BIGINT),(acc,x)->acc+x)"
+                ).alias("adc_d2"),
+            )
+        )
     w_short = Window.partitionBy("query_id").orderBy(
         F.asc("adc_d2"), F.asc("neighbor_id")
     )

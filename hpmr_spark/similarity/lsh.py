@@ -279,7 +279,11 @@ def nearest_cells(vcol, centroids, n_probe: int) -> "F.Column":
 
 
 def train_centroids(
-    d: DataFrame, n_cells: int, train_iters: int, salt: str = "ivf:"
+    d: DataFrame,
+    n_cells: int,
+    train_iters: int,
+    salt: str = "ivf:",
+    seeds: list | None = None,
 ) -> list[list[float]]:
     """Deterministic coarse-quantizer training shared by trained-IVF and
     IVF-PQ: seeds are the vectors whose committed hash ranks lowest;
@@ -287,20 +291,31 @@ def train_centroids(
     update). Float centroid sums are order-sensitive but only STEER the
     index — callers re-score every emitted neighbor exactly. `d` must have
     (id, vec) columns; returns n_cells python float lists (collect is
-    bounded: n_cells × dim doubles per iteration)."""
+    bounded: n_cells × dim doubles per iteration). Callers that already
+    collected the committed-hash-ranked seed vectors in a fused job may
+    pass them via `seeds` (must be the n_cells lowest `salt`-hash vectors
+    in hash order) to skip the seed job."""
     from hpmr_spark.functions.hashing import hash60
 
-    seeds = [
-        r["vec"]
-        for r in d.select(
-            "vec",
-            hash60(F.concat(F.lit(salt), F.col("id").cast("string"))).alias("h"),
-        )
-        .orderBy("h")
-        .limit(n_cells)
-        .collect()
-    ]
+    if seeds is None:
+        seeds = [
+            r["vec"]
+            for r in d.select(
+                "vec",
+                hash60(
+                    F.concat(F.lit(salt), F.col("id").cast("string"))
+                ).alias("h"),
+            )
+            .orderBy("h")
+            .limit(n_cells)
+            .collect()
+        ]
     cents = [[float(x) for x in v] for v in seeds]
+    # NOTE (r9): a "one-shuffle" variant with dim separate SUM(element_at)
+    # agg columns was probed and REGRESSED 0.8 → 2 s/iteration — 65
+    # aggregates push HashAggregate off whole-stage codegen and the
+    # nearest_cell cosine folds fall to interpreted eval. posexplode keeps
+    # the assignment projection codegen'd; keep this shape.
     for _ in range(train_iters):
         assigned = d.select("vec", nearest_cell(F.col("vec"), cents).alias("cell"))
         upd = (
