@@ -57,6 +57,40 @@ def decode_meta(binary_df: DataFrame) -> DataFrame:
     return binary_df.select("doc_id", "payload").mapInPandas(decode, DECODED_SCHEMA)
 
 
+REAL_DECODED_SCHEMA = "doc_id long, width long, height long, format string"
+
+
+def decode_meta_real(binary_df: DataFrame) -> DataFrame:
+    """REAL-decoder twin of decode_meta (VERDICT r8 item 5): identical
+    mapInPandas/Arrow plumbing, but each payload goes through
+    decode_stub.decode_image (Pillow). Raises at execution when the
+    container ships no Pillow — tests/test_multimodal_decode.py drives it
+    behind an import-try skip, so the moment a decoder is available the
+    real path is exercised with zero code change. Registered queries keep
+    decode_meta: its deterministic fake is what the DuckDB oracles pin."""
+    from hpmr_spark.multimodal.decode_stub import decode_image
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for p in pdf["payload"]:
+                img = decode_image(bytes(p))
+                rows.append(
+                    {
+                        "width": img.width,
+                        "height": img.height,
+                        "format": (img.format or "unknown").lower(),
+                    }
+                )
+            out = pd.DataFrame(rows)
+            out.insert(0, "doc_id", pdf["doc_id"].values)
+            yield out
+
+    return binary_df.select("doc_id", "payload").mapInPandas(
+        decode, REAL_DECODED_SCHEMA
+    )
+
+
 def sample_frames(binary_df: DataFrame, stride: int = 1024) -> DataFrame:
     """Frame sampling: one row per (doc_id, frame_idx) with byte offsets —
     pure Catalyst (sequence + explode), bytes never copied per frame."""
