@@ -152,6 +152,8 @@ _MODULES = [
     "hpmr_spark.operators.cascade_scan_queries",
     "hpmr_spark.operators.raking_energy_queries",
     "hpmr_spark.operators.survival2_queries",
+    # round-9 (driver) modules
+    "hpmr_spark.operators.corpus_text2_queries",
 ]
 
 FAILED_MODULES: dict[str, str] = {}
