@@ -154,6 +154,7 @@ _MODULES = [
     "hpmr_spark.operators.survival2_queries",
     # round-9 (driver) modules
     "hpmr_spark.operators.corpus_text2_queries",
+    "hpmr_spark.operators.seq_models_queries",
 ]
 
 FAILED_MODULES: dict[str, str] = {}

@@ -94,3 +94,177 @@ def test_lz78_corpus_model(spark):
     assert set(rows) == set(exp)
     for did, (nw, np_) in exp.items():
         assert (rows[did]["n_words"], rows[did]["n_phrases"]) == (nw, np_)
+
+
+# ---------------------------------------------------------- wave 2 models
+
+def _day(d):
+    import datetime
+
+    return (d - datetime.date(1970, 1, 1)).days
+
+
+def test_kalman_model(spark):
+    import math
+
+    from hpmr_spark.operators.seq_models_queries import (
+        kalman_1d_level_filter,
+    )
+
+    daily = {}
+    for r in spark.read.parquet(f"{SF}/orders.parquet").collect():
+        d = _day(r["o_orderdate"].date())
+        daily[d] = daily.get(d, 0) + int(round(r["o_totalprice"] * 100))
+    Q, R = 25000000000000.0, 400000000000000.0
+    x = p = mx = None
+    mxd = -1.0
+    n = 0
+    for d in sorted(daily):
+        z = float(daily[d])
+        if n == 0:
+            x, p, mx, n = z, R, 0.0, 1
+        else:
+            k = (p + Q) / (p + Q + R)
+            innov = z - x
+            if abs(innov) > mx:
+                mx, mxd = abs(innov), float(d)
+            x = x + k * innov
+            p = (1.0 - k) * (p + Q)
+            n += 1
+    row = kalman_1d_level_filter(spark, SF).collect()[0]
+    assert row["n_days"] == n
+    assert row["level_cents"] == math.floor(x)
+    assert row["variance_scaled"] == math.floor(p / 1000000.0)
+    assert row["max_innov_cents"] == math.floor(mx)
+    assert row["max_innov_day"] == int(mxd)
+
+
+def test_hmm_forward_model(spark):
+    import math
+
+    from hpmr_spark.operators.seq_models_queries import hmm_forward_loglik
+    from hpmr_spark.sources.tables import load_events
+
+    B = [[0.3, 0.05, 0.15, 0.1, 0.4], [0.15, 0.5, 0.1, 0.05, 0.2]]
+    code = {"click": 0, "error": 1, "purchase": 2, "signup": 3, "view": 4}
+
+    def loglik(codes):
+        a0, a1, ll = 0.5, 0.5, 0.0
+        for cd in codes:
+            n0 = (a0 * 0.8 + a1 * 0.3) * B[0][cd]
+            n1 = (a0 * 0.2 + a1 * 0.7) * B[1][cd]
+            c = n0 + n1
+            a0, a1, ll = n0 / c, n1 / c, ll + math.log(c)
+        return ll
+
+    # hand check: one 'error' event from uniform start
+    # a'_0 = (.5*.8+.5*.3)*.05 = .0275 ; a'_1 = (.5*.2+.5*.7)*.5 = .225
+    assert abs(loglik([1]) - math.log(0.0275 + 0.225)) < 1e-15
+
+    seqs = {}
+    ev = load_events(spark, SF).select("user_id", "ts", "event_id", "event_type")
+    for r in ev.collect():
+        seqs.setdefault(r["user_id"], []).append(
+            (r["ts"], r["event_id"], code[r["event_type"]])
+        )
+    rows = {r["user_id"]: r for r in hmm_forward_loglik(spark, SF).collect()}
+    assert set(rows) == set(seqs)
+    for uid, evs in seqs.items():
+        cds = [c for _, _, c in sorted(evs)]
+        assert rows[uid]["n_events"] == len(cds)
+        assert rows[uid]["loglik_nano"] == math.floor(loglik(cds) * 1e9)
+
+
+def test_croston_model(spark):
+    import math
+
+    from hpmr_spark.operators.seq_models_queries import (
+        croston_intermittent_forecast,
+    )
+
+    orders = {
+        r["o_orderkey"]: _day(r["o_orderdate"].date())
+        for r in spark.read.parquet(f"{SF}/orders.parquet").collect()
+    }
+    dem = {}
+    for r in spark.read.parquet(f"{SF}/lineitem.parquet").collect():
+        d = orders[r["l_orderkey"]]
+        key = (r["l_partkey"], d)
+        dem[key] = dem.get(key, 0) + int(r["l_quantity"])
+    per_part = {}
+    for (pk, d), q in dem.items():
+        per_part.setdefault(pk, []).append((d, q))
+    rows = {
+        r["l_partkey"]: r
+        for r in croston_intermittent_forecast(spark, SF).collect()
+    }
+    assert set(rows) == set(per_part)
+    for pk, ds in per_part.items():
+        z = p = prev = None
+        n = 0
+        for d, q in sorted(ds):
+            if n == 0:
+                z, p, prev, n = float(q), 7.0, float(d), 1
+            else:
+                z = z + 0.1 * (q - z)
+                p = p + 0.1 * ((d - prev) - p)
+                prev, n = float(d), n + 1
+        r = rows[pk]
+        assert r["n_demand_days"] == n
+        assert r["size_milli"] == math.floor(z * 1000.0)
+        assert r["interval_milli"] == math.floor(p * 1000.0)
+        assert r["forecast_milli"] == math.floor(z / p * 1000.0)
+
+
+def test_elo_textbook_and_model(spark):
+    import datetime
+    import hashlib
+    import math
+
+    from hpmr_spark.operators.seq_models_queries import elo_online_ratings
+
+    # textbook: equal ratings, K=32 -> winner gains exactly 16
+    ra = rb = 1500.0
+    ea = 1.0 / (1.0 + 10 ** ((rb - ra) / 400.0))
+    assert ra + 32 * (1 - ea) == 1516.0
+
+    def h60(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    wk_rev = {}
+    for r in spark.read.parquet(f"{SF}/orders.parquet").collect():
+        d = r["o_orderdate"].date()
+        wk = d - datetime.timedelta(days=d.weekday())
+        wk_rev.setdefault(wk, {})
+    cust_nat = {
+        r["c_custkey"]: r["c_nationkey"]
+        for r in spark.read.parquet(f"{SF}/customer.parquet").collect()
+    }
+    for r in spark.read.parquet(f"{SF}/orders.parquet").collect():
+        d = r["o_orderdate"].date()
+        wk = d - datetime.timedelta(days=d.weekday())
+        nat = cust_nat[r["o_custkey"]]
+        wk_rev[wk][nat] = wk_rev[wk].get(nat, 0) + int(
+            round(r["o_totalprice"] * 100)
+        )
+    ratings = [1500.0] * 25
+    n_matches = 0
+    for wk in sorted(wk_rev):
+        ws = wk.isoformat()
+        na = h60(f"elo:{ws}") % 25
+        nb = (na + 1 + h60(f"elo2:{ws}") % 24) % 25
+        ca = wk_rev[wk].get(na, 0)
+        cb = wk_rev[wk].get(nb, 0)
+        sa2 = 2 if ca > cb else (1 if ca == cb else 0)
+        ea = 1.0 / (
+            1.0 + math.exp((ratings[nb] - ratings[na]) * math.log(10.0) / 400.0)
+        )
+        delta = 32.0 * (sa2 / 2.0 - ea)
+        ratings[na] += delta
+        ratings[nb] -= delta
+        n_matches += 1
+    rows = {r["nationkey"]: r for r in elo_online_ratings(spark, SF).collect()}
+    assert len(rows) == 25
+    for i in range(25):
+        assert rows[i]["n_matches"] == n_matches
+        assert rows[i]["rating_milli"] == math.floor(ratings[i] * 1000.0)
