@@ -155,6 +155,7 @@ _MODULES = [
     # round-9 (driver) modules
     "hpmr_spark.operators.corpus_text2_queries",
     "hpmr_spark.operators.seq_models_queries",
+    "hpmr_spark.operators.cluster_eval2_queries",
 ]
 
 FAILED_MODULES: dict[str, str] = {}

@@ -268,3 +268,118 @@ def test_elo_textbook_and_model(spark):
     for i in range(25):
         assert rows[i]["n_matches"] == n_matches
         assert rows[i]["rating_milli"] == math.floor(ratings[i] * 1000.0)
+
+
+# ---------------------------------------------------------- wave 3 models
+
+def test_ari_model(spark):
+    from hpmr_spark.operators.cluster_eval2_queries import adjusted_rand_index
+
+    pts = []
+    for r in spark.read.parquet(f"{SF}/embeddings.parquet").collect():
+        e = [float(x) for x in r["embedding"]]
+        cell = 4 * (e[0] >= 0) + 2 * (e[1] >= 0) + (e[2] >= 0)
+        pts.append((int(r["label"]), cell))
+    from collections import Counter
+
+    cont = Counter(pts)
+    ca = Counter(a for a, _ in pts)
+    cb = Counter(b for _, b in pts)
+    c2 = lambda n: n * (n - 1) // 2
+    sij = sum(c2(v) for v in cont.values())
+    sa = sum(c2(v) for v in ca.values())
+    sb = sum(c2(v) for v in cb.values())
+    stot = c2(len(pts))
+    num = 2 * (stot * sij - sa * sb)
+    den = stot * (sa + sb) - 2 * sa * sb
+    ari_ppm = int(num * 1000000 / den) if (num < 0) != (den < 0) else (
+        abs(num) * 1000000 // abs(den) * (1 if num * den >= 0 else -1)
+    )
+    # truncation toward zero, matching Spark div / DuckDB //
+    t = abs(num) * 1000000 // abs(den)
+    ari_ppm = t if num * den >= 0 else -t
+    row = adjusted_rand_index(spark, SF).collect()[0]
+    assert (row["sum_comb_ij"], row["sum_comb_a"], row["sum_comb_b"]) == (
+        sij, sa, sb,
+    )
+    assert row["ari_ppm"] == ari_ppm
+
+
+def test_davies_bouldin_model(spark):
+    import math
+
+    from hpmr_spark.operators.cluster_eval2_queries import (
+        davies_bouldin_index,
+    )
+
+    members = {}
+    for r in spark.read.parquet(f"{SF}/embeddings.parquet").collect():
+        v = [math.floor(float(x) * 1000000) for x in r["embedding"]]
+        members.setdefault(int(r["label"]), []).append(v)
+    cents = {}
+    for lab, vs in members.items():
+        dim = len(vs[0])
+        # engine div truncates; sums here are negative-capable
+        def idiv(a, b):
+            q = abs(a) // b
+            return q if a >= 0 else -q
+        cents[lab] = [idiv(sum(v[d] for v in vs), len(vs)) for d in range(dim)]
+    scat = {}
+    for lab, vs in members.items():
+        tot = 0
+        for v in vs:
+            d2 = sum((a - b) ** 2 for a, b in zip(v, cents[lab]))
+            tot += math.floor(math.sqrt(float(d2)) / 1000.0)
+        scat[lab] = tot // len(vs)
+    labs = sorted(members)
+    exp = {}
+    for i in labs:
+        best = None
+        for j in labs:
+            if i == j:
+                continue
+            d2 = sum((a - b) ** 2 for a, b in zip(cents[i], cents[j]))
+            dm = math.floor(math.sqrt(float(d2)) / 1000.0)
+            r = (scat[i] + scat[j]) * 1000000 // dm
+            best = r if best is None else max(best, r)
+        exp[i] = best
+    rows = {r["label"]: r for r in davies_bouldin_index(spark, SF).collect()}
+    assert {k: v["worst_ratio_ppm"] for k, v in rows.items()} == exp
+
+
+def test_count_min_model(spark):
+    import hashlib
+
+    from hpmr_spark.operators.cluster_eval2_queries import (
+        _CM_D,
+        _CM_W,
+        count_min_sketch_est,
+    )
+
+    def h60(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    from collections import Counter
+
+    keys = [
+        int(r["l_partkey"])
+        for r in spark.read.parquet(f"{SF}/lineitem.parquet")
+        .select("l_partkey")
+        .collect()
+    ]
+    exact = Counter(keys)
+    sketch = Counter()
+    for k, c in exact.items():
+        for d in range(_CM_D):
+            sketch[(d, h60(f"cm{d}:{k}") % _CM_W)] += c
+    est = {
+        k: min(sketch[(d, h60(f"cm{d}:{k}") % _CM_W)] for d in range(_CM_D))
+        for k in exact
+    }
+    top = sorted(exact, key=lambda k: (-exact[k], k))[:20]
+    rows = {r["l_partkey"]: r for r in count_min_sketch_est(spark, SF).collect()}
+    assert set(rows) == set(top)
+    for k in top:
+        assert rows[k]["exact_cnt"] == exact[k]
+        assert rows[k]["cm_est"] == est[k]
+        assert rows[k]["never_underestimates"] and est[k] >= exact[k]

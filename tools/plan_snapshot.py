@@ -92,6 +92,7 @@ SKIP = {
     "streaming_checkpoint_exactly_once",  # runs two stream phases at build
     "ivfpq_topk_search",  # k-means training + codebook seeds collect at build
     "elo_online_ratings",  # persisted weekly rollup (3 consumers)
+    "adjusted_rand_index",  # eager localCheckpoint on the contingency table
     "ivfpq_recall_clustered_gate",  # same trainer collects + persisted synth corpus
     "semdedup_centroid_prune",  # integer-Lloyd collects + persisted assign frame
     "dedup_minhash_lsh",  # persisted shingle frame: the r8 bounded-regime
