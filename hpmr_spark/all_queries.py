@@ -156,6 +156,7 @@ _MODULES = [
     "hpmr_spark.operators.corpus_text2_queries",
     "hpmr_spark.operators.seq_models_queries",
     "hpmr_spark.operators.cluster_eval2_queries",
+    "hpmr_spark.operators.valuation_calib_queries",
 ]
 
 FAILED_MODULES: dict[str, str] = {}

@@ -383,3 +383,177 @@ def test_count_min_model(spark):
         assert rows[k]["exact_cnt"] == exact[k]
         assert rows[k]["cm_est"] == est[k]
         assert rows[k]["never_underestimates"] and est[k] >= exact[k]
+
+
+# ---------------------------------------------------------- wave 4 models
+
+def _shap_recurrence(items, K):
+    # items: list of (d2, rid, match) sorted nearest-first
+    N = len(items)
+    s = [0.0] * N
+    s[N - 1] = items[N - 1][2] / N
+    for i in range(N - 2, -1, -1):
+        s[i] = s[i + 1] + (items[i][2] - items[i + 1][2]) / K * min(
+            K, i + 1
+        ) / (i + 1)
+    return s
+
+
+def test_knn_shapley_brute_force_tiny():
+    # exact Shapley by permutation enumeration == closed form (N=6, K=2)
+    import itertools
+
+    K = 2
+    matches = [1, 0, 1, 1, 0, 0]  # nearest-first
+    N = len(matches)
+
+    def utility(subset):  # subset of indices (nearest-first order ids)
+        if not subset:
+            return 0.0
+        nearest = sorted(subset)[:K]
+        return sum(matches[i] for i in nearest) / K
+
+    import math
+
+    phi = [0.0] * N
+    for perm in itertools.permutations(range(N)):
+        cur = []
+        for idx in perm:
+            before = utility(cur)
+            cur.append(idx)
+            phi[idx] += utility(cur) - before
+    phi = [p / math.factorial(N) for p in phi]
+    closed = _shap_recurrence([(i, i, matches[i]) for i in range(N)], K)
+    for a, b in zip(phi, closed):
+        assert abs(a - b) < 1e-12
+
+
+def test_knn_shapley_model(spark):
+    import math
+
+    from hpmr_spark.operators.valuation_calib_queries import (
+        _KNN_K,
+        _TEST_MAX,
+        _TRAIN_MAX,
+        knn_shapley_values,
+    )
+
+    rows = spark.read.parquet(f"{SF}/embeddings.parquet").collect()
+    vecs = {
+        int(r["vec_id"]): (
+            [math.floor(float(x) * 1000000) for x in r["embedding"]],
+            int(r["label"]),
+        )
+        for r in rows
+    }
+    tests = [i for i in vecs if i < _TEST_MAX]
+    trains = [i for i in vecs if _TEST_MAX <= i < _TRAIN_MAX]
+    tot = {}
+    cnt = {}
+    for t in tests:
+        tv, ty = vecs[t]
+        items = []
+        for r in trains:
+            rv, ry = vecs[r]
+            d2 = sum((a - b) ** 2 for a, b in zip(tv, rv))
+            items.append((d2, r, 1.0 if ry == ty else 0.0))
+        items.sort()  # nearest first, ties to smaller id
+        s = _shap_recurrence(items, float(_KNN_K))
+        for (d2, r, m), sv in zip(items, s):
+            tot[r] = tot.get(r, 0) + math.floor(sv * 1e9)
+            cnt[r] = cnt.get(r, 0) + 1
+    got = {r["train_vec_id"]: r for r in knn_shapley_values(spark, SF).collect()}
+    assert set(got) == set(tot)
+    for r in tot:
+        assert got[r]["shapley_nano_total"] == tot[r]
+        assert got[r]["n_tests"] == cnt[r]
+
+
+def test_conformal_aps_model(spark):
+    import math
+
+    from hpmr_spark.operators.valuation_calib_queries import (
+        _APS_ALPHA_PCT,
+        conformal_aps_label_sets,
+    )
+
+    rows = spark.read.parquet(f"{SF}/embeddings.parquet").collect()
+    vecs = {
+        int(r["vec_id"]): (
+            [math.floor(float(x) * 1000000) for x in r["embedding"]],
+            int(r["label"]),
+        )
+        for r in rows
+    }
+    members = {}
+    for v, lab in vecs.values():
+        members.setdefault(lab, []).append(v)
+
+    def idiv(a, b):
+        q = abs(a) // b
+        return q if a >= 0 else -q
+
+    cents = {
+        lab: [idiv(sum(v[d] for v in vs), len(vs)) for d in range(64)]
+        for lab, vs in members.items()
+    }
+    labs = sorted(cents)
+
+    def probs(v):
+        sims = []
+        for lab in labs:
+            c = cents[lab]
+            num = 0
+            for a, b in zip(v, c):
+                num += a * b
+            da = 0
+            for a in v:
+                da += a * a
+            db = 0
+            for b in c:
+                db += b * b
+            sims.append(float(num) / (math.sqrt(float(da)) * math.sqrt(float(db))))
+        exps = [math.exp(10.0 * x) for x in sims]
+        tot = 0.0
+        for x in exps:
+            tot += x
+        return [x / tot for x in exps]
+
+    def aps_score(p, y):
+        return sum(
+            p[c]
+            for c in range(10)
+            if p[c] > p[y] or (p[c] == p[y] and c <= y)
+        )
+
+    cal = sorted(
+        math.floor(aps_score(probs(v), y) * 1e9)
+        for vid, (v, y) in vecs.items()
+        if vid % 2 == 1
+    )
+    k = math.ceil((len(cal) + 1) * (100 - _APS_ALPHA_PCT) / 100.0)
+    qhat = cal[k - 1]
+    exp = {}
+    for vid, (v, y) in vecs.items():
+        if vid % 2 != 0:
+            continue
+        p = probs(v)
+        pre = []
+        for c in range(10):
+            prefix = sum(
+                p[kk]
+                for kk in range(10)
+                if p[kk] > p[c] or (p[kk] == p[c] and kk < c)
+            )
+            pre.append(math.floor((prefix + p[c]) * 1e9))
+        size = min(10, 1 + sum(1 for s in pre if s < qhat))
+        covered = math.floor(aps_score(p, y) * 1e9) < qhat or size >= 10
+        exp[vid] = (y, size, covered)
+    got = {
+        r["vec_id"]: (r["true_label"], r["set_size"], r["covered"])
+        for r in conformal_aps_label_sets(spark, SF).collect()
+    }
+    assert got == exp
+    # sanity: split-conformal coverage should be near 1-alpha
+    cov = sum(1 for _, _, c in exp.values() if c) / len(exp)
+    assert cov >= 0.8
