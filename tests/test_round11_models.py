@@ -557,3 +557,140 @@ def test_conformal_aps_model(spark):
     # sanity: split-conformal coverage should be near 1-alpha
     cov = sum(1 for _, _, c in exp.values() if c) / len(exp)
     assert cov >= 0.8
+
+
+# ---------------------------------------------------------- wave 5 models
+
+def _huffman_lengths(counts):
+    # counts: list in committed (count desc, word) rank order
+    V = len(counts)
+    lens = [0] * V
+    pairs = [(counts[j], 1 << j) for j in range(V)]
+    for _ in range(V - 1):
+        act = sorted(pairs)
+        (w1, m1), (w2, m2) = act[0], act[1]
+        for i in range(V):
+            if (m1 | m2) >> i & 1:
+                lens[i] += 1
+        pairs.remove((w1, m1))
+        pairs.remove((w2, m2))
+        pairs.append((w1 + w2, m1 | m2))
+    return lens
+
+
+def test_huffman_textbook():
+    # CLRS example: {a:45 b:13 c:12 d:16 e:9 f:5} -> 1,3,3,3,4,4
+    # committed rank order = count desc: a45 d16 b13 c12 e9 f5
+    lens = _huffman_lengths([45, 16, 13, 12, 9, 5])
+    assert lens == [1, 3, 3, 3, 4, 4]
+    # Kraft equality for a full binary code
+    assert sum(2 ** -l for l in lens) == 1.0
+
+
+def test_huffman_model(spark):
+    from collections import Counter
+
+    from hpmr_spark.operators.compress_learn_queries import (
+        huffman_code_lengths,
+    )
+
+    cnt = Counter()
+    for r in spark.read.parquet(f"{SF}/documents.parquet").collect():
+        cnt.update(w for w in r["text"].split(" ") if w)
+    ranked = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:62]
+    lens = _huffman_lengths([c for _, c in ranked])
+    exp = {w: (c, l) for (w, c), l in zip(ranked, lens)}
+    rows = {r["word"]: r for r in huffman_code_lengths(spark, SF).collect()}
+    assert {w: (r["cnt"], r["code_len"]) for w, r in rows.items()} == exp
+    assert abs(sum(2 ** -l for l in lens) - 1.0) < 1e-12
+
+
+def test_perceptron_model(spark):
+    import math
+
+    from hpmr_spark.operators.compress_learn_queries import (
+        perceptron_online_epoch,
+    )
+
+    samples = []
+    for r in sorted(
+        spark.read.parquet(f"{SF}/embeddings.parquet").collect(),
+        key=lambda r: r["vec_id"],
+    ):
+        x = [math.floor(float(v) * 1000000) for v in r["embedding"]]
+        y = 2 * (int(r["label"]) % 2) - 1
+        samples.append((x, y))
+    w = [0] * 64
+    b = 0
+    mistakes = 0
+    for x, y in samples:
+        act = sum(a * c for a, c in zip(w, x)) + b * 1000000
+        pred = 1 if act > 0 else -1
+        if pred != y:
+            w = [a + y * c for a, c in zip(w, x)]
+            b += y * 1000000
+            mistakes += 1
+    correct = 0
+    for x, y in samples:
+        act = sum(a * c for a, c in zip(w, x)) + b * 1000000
+        if (1 if act > 0 else -1) == y:
+            correct += 1
+    row = perceptron_online_epoch(spark, SF).collect()[0]
+    assert row["n_samples"] == len(samples)
+    assert row["mistakes"] == mistakes
+    assert row["bias_micro"] == b
+    assert row["weight_l1_micro"] == sum(abs(a) for a in w)
+    assert row["train_correct"] == correct
+
+
+def test_assortativity_model(spark):
+    import math
+
+    from hpmr_spark.operators.compress_learn_queries import (
+        assortativity_degree_trade,
+    )
+
+    cust = {
+        r["c_custkey"]: r["c_nationkey"]
+        for r in spark.read.parquet(f"{SF}/customer.parquet").collect()
+    }
+    supp = {
+        r["s_suppkey"]: r["s_nationkey"]
+        for r in spark.read.parquet(f"{SF}/supplier.parquet").collect()
+    }
+    ordc = {
+        r["o_orderkey"]: cust[r["o_custkey"]]
+        for r in spark.read.parquet(f"{SF}/orders.parquet").collect()
+    }
+    pe = {}
+    for r in spark.read.parquet(f"{SF}/lineitem.parquet").collect():
+        key = (ordc[r["l_orderkey"]], supp[r["l_suppkey"]])
+        pe[key] = pe.get(key, 0) + int(round(r["l_extendedprice"] * 100))
+    tot = sum(pe.values())
+    und = {
+        (min(s, d), max(s, d))
+        for (s, d), v in pe.items()
+        if v * 625 > tot and s != d
+    }
+    sym = [(a, b) for a, b in und] + [(b, a) for a, b in und]
+    deg = {}
+    for a, _ in sym:
+        deg[a] = deg.get(a, 0) + 1
+    xs = [deg[a] for a, _ in sym]
+    ys = [deg[b] for _, b in sym]
+    m = len(sym)
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    sxx = sum(x * x for x in xs)
+    syy = sum(y * y for y in ys)
+    r_nano = math.floor(
+        (float(m) * sxy - float(sx) * sy)
+        / (
+            math.sqrt(float(m) * sxx - float(sx) * sx)
+            * math.sqrt(float(m) * syy - float(sy) * sy)
+        )
+        * 1e9
+    )
+    row = assortativity_degree_trade(spark, SF).collect()[0]
+    assert row["n_directed_edges"] == m
+    assert row["assortativity_nano"] == r_nano

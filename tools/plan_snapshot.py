@@ -93,6 +93,8 @@ SKIP = {
     "ivfpq_topk_search",  # k-means training + codebook seeds collect at build
     "elo_online_ratings",  # persisted weekly rollup (3 consumers)
     "adjusted_rand_index",  # eager localCheckpoint on the contingency table
+    "perceptron_online_epoch",  # eager localCheckpoint on the 1-row fold
+    "assortativity_degree_trade",  # persisted trade-edge frames (pe/sym)
     "ivfpq_recall_clustered_gate",  # same trainer collects + persisted synth corpus
     "semdedup_centroid_prune",  # integer-Lloyd collects + persisted assign frame
     "dedup_minhash_lsh",  # persisted shingle frame: the r8 bounded-regime
