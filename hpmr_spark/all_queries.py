@@ -158,6 +158,7 @@ _MODULES = [
     "hpmr_spark.operators.cluster_eval2_queries",
     "hpmr_spark.operators.valuation_calib_queries",
     "hpmr_spark.operators.compress_learn_queries",
+    "hpmr_spark.operators.edit_graph_queries",
 ]
 
 FAILED_MODULES: dict[str, str] = {}

@@ -694,3 +694,107 @@ def test_assortativity_model(spark):
     row = assortativity_degree_trade(spark, SF).collect()[0]
     assert row["n_directed_edges"] == m
     assert row["assortativity_nano"] == r_nano
+
+
+# ---------------------------------------------------------- wave 6 models
+
+def _osa(a, b):
+    la, lb = len(a), len(b)
+    d = [[0] * (lb + 1) for _ in range(la + 1)]
+    for i in range(la + 1):
+        d[i][0] = i
+    for j in range(lb + 1):
+        d[0][j] = j
+    for i in range(1, la + 1):
+        for j in range(1, lb + 1):
+            cost = 0 if a[i - 1] == b[j - 1] else 1
+            d[i][j] = min(
+                d[i - 1][j] + 1, d[i][j - 1] + 1, d[i - 1][j - 1] + cost
+            )
+            if (
+                i > 1
+                and j > 1
+                and a[i - 1] == b[j - 2]
+                and a[i - 2] == b[j - 1]
+            ):
+                d[i][j] = min(d[i][j], d[i - 2][j - 2] + 1)
+    return d[la][lb]
+
+
+def test_osa_textbook():
+    # the classic OSA-vs-Damerau separator: CA -> ABC is 3 under OSA
+    # (full Damerau-Levenshtein would give 2)
+    assert _osa("ca", "abc") == 3
+    assert _osa("abc", "acb") == 1  # adjacent transposition
+    assert _osa("kitten", "sitting") == 3  # Levenshtein classic
+
+
+def test_osa_model(spark):
+    from hpmr_spark.operators.edit_graph_queries import (
+        _OSA_MAXLEN,
+        osa_vocab_pair_distance,
+    )
+
+    vocab = set()
+    for r in spark.read.parquet(f"{SF}/documents.parquet").collect():
+        vocab.update(w for w in r["text"].split(" ") if w)
+    vocab = sorted(w for w in vocab if len(w) <= _OSA_MAXLEN)
+    exp = {}
+    for i, wa in enumerate(vocab):
+        for wb in vocab[i + 1:]:
+            exp[(wa, wb)] = _osa(wa, wb)
+    rows = {
+        (r["word_a"], r["word_b"]): r["osa_dist"]
+        for r in osa_vocab_pair_distance(spark, SF).collect()
+    }
+    assert rows == exp
+
+
+def test_katz_model(spark):
+    from hpmr_spark.operators.edit_graph_queries import (
+        _KATZ_DEN,
+        _KATZ_K,
+        katz_centrality_trade,
+    )
+
+    cust = {
+        r["c_custkey"]: r["c_nationkey"]
+        for r in spark.read.parquet(f"{SF}/customer.parquet").collect()
+    }
+    supp = {
+        r["s_suppkey"]: r["s_nationkey"]
+        for r in spark.read.parquet(f"{SF}/supplier.parquet").collect()
+    }
+    ordc = {
+        r["o_orderkey"]: cust[r["o_custkey"]]
+        for r in spark.read.parquet(f"{SF}/orders.parquet").collect()
+    }
+    pe = {}
+    for r in spark.read.parquet(f"{SF}/lineitem.parquet").collect():
+        key = (ordc[r["l_orderkey"]], supp[r["l_suppkey"]])
+        pe[key] = pe.get(key, 0) + int(round(r["l_extendedprice"] * 100))
+    tot = sum(pe.values())
+    und = {
+        (min(s, d), max(s, d))
+        for (s, d), v in pe.items()
+        if v * 625 > tot and s != d
+    }
+    adj = {}
+    for a, b in und:
+        adj.setdefault(a, []).append(b)
+        adj.setdefault(b, []).append(a)
+    nodes = sorted(adj)
+    p = {n: 1 for n in nodes}
+    num = {n: 0 for n in nodes}
+    for k in range(1, _KATZ_K + 1):
+        np_ = {n: sum(p[m] for m in adj[n]) for n in nodes}
+        p = np_
+        for n in nodes:
+            num[n] += p[n] * 8 ** (_KATZ_K - k)
+    rows = {
+        r["nationkey"]: r for r in katz_centrality_trade(spark, SF).collect()
+    }
+    assert set(rows) == set(nodes)
+    for n in nodes:
+        assert rows[n]["katz_num"] == num[n]
+        assert rows[n]["katz_micro"] == num[n] * 1000000 // _KATZ_DEN

@@ -95,6 +95,7 @@ SKIP = {
     "adjusted_rand_index",  # eager localCheckpoint on the contingency table
     "perceptron_online_epoch",  # eager localCheckpoint on the 1-row fold
     "assortativity_degree_trade",  # persisted trade-edge frames (pe/sym)
+    "katz_centrality_trade",  # persisted trade-edge frames, same
     "ivfpq_recall_clustered_gate",  # same trainer collects + persisted synth corpus
     "semdedup_centroid_prune",  # integer-Lloyd collects + persisted assign frame
     "dedup_minhash_lsh",  # persisted shingle frame: the r8 bounded-regime
