@@ -435,67 +435,75 @@ for _m in _MODULES:
 # If CORRECTNESS_r09 runs this window, never-checked drops 254 → 233 of
 # 525 (12 first-time carryovers + 5 r8 rows retired; all 33 new operators
 # checked in their own round).
-# Round-10 window AS DRIVER-CHECKED (CORRECTNESS_r08 ran it 50/50 green).
-# Actual committed composition was 38 r10-new + 5 r8-new + 7 riskiest
-# r9-new rows; four r10 ops stayed OUT by documented choice
-# (lsh_s_curve_advisor, power_analysis_table, ipf_raking_weights,
-# energy_distance_twosample — lowest-risk literal-table/fold classes).
-# [Comment corrected per ADVICE r8 — the earlier text undercounted.]
+# Round-11 window (driver round 9). CORRECTNESS_r08 landed 50/50 green,
+# retiring the whole round-10 window. Composition, in VERDICT r8's
+# priority order: (a) all 18 round-11-new operators (own-round rule);
+# (b) every operator whose CODE or ORACLE changed this round — the 3
+# rows-only -> gated conversions, the CDC empty-text guard, the km/ivfpq
+# stage-diet restructures, and the two trained-IVF rows that share the
+# fused-seed trainer; (c) VERDICT r8's named never-checked leads: the 3
+# bench headliners, both sink roundtrips, skew/dedup/grouped-map rows,
+# two multimodal rows, and the reducer_keep_overwrite SS2-canary slot
+# (item 6: one canary per window); (d) oldest never-checked registry
+# rows to fill to 50. ivfpq_topk_search erases its stale r06 no_oracle
+# artifact. If CORRECTNESS_r09 runs this window, never-checked drops
+# 279 -> ~250 of 585 (18 new rows checked in their own round, ~21
+# first-time retirements).
 _CHECK_FIRST = [
-    # round-10 new operators (driver row in their own round)
-    "kcenter_greedy_coreset",
-    "ssl_prototype_prune",
-    "good_turing_unseen_mass",
-    "yule_k_richness",
-    "err_graded_ranking",
-    "youden_j_threshold",
-    "dpo_margin_stats",
-    "krippendorff_alpha_nominal",
-    "randomization_test_mean_diff",
-    "sax_symbolic_motifs",
-    "renyi_efficiency_alpha2",
-    "bh_fdr_control",
-    "mantel_haenszel_pooled_or",
-    "rouge_l_lead_tail",
-    "curriculum_competence_pacing",
-    "wordpiece_maxmatch_tokenize",
-    "moe_router_load_balance",
-    "attention_io_cost_model",
-    "doubly_robust_ope",
+    # (a) round-11 new operators
+    "flesch_kincaid_readability",
+    "lz78_phrase_census",
+    "kalman_1d_level_filter",
+    "hmm_forward_loglik",
+    "croston_intermittent_forecast",
+    "elo_online_ratings",
+    "adjusted_rand_index",
+    "davies_bouldin_index",
+    "item_item_cosine_recs",
+    "count_min_sketch_est",
+    "knn_shapley_values",
+    "conformal_aps_label_sets",
+    "huffman_code_lengths",
+    "perceptron_online_epoch",
+    "assortativity_degree_trade",
+    "identifier_dynamic_table",
+    "katz_centrality_trade",
+    "osa_vocab_pair_distance",
+    # (b) changed this round
+    "approx_distinct_custkeys",
+    "similarity_topk_numpy",
+    "graph_kcore_2",
     "cdc_chunk_dedup",
-    "nf4_quantize_error",
-    "successive_halving_replay",
-    "sinkhorn_ot_langs",
-    "gae_advantage_replay",
-    "condorcet_copeland_winner",
-    "parallelism_memory_plan",
-    "jaro_winkler_pairs",
-    "mink_prob_membership",
-    "fairness_equalized_odds_audit",
-    "ewma_control_chart",
-    "rbp_ranking_metric",
-    "sliced_wasserstein_labels",
-    "hodges_lehmann_location",
-    "cliffs_delta_effect",
-    "pystream_source_tumbling",
-    "cascade_routing_frontier",
-    "kadane_max_subarray",
-    "rmst_survival_time",
-    # the r8-new operators (r8 driver artifacts never landed)
-    "gopher_quality_rules",
+    "km_survival_curve",
+    "ivfpq_topk_search",
     "ivfpq_recall_clustered_gate",
-    "url_canonical_dedup_groups",
-    "url_host_dup_profile",
-    "semdedup_centroid_prune",
-    # riskiest r9-new classes (chained checkpoint decode, persisted
-    # rollups, recursive-CTE oracles, build-time collects, LN-nano LMs)
-    "lm_beam_search_decode",
-    "matrix_profile_daily",
-    "ccnet_ppl_buckets",
-    "cluster_balanced_sample",
-    "doremi_domain_weights",
-    "unimax_language_budget",
-    "stupid_backoff_trigram_score",
+    "similarity_ivf_topk",
+    "similarity_ivf_trained_topk",
+    # (c) VERDICT r8 named leads + SS2 canary + multimodal
+    "text_token_stats",
+    "similarity_cosine_topk",
+    "streaming_tumbling_counts",
+    "sink_csv_roundtrip",
+    "sink_json_roundtrip",
+    "skew_salted_sum_by_status",
+    "dedup_exact_groups",
+    "dedup_simhash_pairs",
+    "grouped_map_lang_stats",
+    "reducer_keep_overwrite",
+    "multimodal_text_vector_join",
+    "multimodal_binary_meta",
+    # (d) oldest never-checked fill
+    "dedup_resolution_keep_docs",
+    "argmax_customer_per_nation",
+    "exists_subquery_priority",
+    "q18_large_volume_orders",
+    "calendar_gap_fill",
+    "percent_rank_prices",
+    "bool_aggregates",
+    "q5_local_supplier_volume",
+    "q7_volume_shipping",
+    "q9_product_type_profit",
+    "q10_returned_items",
 ]
 
 # Retained verbatim as the r7 rotation log (not used for ordering): the
