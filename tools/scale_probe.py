@@ -1312,7 +1312,162 @@ def round10_probe(spark, n: int, vocab_size: int = 4096, ops: str = ""):
         )
 
 
+def round11_probe(spark, n: int, vocab_size: int = 4096, ops: str = ""):
+    """Round-11 probes: the new fold operators at synthetic scale.
+
+    Contracts: lz78/fk are map-only per-doc folds + one small agg (must
+    be linear); hmm/croston are per-group folds whose state is bounded
+    by group size (one groupBy shuffle + map-side fold — linear)."""
+    import time
+
+    do = set(ops.split(",")) if ops else {"lz78", "fk", "hmm", "croston"}
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.lit("en").alias("lang"),
+        F.concat_ws(" ", F.transform(
+            F.sequence(F.lit(1), F.lit(60)),
+            lambda i: F.concat(F.lit("w"), (
+                (F.xxhash64(F.col("id") * 1000 + i) % vocab_size
+                 + vocab_size) % vocab_size).cast("string")),
+        )).alias("text"))
+
+    if "lz78" in do:
+        from hpmr_spark.operators.corpus_text2_queries import (
+            _LZ_COUNT,
+            _WL,
+            _lz78_fold,
+        )
+
+        t0 = time.time()
+        row = (
+            docs.select(F.expr(_WL).alias("wl"))
+            .select(
+                F.expr(
+                    f"aggregate(wl, '|#', {_lz78_fold('instr')})"
+                ).alias("z")
+            )
+            .select(F.expr(f"CAST({_LZ_COUNT} AS BIGINT)").alias("np"))
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("np").alias("s"))
+            .collect()[0]
+        )
+        print(
+            f"round11 lz78 n={n} wall={time.time() - t0:.1f}s "
+            f"docs={row['n']} sum_phrases={row['s']}"
+        )
+
+    if "fk" in do:
+        from hpmr_spark.operators.corpus_text2_queries import (
+            _GRADE,
+            _WL,
+            _fk_cols,
+        )
+
+        t0 = time.time()
+        row = (
+            docs.select(F.expr(_WL).alias("wl"))
+            .select(F.expr(f"struct({_fk_cols('')})").alias("f"))
+            .select("f.w_cnt", "f.y_cnt")
+            .withColumn("s_cnt", F.expr("(w_cnt + 14) div 15"))
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.expr(f"CAST(SUM({_GRADE}) AS BIGINT)").alias("s"),
+            )
+            .collect()[0]
+        )
+        print(
+            f"round11 fk n={n} wall={time.time() - t0:.1f}s "
+            f"docs={row['n']} grade_checksum={row['s']}"
+        )
+
+    if "hmm" in do:
+        from hpmr_spark.operators.seq_models_queries import (
+            _el_spark,
+            _hmm_fold,
+        )
+
+        t0 = time.time()
+        ev = spark.range(n).select(
+            (F.col("id") / 64).cast("long").alias("user_id"),
+            F.col("id").alias("eid"),
+            ((F.xxhash64("id") % 5 + 5) % 5).cast("double").alias("code"),
+        )
+        row = (
+            ev.groupBy("user_id")
+            .agg(
+                F.expr(
+                    "aggregate(transform(sort_array(collect_list("
+                    "struct(eid, code))), p -> array(p.code)),"
+                    " array(0.5e0, 0.5e0, 0.0e0),"
+                    f" {_hmm_fold(_el_spark)})"
+                ).alias("s")
+            )
+            .select(
+                F.expr(
+                    f"CAST(FLOOR({_el_spark('s', '3')} * 1000000000.0e0)"
+                    " AS BIGINT)"
+                ).alias("ll")
+            )
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("ll").alias("s"))
+            .collect()[0]
+        )
+        print(
+            f"round11 hmm n={n} wall={time.time() - t0:.1f}s "
+            f"users={row['n']} loglik_checksum={row['s']}"
+        )
+
+    if "croston" in do:
+        from hpmr_spark.operators.seq_models_queries import (
+            _croston_fold,
+            _el_spark,
+        )
+
+        t0 = time.time()
+        dem = spark.range(n).select(
+            (F.col("id") / 30).cast("long").alias("pk"),
+            (F.col("id") % 30 * 7 + (F.xxhash64("id") % 5 + 5) % 5)
+            .cast("double")
+            .alias("day"),
+            ((F.xxhash64("id", "id") % 50 + 50) % 50 + 1)
+            .cast("double")
+            .alias("q"),
+        )
+        row = (
+            dem.groupBy("pk")
+            .agg(
+                F.expr(
+                    "aggregate(sort_array(collect_list(array(day, q))),"
+                    " array(0.0e0, 0.0e0, 0.0e0, 0.0e0),"
+                    f" {_croston_fold(_el_spark)})"
+                ).alias("s")
+            )
+            .select(
+                F.expr(
+                    f"CAST(FLOOR({_el_spark('s', '1')} * 1000.0e0) AS BIGINT)"
+                ).alias("z")
+            )
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("z").alias("s"))
+            .collect()[0]
+        )
+        print(
+            f"round11 croston n={n} wall={time.time() - t0:.1f}s "
+            f"parts={row['n']} size_checksum={row['s']}"
+        )
+
+
 def main():
+    if len(sys.argv) > 1 and sys.argv[1] == "round11":
+        from hpmr_spark.engine import get_spark
+
+        spark = get_spark("scale-probe-round11")
+        round11_probe(
+            spark,
+            int(sys.argv[2]) if len(sys.argv) > 2 else 1_000_000,
+            vocab_size=int(sys.argv[3]) if len(sys.argv) > 3 else 4096,
+            ops=sys.argv[4] if len(sys.argv) > 4 else "",
+        )
+        spark.stop()
+        return
+
     if len(sys.argv) > 1 and sys.argv[1] == "round10":
         from hpmr_spark.engine import get_spark
 
