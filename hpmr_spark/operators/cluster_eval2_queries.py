@@ -174,7 +174,8 @@ _DB_ORACLE = """
     ),
     ratio AS (
       SELECT cd.i,
-             MAX((si.s_milli + sj.s_milli) * 1000000 // cd.d_milli) AS r_ppm
+             MAX((si.s_milli + sj.s_milli) * 1000000
+                 // GREATEST(cd.d_milli, 1)) AS r_ppm
       FROM cdist cd
         JOIN scat si ON si.lab = cd.i
         JOIN scat sj ON sj.lab = cd.j
@@ -255,7 +256,12 @@ def davies_bouldin_index(spark, sf_dir):
         .join(F.broadcast(sj), "j")
         .groupBy("i")
         .agg(
-            F.expr("MAX((si + sj) * 1000000 div d_milli)").alias("r_ppm")
+            # GREATEST(d_milli, 1): coincident milli-centroids would make
+            # this an ANSI DIVIDE_BY_ZERO runtime error on data change
+            # (ADVICE r9); identical guard in the DuckDB twin.
+            F.expr(
+                "MAX((si + sj) * 1000000 div GREATEST(d_milli, 1))"
+            ).alias("r_ppm")
         )
     )
     return ratio.select(

@@ -194,9 +194,14 @@ def huffman_code_lengths(spark, sf_dir):
     folded = ranked.select(
         "wv",
         "wcnt",
+        # descending-sequence guard (CLAUDE.md round-6 rule): a 1-word vocab
+        # would make sequence(1, 0) = [1, 0] and run two bogus merge steps,
+        # while DuckDB's range(1, 1) is empty — return the init unfolded.
         F.expr(
-            f"aggregate(sequence(1, size(wcnt) - 1),"
+            f"CASE WHEN size(wcnt) >= 2 THEN"
+            f" aggregate(sequence(1, size(wcnt) - 1),"
             f" {_huf_init('spark')}, {_huf_fold('spark')})"
+            f" ELSE {_huf_init('spark')} END"
         ).alias("acc"),
     )
     return folded.select(

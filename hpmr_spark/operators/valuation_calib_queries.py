@@ -197,8 +197,8 @@ _APS_ALPHA_PCT = 10  # alpha = 0.10
 
 
 def _aps_softmax(el) -> str:
-    """scores over 8 labels: softmax of 10·cos(x, centroid_c) — `sims` is
-    an 8-long double array column; returns the prob array expression."""
+    """scores over 10 labels: softmax of 10·cos(x, centroid_c) — `sims` is
+    a 10-long double array column; returns the prob array expression."""
     total = "aggregate(sims, 0.0e0, (acc, x) -> acc + exp(10.0e0 * x))"
     if el is _eld:
         total = (
@@ -211,7 +211,7 @@ def _aps_softmax(el) -> str:
 def _aps_score(el, probs: str, y: str) -> str:
     """APS calibration score: cumulative prob mass, classes in
     (prob desc, label asc) order, up to AND including the true label.
-    probs = 8-long array; exact commitment: sum p_c over classes with
+    probs = 10-long array; exact commitment: sum p_c over classes with
     (p_c, -c) lexicographically >= (p_y, -y)."""
     py = el(probs, f"{y} + 1")
     if el is _eld:
@@ -235,7 +235,7 @@ def _aps_score(el, probs: str, y: str) -> str:
 def _aps_setsize(el, probs: str, q: str) -> str:
     """Prediction-set size: classes in (prob desc, label asc) order until
     cumulative mass >= qhat — i.e. 1 + #classes whose strict-prefix mass
-    stays below qhat, capped at 8. prefix(c) = mass of classes ranked
+    stays below qhat, capped at 10. prefix(c) = mass of classes ranked
     strictly before c; computed per class then counted."""
     if el is _eld:
         prefix = (
@@ -271,10 +271,34 @@ def _aps_setsize(el, probs: str, q: str) -> str:
     ).replace("PR", probs)
 
 
+def _aps_rank(el, probs: str, y: str) -> str:
+    """1-based rank of the true label in (prob desc, label asc) order:
+    1 + #classes strictly before it. `covered` = rank <= set_size is the
+    literal "true label is in the emitted set" predicate — the score<qhat
+    form misclassified the rank-1 class whose inclusive mass floors >=
+    qhat (ADVICE r9)."""
+    py = el(probs, f"{y} + 1")
+    if el is _eld:
+        return (
+            f"(1 + list_sum(list_transform(range(1, 11), c -> CASE WHEN"
+            f" list_extract({probs}, CAST(c AS INT)) > {py}"
+            f" OR (list_extract({probs}, CAST(c AS INT)) = {py}"
+            f" AND c - 1 < {y}) THEN 1 ELSE 0 END)))"
+        )
+    return (
+        f"(1 + aggregate(transform(sequence(1, 10), c -> CASE WHEN"
+        f" element_at({probs}, CAST(c AS INT)) > {py}"
+        f" OR (element_at({probs}, CAST(c AS INT)) = {py}"
+        f" AND c - 1 < {y}) THEN 1 ELSE 0 END),"
+        f" 0, (acc, x) -> acc + x))"
+    )
+
+
 def _aps_oracle() -> str:
     probs = _aps_softmax(_eld)
     score = _aps_score(_eld, "probs", "ty")
     setsize = _aps_setsize(_eld, "probs", "qhat")
+    rank = _aps_rank(_eld, "probs", "ty")
     return f"""
     WITH vi AS (
       SELECT vec_id, CAST(label AS BIGINT) AS lab,
@@ -317,8 +341,7 @@ def _aps_oracle() -> str:
     )
     SELECT vec_id, ty AS true_label,
            {setsize} AS set_size,
-           CAST(FLOOR(({score}) * 1000000000.0e0) AS BIGINT) < qhat
-             OR {setsize} >= 10 AS covered
+           {rank} <= {setsize} AS covered
     FROM probd, qsel
     WHERE vec_id % 2 = 0
 """
@@ -403,6 +426,7 @@ def conformal_aps_label_sets(spark, sf_dir):
         .agg(F.max("sc").alias("qhat"))
     )
     setsize = _aps_setsize(_el, "probs", "qhat")
+    rank = _aps_rank(_el, "probs", "ty")
     return (
         probd.where(F.col("vec_id") % 2 == 0)
         .crossJoin(F.broadcast(qsel))
@@ -410,9 +434,6 @@ def conformal_aps_label_sets(spark, sf_dir):
             "vec_id",
             F.col("ty").alias("true_label"),
             F.expr(setsize).alias("set_size"),
-            F.expr(
-                f"CAST(FLOOR(({score}) * 1000000000.0e0) AS BIGINT) < qhat"
-                f" OR {setsize} >= 10"
-            ).alias("covered"),
+            F.expr(f"{rank} <= {setsize}").alias("covered"),
         )
     )

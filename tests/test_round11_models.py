@@ -40,7 +40,7 @@ def test_flesch_kincaid_model(spark):
         assert (r["n_docs"], r["n_words"], r["n_syllables"]) == (n, w, y)
         tot = sum(grades)
         # engine div truncates toward zero (CLAUDE.md), like int() here
-        assert r["avg_grade_milli"] == int(tot / n) if tot < 0 else tot // n
+        assert r["avg_grade_milli"] == (int(tot / n) if tot < 0 else tot // n)
         assert r["min_grade_milli"] == min(grades)
         assert r["max_grade_milli"] == max(grades)
 
@@ -547,7 +547,14 @@ def test_conformal_aps_model(spark):
             )
             pre.append(math.floor((prefix + p[c]) * 1e9))
         size = min(10, 1 + sum(1 for s in pre if s < qhat))
-        covered = math.floor(aps_score(p, y) * 1e9) < qhat or size >= 10
+        # covered = "true label in the emitted set": rank(y) <= set_size
+        # (the score<qhat form misclassified the rank-1 edge — ADVICE r9)
+        rank = 1 + sum(
+            1
+            for c in range(10)
+            if p[c] > p[y] or (p[c] == p[y] and c < y)
+        )
+        covered = rank <= size
         exp[vid] = (y, size, covered)
     got = {
         r["vec_id"]: (r["true_label"], r["set_size"], r["covered"])
