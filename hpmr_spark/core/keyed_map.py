@@ -188,6 +188,52 @@ class KeyedMap:
         """get_n_buckets analog (src/dist_map.h:98-104)."""
         return self._df.rdd.getNumPartitions()
 
+    # ----------------------------------------------------- load-factor knobs
+    # API-fidelity surface for the reference's hash-table sizing knobs
+    # (src/dist_map.h:25-29, 106-116). Spark owns physical hash-table sizing
+    # (Tungsten BytesToBytesMap + AQE coalescing — SURVEY §4 row 8), so the
+    # "load factor" here is the planning-level analog: keys per shuffle
+    # partition. NOTE the reference's get_load_factor body returns
+    # n_buckets/n_keys (src/dist_map.h:106-109) — transposed vs
+    # std::unordered_map semantics; like the Reducer::min/max transposition
+    # (SURVEY §2.2) we implement the corrected keys-per-bucket ratio and
+    # document the divergence.
+    DEFAULT_MAX_LOAD_FACTOR = 1_000_000.0  # keys per partition before rebalance
+
+    def get_load_factor(self) -> float:
+        """Mean keys per partition (corrected src/dist_map.h:106-109).
+
+        Runs one count job; n_partitions is metadata-only."""
+        parts = self.n_partitions()
+        return float(self.n_keys()) / float(max(parts, 1))
+
+    def get_max_load_factor(self) -> float:
+        """src/dist_map.h:26 analog — the rebalance threshold knob."""
+        return getattr(self, "_max_load_factor", self.DEFAULT_MAX_LOAD_FACTOR)
+
+    def set_max_load_factor(self, max_load_factor: float) -> "KeyedMap":
+        """src/dist_map.h:110-116 analog. The reference rehashes its local +
+        remote maps; here the knob is recorded and `rebalance()` applies it
+        by hash-repartitioning so keys/partition <= max_load_factor.
+        Execution-level sizing stays with Tungsten/AQE — this is the
+        planning-surface no-op knob SURVEY §2 row 9 promises, made real
+        enough to drive `reserve` with."""
+        if max_load_factor <= 0:
+            raise ValueError("max_load_factor must be positive")
+        self._max_load_factor = float(max_load_factor)
+        return self
+
+    def rebalance(self) -> "KeyedMap":
+        """Repartition to ceil(n_keys / max_load_factor) partitions (the
+        reference's rehash-on-threshold, as an explicit call: Spark plans
+        are immutable so the trigger is pull- not write-driven)."""
+        import math
+
+        target = max(1, math.ceil(self.n_keys() / self.get_max_load_factor()))
+        out = self.reserve(target)
+        out._max_load_factor = self.get_max_load_factor()
+        return out
+
     def reserve(self, n_partitions: int) -> "KeyedMap":
         """Pre-size partitioning (src/dist_map.h:82-88): hash-repartition on key."""
         return KeyedMap(

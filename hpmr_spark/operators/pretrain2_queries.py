@@ -640,6 +640,35 @@ def contamination_spans_df(docs, eval_source: str = "src0"):
 
 _MARGIN_K = 4  # neighborhood size for the margin denominator (committed)
 
+# VERDICT r9 item 4: the exact all-pairs baselines get the GEMM_N_CEILING
+# treatment (similarity/lsh.py:157-161). Above this declared corpus size the
+# O(N²) cross join is refused with a routing message — the committed scoring
+# expression is unchanged, only the candidate generation moves to the IVF
+# shortlist. 100k vectors is already 10^10 pairs; nothing exact survives
+# past that, and the estimator is never consulted (declared-n only).
+EXACT_PAIRS_N_CEILING = 100_000
+
+
+def _exact_pairs_guard(op_name: str, n_rows, sf_dir: str):
+    """Declared-n dispatch guard for the exact all-pairs baselines.
+
+    n_rows=None reads the parquet FOOTER (driver-side pyarrow metadata, no
+    Spark job — the dedup/minhash.py size-aware-dispatch idiom); a caller
+    with a known corpus size passes it explicitly."""
+    if n_rows is None:
+        from hpmr_spark.operators.dedup_queries import _parquet_num_rows
+
+        n_rows = _parquet_num_rows(f"{sf_dir}/embeddings.parquet")
+    if n_rows is not None and n_rows > EXACT_PAIRS_N_CEILING:
+        raise ValueError(
+            f"{op_name}: exact all-pairs scoring over n_rows={n_rows} "
+            f"exceeds EXACT_PAIRS_N_CEILING={EXACT_PAIRS_N_CEILING}: "
+            "O(N²) cross-join compute is not realistic at this size. "
+            "Run the same committed cosine/margin scoring over the IVF "
+            "shortlist instead (hpmr_spark.similarity.lsh.ivf_topk_trained "
+            "or similarity.ivfpq) — only candidate generation changes."
+        )
+
 _SCORE_NANO = (
     "CAST(FLOOR(CAST(dot_micros AS DOUBLE) * 1000000000.0"
     " / SQRT(CAST(n2x AS DOUBLE) * CAST(n2y AS DOUBLE))) AS BIGINT)"
@@ -707,7 +736,7 @@ _BITEXT_ORACLE = f"""
 
 
 @register("bitext_margin_mining", _BITEXT_ORACLE)
-def bitext_margin_mining(spark, sf_dir):
+def bitext_margin_mining(spark, sf_dir, n_rows=None):
     """Margin-based parallel-pair mining (Artetxe & Schwenk 2019): split
     the embedding corpus into halves A (even vec_id) / B (odd), score all
     cross pairs with exact-integer cosine moments (per-term floored dot
@@ -722,6 +751,7 @@ def bitext_margin_mining(spark, sf_dir):
     id, all tie-breaks total. The 100 TB path scores the same committed
     expression over the IVF shortlist (similarity/ivfpq.py) instead of the
     cross join."""
+    _exact_pairs_guard("bitext_margin_mining", n_rows, sf_dir)
     emb = _t(spark, sf_dir, "embeddings")
     n2 = F.aggregate(
         F.transform(
@@ -1591,7 +1621,7 @@ _HN_ORACLE = f"""
 
 
 @register("hard_negative_mining", _HN_ORACLE)
-def hard_negative_mining(spark, sf_dir):
+def hard_negative_mining(spark, sf_dir, n_rows=None):
     """Hard-negative mining for contrastive/retrieval training (DPR,
     Karpukhin et al. 2020; ANCE): for each query vector (committed subset
     vec_id % {Q} = 0), the top-{K} most-similar vectors with a DIFFERENT
@@ -1604,6 +1634,7 @@ def hard_negative_mining(spark, sf_dir):
     label-mismatch filter pushes into the shortlist scan.""".replace(
         "{Q}", str(_HN_QMOD)
     ).replace("{K}", str(_HN_K))
+    _exact_pairs_guard("hard_negative_mining", n_rows, sf_dir)
     emb = _t(spark, sf_dir, "embeddings")
     n2 = F.aggregate(
         F.transform(
