@@ -159,6 +159,11 @@ _MODULES = [
     "hpmr_spark.operators.valuation_calib_queries",
     "hpmr_spark.operators.compress_learn_queries",
     "hpmr_spark.operators.edit_graph_queries",
+    # round-10 (driver) modules
+    "hpmr_spark.operators.optrain_queries",
+    "hpmr_spark.operators.rag_eval_queries",
+    "hpmr_spark.operators.quant_block_queries",
+    "hpmr_spark.operators.retrieval_serve_queries",
 ]
 
 FAILED_MODULES: dict[str, str] = {}
