@@ -73,11 +73,19 @@ def token_f1_paired_docs(spark, sf_dir):
     (DuckDB's empty-aggregate-NULL trap COALESCEd on both sides). Shape:
     one token-count agg + one equi-join on (adjacent id, token)."""
     d = _t(spark, sf_dir, "documents")
+    # persisted: 3 consumers (lens, pred side, gold side) — no cross-tree
+    # CSE in Catalyst, so without the persist each re-derives the explode
+    # + count over the corpus. Plan-uniqueness dummy per the cache-aliasing
+    # rule (wand's postings frame has the same canonical shape).
     toks = (
         d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
         .where(F.col("w") != "")
         .groupBy("doc_id", "w")
-        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(
+            F.count(F.lit(1)).alias("c"),
+            F.max(F.lit(0)).alias("_uq_tf1"),
+        )
+        .persist()
     )
     lens = toks.groupBy("doc_id").agg(F.sum("c").cast("long").alias("len"))
     p = toks.where(F.expr(_PAIR_PRED)).select(
@@ -175,6 +183,10 @@ def context_recall_topk(spark, sf_dir):
     (bounded by shared tokens — never |q|×|corpus|); the per-query rank
     is a partitioned bounded top-k window."""
     d = _t(spark, sf_dir, "documents")
+    # persisted: consumed by the query-term side and the corpus side of
+    # the inverted-index join (no cross-tree CSE). distinct() gives it an
+    # aggregate whose grouping set is plan-unique already (doc, lang,
+    # source, w), but carry a dummy anyway per the cache-aliasing rule.
     toks = (
         d.select(
             "doc_id",
@@ -183,6 +195,9 @@ def context_recall_topk(spark, sf_dir):
             F.explode(F.array_distinct(F.split("text", " "))).alias("w"),
         )
         .where(F.col("w") != "")
+        .groupBy("doc_id", "lang", "source", "w")
+        .agg(F.max(F.lit(0)).alias("_uq_cr"))
+        .persist()
     )
     q = d.where(F.col("doc_id") % _CR_QMOD == 0).select(
         F.col("doc_id").alias("qid"),

@@ -105,11 +105,20 @@ def wand_upper_bound_prune(spark, sf_dir):
     WAND's block-max variants improve on. Inverted-index joins only;
     candidates bounded by postings of 3 terms."""
     d = _t(spark, sf_dir, "documents")
+    # persisted postings frame: 2 direct consumers (idf, scored-side) +
+    # the query-term subtree — no cross-tree CSE, so the un-persisted form
+    # re-derived the corpus explode per consumer (12 shuffles). Dummy agg
+    # keeps the plan unique vs token_f1's identical-shape frame
+    # (cache-aliasing rule).
     toks = (
         d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
         .where(F.col("w") != "")
         .groupBy("doc_id", "w")
-        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("tf"),
+            F.max(F.lit(0)).alias("_uq_wand"),
+        )
+        .persist()
     )
     nd = d.agg(F.count(F.lit(1)).cast("long").alias("nd"))
     idf = (
@@ -124,9 +133,11 @@ def wand_upper_bound_prune(spark, sf_dir):
             ).alias("idf_nano"),
         )
     )
+    # persisted: scored feeds the per-term upper bounds AND the candidate
+    # scoring join
     scored = toks.join(idf, "w").select(
         "doc_id", "w", (F.col("tf") * F.col("idf_nano")).alias("s_nano")
-    )
+    ).persist()
     ub = scored.groupBy("w").agg(F.max("s_nano").cast("long").alias("ub_nano"))
     qterm = (
         toks.where(F.col("doc_id") % _WAND_QMOD == 0)

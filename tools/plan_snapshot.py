@@ -123,6 +123,9 @@ SKIP = {
     "streaming_ewma_user_state",  # runs the stream at build
     "graph_modularity_ppm",  # persisted edge/label frames (LPA pattern)
     "pmi_top_pairs",  # persisted bigram frame (4 consumers)
+    "token_f1_paired_docs",  # persisted token-count frame (3 consumers)
+    "context_recall_topk",  # persisted distinct-token frame (2 consumers)
+    "wand_upper_bound_prune",  # persisted postings + scored frames
     "nearest_centroid_eval",  # persisted quantized (vec, dim) frame
     "hill_tail_index",  # persisted top-17 frame (threshold + log-sum)
     "influence_cascade_reach",  # persisted edge/frontier frames (BFS)
