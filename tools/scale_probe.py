@@ -1454,7 +1454,106 @@ def round11_probe(spark, n: int, vocab_size: int = 4096, ops: str = ""):
         )
 
 
+def round12_probe(spark, n: int, ops: str = ""):
+    """Round-12 probes (VERDICT r9 item 8): the round-11 fold family's
+    largest members at 10×+ — ELO's 25-rating weekly fold and Katz's K=8
+    exact-rational series. Both are calendar/rank-BOUNDED: the fold/walk
+    state never grows with fact count; only the one fact-pass rollup
+    scales. The probe runs the EXACT committed query pipelines over
+    synthetic fact tables (a _t monkeypatch), so the measured wall is the
+    real operator, not a replica."""
+    import time
+
+    do = set(ops.split(",")) if ops else {"elo", "katz"}
+
+    n_cust = 10_000
+    n_supp = 1_000
+    orders = spark.range(n).select(
+        F.col("id").alias("o_orderkey"),
+        (F.col("id") % n_cust).alias("o_custkey"),
+        F.expr(
+            "CAST(date_add(DATE '1995-01-01',"
+            " CAST((xxhash64(id) % 2400 + 2400) % 2400 AS INT)) AS TIMESTAMP_NTZ)"
+        ).alias("o_orderdate"),
+        F.expr(
+            "CAST((xxhash64(id * 7) % 500000 + 500000) % 500000 + 100 AS DOUBLE)"
+            " / 100.0"
+        ).alias("o_totalprice"),
+    )
+    customer = spark.range(n_cust).select(
+        F.col("id").alias("c_custkey"),
+        (F.col("id") % 25).cast("int").alias("c_nationkey"),
+    )
+    lineitem = spark.range(n).select(
+        (F.col("id") % (n // 4 + 1)).alias("l_orderkey"),
+        (F.col("id") % n_supp).alias("l_suppkey"),
+        F.expr(
+            "CAST((xxhash64(id * 13) % 900000 + 900000) % 900000 + 100"
+            " AS DOUBLE) / 100.0"
+        ).alias("l_extendedprice"),
+    )
+    orders_k = spark.range(n // 4 + 1).select(
+        F.col("id").alias("o_orderkey"),
+        (F.col("id") % n_cust).alias("o_custkey"),
+    )
+    supplier = spark.range(n_supp).select(
+        F.col("id").alias("s_suppkey"),
+        (F.col("id") % 25).cast("int").alias("s_nationkey"),
+    )
+
+    if "elo" in do:
+        import hpmr_spark.operators.seq_models_queries as sm
+
+        tables = {"orders": orders, "customer": customer}
+        orig = sm._t
+        sm._t = lambda s, d, name: tables[name]
+        try:
+            t0 = time.time()
+            rows = sm.elo_online_ratings(spark, "synthetic").collect()
+            print(
+                f"round12 elo n={n} wall={time.time() - t0:.1f}s "
+                f"rows={len(rows)}",
+                flush=True,
+            )
+        finally:
+            sm._t = orig
+
+    if "katz" in do:
+        import hpmr_spark.operators.edit_graph_queries as eg
+
+        tables = {
+            "customer": customer,
+            "orders": orders_k,
+            "lineitem": lineitem,
+            "supplier": supplier,
+        }
+        orig = eg._t
+        eg._t = lambda s, d, name: tables[name]
+        try:
+            t0 = time.time()
+            rows = eg.katz_centrality_trade(spark, "synthetic").collect()
+            print(
+                f"round12 katz n={n} wall={time.time() - t0:.1f}s "
+                f"rows={len(rows)}",
+                flush=True,
+            )
+        finally:
+            eg._t = orig
+
+
 def main():
+    if len(sys.argv) > 1 and sys.argv[1] == "round12":
+        from hpmr_spark.engine import get_spark
+
+        spark = get_spark("scale-probe-round12")
+        round12_probe(
+            spark,
+            int(sys.argv[2]) if len(sys.argv) > 2 else 1_000_000,
+            ops=sys.argv[3] if len(sys.argv) > 3 else "",
+        )
+        spark.stop()
+        return
+
     if len(sys.argv) > 1 and sys.argv[1] == "round11":
         from hpmr_spark.engine import get_spark
 
