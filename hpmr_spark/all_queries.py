@@ -455,6 +455,93 @@ for _m in _MODULES:
 # 279 -> ~250 of 585 (18 new rows checked in their own round, ~21
 # first-time retirements).
 _CHECK_FIRST = [
+    # ============== ROUND-12 WINDOW (driver round 10) ==============
+    # CORRECTNESS_r09 landed 50/50 green, retiring the whole round-11
+    # window. Composition, in VERDICT r9's priority order:
+    # (a) all 12 round-12-new operators (own-round rule);
+    # (b) conformal_aps_label_sets — its `covered` OUTPUT semantics
+    #     changed this round (ADVICE r9 rank fix); the other
+    #     ADVICE/trainer-touched rows (huffman guard, DB-index guard,
+    #     ivfpq/trained-IVF driver-side Lloyd, all-pairs ceilings) emit
+    #     BIT-IDENTICAL values (selfcheck-verified at 3 SFs) and keep
+    #     selfcheck+invariance coverage, so they don't burn slots;
+    # (c) the rotating §2 canary: point_lookup_get (DistMap::get,
+    #     checked only in r01);
+    # (d) VERDICT r9 item 1+6 named leads: both remaining sink
+    #     roundtrips, dedup_incremental_epochs, the three never-checked
+    #     multimodal rows, hard_negative_mining (never-checked AND
+    #     ceiling-touched);
+    # (e) 29 risk-weighted never-checked retirements: Python-worker +
+    #     PyDataSource paths, write-at-build IVM/MERGE, streaming,
+    #     every remaining cache-aliasing-class persisted frame, the
+    #     10-shuffle rank machinery, the LN/EXP-commitment family, the
+    #     int128-nanos family, the sketch merge laws, the sqrt-form GEMM
+    #     contract, and the Spark-4 SQL surfaces.
+    # Accounting: 255 never-checked at r12 start + 12 own-round rows −
+    # 36 retirements → 219 of 597. Item 1's ≤205 bar is unreachable in
+    # one round once the 12 new operators (correctly) take own-round
+    # rows — same 50-row-cap arithmetic the r8 close documented; two
+    # more rotations clear the tail.
+    # (a) round-12 new operators
+    "adam_update_fold",
+    "grpo_group_advantages",
+    "gradient_noise_scale",
+    "logistic_sgd_fold",
+    "token_f1_paired_docs",
+    "context_recall_topk",
+    "citation_ngram_support",
+    "absmax_int8_block_quant",
+    "msfp_block_float_census",
+    "wand_upper_bound_prune",
+    "bigram_greedy_draft_accept",
+    "simrank_bipartite_iter1",
+    # (b) output-changed this round
+    "conformal_aps_label_sets",
+    # (c) §2 canary (DistMap::get — r01-only row)
+    "point_lookup_get",
+    # (d) VERDICT r9 named leads
+    "sink_orc_roundtrip",
+    "sink_text_roundtrip",
+    "dedup_incremental_epochs",
+    "multimodal_decode_meta",
+    "multimodal_frame_sample",
+    "multimodal_content_dedup",
+    "hard_negative_mining",
+    # (e) risk-weighted never-checked fill
+    "pandas_udf_token_count",
+    "pydatasource_seq_agg",
+    "ivm_running_daily_revenue",
+    "merge_upsert_customers",
+    "streaming_sliding_activity",
+    "cooccurrence_window2",
+    "bigram_lm_counts",
+    "rolling_median_7day",
+    "chi_square_independence",
+    "median_absolute_deviation",
+    "mahalanobis_outliers_top20",
+    "clustering_coefficient_ppm",
+    "holt_linear_forecast_weekly",
+    "mmr_diversified_topk",
+    "weighted_sample_topk_es",
+    "label_drift_js_nano",
+    "mutual_information_nano",
+    "target_encoding_loo",
+    "kde_price_grid_nano",
+    "softmax_temperature_mixture",
+    "zipf_fit_slope",
+    "minhash_merge_property",
+    "kmv_merge_property",
+    "bloom_semi_prune",
+    "sketch_bounded_checks",
+    "gemm_block_prune_report",
+    "sql_session_variables",
+    "pipe_syntax_orders_summary",
+    "asof_join_with_tolerance",
+]
+
+# Retained as the round-11 rotation log (not used for ordering): the rows
+# the r11 window checked, all green in CORRECTNESS_r09.
+_R11_CHECK_FIRST = [
     # (a) round-11 new operators
     "flesch_kincaid_readability",
     "lz78_phrase_census",
