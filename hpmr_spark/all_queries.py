@@ -164,6 +164,10 @@ _MODULES = [
     "hpmr_spark.operators.rag_eval_queries",
     "hpmr_spark.operators.quant_block_queries",
     "hpmr_spark.operators.retrieval_serve_queries",
+    "hpmr_spark.operators.eval_extra_queries",
+    "hpmr_spark.operators.sampling3_queries",
+    "hpmr_spark.operators.graph_central2_queries",
+    "hpmr_spark.operators.matching_queries",
 ]
 
 FAILED_MODULES: dict[str, str] = {}
@@ -477,11 +481,14 @@ _CHECK_FIRST = [
     #     10-shuffle rank machinery, the LN/EXP-commitment family, the
     #     int128-nanos family, the sketch merge laws, the sqrt-form GEMM
     #     contract, and the Spark-4 SQL surfaces.
-    # Accounting: 255 never-checked at r12 start + 12 own-round rows −
-    # 36 retirements → 219 of 597. Item 1's ≤205 bar is unreachable in
-    # one round once the 12 new operators (correctly) take own-round
-    # rows — same 50-row-cap arithmetic the r8 close documented; two
-    # more rotations clear the tail.
+    # Accounting: 255 never-checked at r12 start + 17 own-round rows −
+    # 31 retirements → 224 of 602. Item 1's ≤205 bar is unreachable in
+    # one round once the 17 new operators (correctly) take own-round
+    # rows — same 50-row-cap arithmetic the r8 close documented; the five
+    # lowest-risk fill rows (both plain Spark-4 SQL surfaces, the plain
+    # asof join, two of three LN/EXP reps — the family keeps
+    # weighted_sample_topk_es + kde_price_grid_nano in-window) deferred to make room for the wave-5/6
+    # operators; two more rotations clear the tail.
     # (a) round-12 new operators
     "adam_update_fold",
     "grpo_group_advantages",
@@ -495,6 +502,11 @@ _CHECK_FIRST = [
     "wand_upper_bound_prune",
     "bigram_greedy_draft_accept",
     "simrank_bipartite_iter1",
+    "brevity_penalty_census",
+    "roc_convex_hull",
+    "reservoir_sample_fold",
+    "brandes_betweenness_trade",
+    "gale_shapley_stable_match",
     # (b) output-changed this round
     "conformal_aps_label_sets",
     # (c) §2 canary (DistMap::get — r01-only row)
@@ -527,16 +539,11 @@ _CHECK_FIRST = [
     "mutual_information_nano",
     "target_encoding_loo",
     "kde_price_grid_nano",
-    "softmax_temperature_mixture",
-    "zipf_fit_slope",
     "minhash_merge_property",
-    "kmv_merge_property",
     "bloom_semi_prune",
     "sketch_bounded_checks",
+    "kmv_merge_property",
     "gemm_block_prune_report",
-    "sql_session_variables",
-    "pipe_syntax_orders_summary",
-    "asof_join_with_tolerance",
 ]
 
 # Retained as the round-11 rotation log (not used for ordering): the rows

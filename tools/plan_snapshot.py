@@ -124,6 +124,7 @@ SKIP = {
     "graph_modularity_ppm",  # persisted edge/label frames (LPA pattern)
     "pmi_top_pairs",  # persisted bigram frame (4 consumers)
     "token_f1_paired_docs",  # persisted token-count frame (3 consumers)
+    "brandes_betweenness_trade",  # eager localCheckpoints on the hop frames
     "context_recall_topk",  # persisted distinct-token frame (2 consumers)
     "wand_upper_bound_prune",  # persisted postings + scored frames
     "nearest_centroid_eval",  # persisted quantized (vec, dim) frame
