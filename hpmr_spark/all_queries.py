@@ -168,6 +168,9 @@ _MODULES = [
     "hpmr_spark.operators.sampling3_queries",
     "hpmr_spark.operators.graph_central2_queries",
     "hpmr_spark.operators.matching_queries",
+    "hpmr_spark.operators.corpus_scan2_queries",
+    "hpmr_spark.operators.hashtable_sim_queries",
+    "hpmr_spark.operators.budget_knapsack_queries",
 ]
 
 FAILED_MODULES: dict[str, str] = {}
@@ -481,8 +484,14 @@ _CHECK_FIRST = [
     #     10-shuffle rank machinery, the LN/EXP-commitment family, the
     #     int128-nanos family, the sketch merge laws, the sqrt-form GEMM
     #     contract, and the Spark-4 SQL surfaces.
-    # Accounting: 255 never-checked at r12 start + 17 own-round rows −
-    # 31 retirements → 224 of 602. Item 1's ≤205 bar is unreachable in
+    # Accounting (second sitting: 21 own-round new operators total):
+    # 255 never-checked at r12 start + 21 own-round rows − 27
+    # retirements → 228 of 606. Four more fill rows deferred for the
+    # wave-7 ops (rolling_median — the cache-aliasing class keeps
+    # cooccurrence/bigram_lm/chi²; bloom_semi_prune — sketch laws keep
+    # minhash/kmv/bounded_checks; mutual_information — int128 nanos
+    # keeps label_drift_js + target_encoding_loo; kde — LN/EXP keeps
+    # weighted_sample_topk_es). Item 1's ≤205 bar is unreachable in
     # one round once the 17 new operators (correctly) take own-round
     # rows — same 50-row-cap arithmetic the r8 close documented; the five
     # lowest-risk fill rows (both plain Spark-4 SQL surfaces, the plain
@@ -507,6 +516,10 @@ _CHECK_FIRST = [
     "reservoir_sample_fold",
     "brandes_betweenness_trade",
     "gale_shapley_stable_match",
+    "multi_pattern_contamination_scan",
+    "token_pruning_census",
+    "linear_probe_displacement_census",
+    "knapsack_source_selection",
     # (b) output-changed this round
     "conformal_aps_label_sets",
     # (c) §2 canary (DistMap::get — r01-only row)
@@ -527,7 +540,6 @@ _CHECK_FIRST = [
     "streaming_sliding_activity",
     "cooccurrence_window2",
     "bigram_lm_counts",
-    "rolling_median_7day",
     "chi_square_independence",
     "median_absolute_deviation",
     "mahalanobis_outliers_top20",
@@ -536,11 +548,8 @@ _CHECK_FIRST = [
     "mmr_diversified_topk",
     "weighted_sample_topk_es",
     "label_drift_js_nano",
-    "mutual_information_nano",
     "target_encoding_loo",
-    "kde_price_grid_nano",
     "minhash_merge_property",
-    "bloom_semi_prune",
     "sketch_bounded_checks",
     "kmv_merge_property",
     "gemm_block_prune_report",
