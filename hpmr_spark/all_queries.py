@@ -171,6 +171,7 @@ _MODULES = [
     "hpmr_spark.operators.corpus_scan2_queries",
     "hpmr_spark.operators.hashtable_sim_queries",
     "hpmr_spark.operators.budget_knapsack_queries",
+    "hpmr_spark.operators.freshness_queries",
 ]
 
 FAILED_MODULES: dict[str, str] = {}
@@ -484,9 +485,10 @@ _CHECK_FIRST = [
     #     10-shuffle rank machinery, the LN/EXP-commitment family, the
     #     int128-nanos family, the sketch merge laws, the sqrt-form GEMM
     #     contract, and the Spark-4 SQL surfaces.
-    # Accounting (second sitting: 21 own-round new operators total):
-    # 255 never-checked at r12 start + 21 own-round rows − 27
-    # retirements → 228 of 606. Four more fill rows deferred for the
+    # Accounting (second sitting: 22 own-round new operators total):
+    # 255 never-checked at r12 start + 22 own-round rows − 26
+    # retirements → 229 of 607 (minhash_merge_property also deferred —
+    # sketch laws keep kmv_merge_property + sketch_bounded_checks). Four more fill rows deferred for the
     # wave-7 ops (rolling_median — the cache-aliasing class keeps
     # cooccurrence/bigram_lm/chi²; bloom_semi_prune — sketch laws keep
     # minhash/kmv/bounded_checks; mutual_information — int128 nanos
@@ -520,6 +522,7 @@ _CHECK_FIRST = [
     "token_pruning_census",
     "linear_probe_displacement_census",
     "knapsack_source_selection",
+    "freshness_decay_weights",
     # (b) output-changed this round
     "conformal_aps_label_sets",
     # (c) §2 canary (DistMap::get — r01-only row)
@@ -549,7 +552,6 @@ _CHECK_FIRST = [
     "weighted_sample_topk_es",
     "label_drift_js_nano",
     "target_encoding_loo",
-    "minhash_merge_property",
     "sketch_bounded_checks",
     "kmv_merge_property",
     "gemm_block_prune_report",

@@ -251,3 +251,48 @@ def test_knapsack_source_selection_model(spark):
         wsum = sum(w for bit, w, _ in items if m & bit)
         vsum = sum(v for bit, _, v in items if m & bit)
         assert wsum <= u and vsum == val
+
+
+# ----------------------------------------------------- freshness decay
+
+
+def test_freshness_decay_weights_model(spark):
+    from hpmr_spark.operators.freshness_queries import (
+        _FRESH_HALFLIFE_US,
+        freshness_decay_weights,
+    )
+    from hpmr_spark.sources.tables import load_events
+
+    rows = load_events(spark, SF).select("event_type", "ts").collect()
+    import datetime
+
+    # exact micros: combine day/second/microsecond fields to avoid float
+    # rounding in .timestamp()
+    def us_exact(ts):
+        epoch = datetime.datetime(1970, 1, 1)
+        delta = ts - epoch
+        return delta.days * 86400_000_000 + delta.seconds * 1_000_000 + delta.microseconds
+
+    mx = max(us_exact(r["ts"]) for r in rows)
+    st = defaultdict(lambda: [0, 0])
+    for r in rows:
+        age = mx - us_exact(r["ts"])
+        w = math.floor(
+            math.exp(0.0 - math.log(2.0) * (age / _FRESH_HALFLIFE_US)) * 1e9
+        )
+        st[r["event_type"]][0] += 1
+        st[r["event_type"]][1] += w
+    exp = {
+        t: (n, m, m * 1_000_000 // (n * 1_000_000_000))
+        for t, (n, m) in st.items()
+    }
+    got = {
+        r["event_type"]: (
+            r["n_events"], r["decayed_mass_nano"], r["freshness_ppm"]
+        )
+        for r in freshness_decay_weights(spark, SF).collect()
+    }
+    assert got == exp and len(got) == 5
+    # non-vacuity: decay actually discounts (mass strictly below count·1e9)
+    for n, m, ppm in got.values():
+        assert 0 < m < n * 1_000_000_000 and 0 < ppm < 1_000_000
