@@ -123,6 +123,9 @@ def _roc_oracle() -> str:
       WHERE a.x < p.x AND p.x < b.x
         AND (b.y - a.y) * (p.x - a.x) - (p.y - a.y) * (b.x - a.x) > 0
     )
+    AND NOT EXISTS (
+      SELECT 1 FROM pts c WHERE c.x = p.x AND c.y > p.y
+    )
 """
 
 
@@ -184,8 +187,24 @@ def roc_convex_hull(spark, sf_dir):
         .select("x", "y")
         .distinct()
     )
-    return pts.join(dominated, ["x", "y"], "left_anti").select(
-        F.col("x").alias("fp"), F.col("y").alias("tp")
+    # equal-x dominance (ADVICE r10): a point with the same FP count but a
+    # strictly higher TP count dominates outright — the straddling-segment
+    # test (strict ax < x < bx) cannot see vertical dominance, so score
+    # buckets containing only positives would otherwise leave a dominated
+    # point (same fp, lower tp) on the "hull".
+    c = pts.select(F.col("x").alias("cx"), F.col("y").alias("cy"))
+    same_x_dom = (
+        pts.join(
+            F.broadcast(c),
+            (F.col("cx") == F.col("x")) & (F.col("cy") > F.col("y")),
+        )
+        .select("x", "y")
+        .distinct()
+    )
+    return (
+        pts.join(dominated, ["x", "y"], "left_anti")
+        .join(same_x_dom, ["x", "y"], "left_anti")
+        .select(F.col("x").alias("fp"), F.col("y").alias("tp"))
     )
 
 

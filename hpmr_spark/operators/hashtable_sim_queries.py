@@ -31,7 +31,13 @@ from hpmr_spark.catalog import _t, register
 from hpmr_spark.functions.hashing import spark_sql_hash60, sql_hash60
 
 _LP_M = 2048  # committed table size (power of two, like the reference)
-_LP_KMOD = 10  # committed key subset: c_custkey % 10 = 0 (α < 1 at all SFs)
+# committed key subset: c_custkey % 10 = 0. α < 1 holds for the SFs this
+# repo exercises (sf0.001-sf0.1: ≤1500 keys vs 2048 slots); at sf1 the
+# subset is ~15k keys (α ≈ 7.3) where the carry recurrence's fixed-point
+# argument breaks — the query fn guards α < 1 from the parquet footer
+# (ADVICE r10) and raises with a routing message instead of emitting a
+# silently-invalid census.
+_LP_KMOD = 10
 
 
 def _el_spark(a: str, i: str) -> str:
@@ -106,7 +112,26 @@ def linear_probe_displacement_census(spark, sf_dir):
     argument. Emits table size, key count, load factor (ppm), total
     probe displacement, worst cluster overflow, and empty slots — the
     exact numbers behind KeyedMap.set_max_load_factor policy
-    (src/dist_map.h:25-29 / SURVEY §2 row 9)."""
+    (src/dist_map.h:25-29 / SURVEY §2 row 9).
+
+    Guard: the carry recurrence's two-pass wraparound fold is valid only
+    at load factor < 1. c_custkey is consecutive 1..n in this data, so
+    the committed subset has exactly n div _LP_KMOD keys — declared from
+    the parquet footer (driver-side metadata, no Spark job). Above the
+    table size the query raises with a routing message (the
+    EXACT_PAIRS_N_CEILING pattern)."""
+    from hpmr_spark.operators.dedup_queries import _parquet_num_rows
+
+    n_cust = _parquet_num_rows(f"{sf_dir}/customer.parquet")
+    if n_cust is not None and n_cust // _LP_KMOD >= _LP_M:
+        raise ValueError(
+            f"linear_probe_displacement_census: declared key count "
+            f"{n_cust // _LP_KMOD} >= table size {_LP_M} (load factor "
+            f">= 1) — the two-pass carry recurrence is only valid at "
+            f"alpha < 1. Raise _LP_M to the next power of two above the "
+            f"key count (and re-verify the oracle) before running at "
+            f"this scale."
+        )
     c = _t(spark, sf_dir, "customer")
     key_expr = spark_sql_hash60("CONCAT('lp:', CAST(c_custkey AS STRING))")
     keys = (

@@ -115,8 +115,11 @@ absmax_int8_block_quant.__doc__ = absmax_int8_block_quant.__doc__.replace(
 # ----------------------------------------------------- MSFP block float
 
 _MS_BLOCK = 8  # dims per shared-exponent block (committed)
-# 2^E lookup, E in 0..15 (absmax micros ≤ ~4e6 → bitlen ≤ 22 → E ≤ 15)
-_P2 = ",".join(str(1 << b) for b in range(16))
+# 2^E lookup, E in 0..56: bitlen(a) ≤ 63 for ANY BIGINT micros image, so
+# e2 = bitlen − 7 ≤ 56 and the table can never be out-indexed (ADVICE r10:
+# the old 16-entry table threw in ANSI Spark / NULLed in DuckDB if absmax
+# micros ever exceeded 2^22). Every entry fits int64 (2^56 < 2^63).
+_P2 = ",".join(str(1 << b) for b in range(57))
 
 _MS_ORACLE = f"""
     WITH vi AS ({_explode_duck(_MS_BLOCK)}),
@@ -155,7 +158,8 @@ def msfp_block_float_census(spark, sf_dir):
     E = max(bitlen(absmax) − 7, 0) (so mantissa magnitudes fit 7 bits),
     computed with the exact cross-engine length(bin(x)) identity;
     mantissas are q = v div 2^E (truncation toward zero, identical both
-    engines; 2^E via a 16-entry literal power table — no float pow).
+    engines; 2^E via a 57-entry literal power table covering the full
+    BIGINT bitlen range, so no input can out-index it — no float pow).
     Emits per-block exponent, exact L1 reconstruction error, and the
     flush-to-zero census (elements whose whole magnitude dies under the
     shared exponent — MSFP's known small-value failure mode)."""

@@ -84,10 +84,17 @@ def test_roc_convex_hull_model(spark):
             for (ax, ay) in pts
             for (bx, by) in pts
         )
-        if not above:
+        same_x_dom = any(cx == x and cy > y for (cx, cy) in pts)
+        if not above and not same_x_dom:
             hull.add((x, y))
     got = {(r["fp"], r["tp"]) for r in roc_convex_hull(spark, SF).collect()}
-    assert got == hull and (0, 0) in got
+    assert got == hull
+    # (0,0) survives only when no positive-only bucket gives an fp=0
+    # operating point with tp > 0 (equal-x dominance, ADVICE r10)
+    assert ((0, 0) in got) == (not any(x == 0 and y > 0 for (x, y) in pts))
+    # at most one point per fp value survives (vertical dominance removed)
+    xs = [x for (x, _) in got]
+    assert len(xs) == len(set(xs))
     # hull points dominate: TPR is concave along the hull (classic ROCCH
     # property — every vertex is optimal under some cost ratio)
     h = sorted(got)
