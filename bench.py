@@ -136,6 +136,12 @@ DONE_BARS = {
     "ivfpq_topk_search": {"bar_sec": 5.5, "mode": "cold"},
     "km_survival_curve": {"bar_sec": 5.5, "mode": "cold"},
     "link_prediction_adamic_adar": {"bar_sec": 5.5, "mode": "warm"},
+    # VERDICT r10 item 4: the driver read streaming_tumbling at 14.3 s
+    # under load with no in-artifact evidence to adjudicate; give it the
+    # same treatment. Idle history: 2.53 (r1) / 3.04 (r11 close) / 2.95-
+    # 3.50 (judge r10). Cold bar 4.5 s; the warm re-run (codegen cached,
+    # fresh stream each call) lands in warm_extra_queries.
+    "streaming_tumbling_counts": {"bar_sec": 4.5, "mode": "cold"},
 }
 
 # re-measured warm (same session, second run) for the bar_mode=warm rows
@@ -146,6 +152,8 @@ BENCH_WARM_EXTRA = [
     "km_survival_curve",
     "median_absolute_deviation",
     "bpe_apply_compression_report",
+    "streaming_tumbling_counts",
+    "dedup_minhash_lsh",
 ]
 
 
