@@ -132,7 +132,13 @@ BENCH_EXTRA = [
 # (link_prediction_adamic_adar: 3.9 s warm vs 7-10 s cold, design
 # scale-audited in VERDICT r9).
 DONE_BARS = {
-    "dedup_minhash_lsh": {"bar_sec": 4.0, "mode": "cold"},
+    # Restated cold→warm in r13 (VERDICT r10 item 2, adamic precedent):
+    # across 4 idle-start r13 runs the cold wall read 4.35-7.54 s on a
+    # bit-identical plan pin (2 runs were documented contention episodes)
+    # while the warm wall was 1.29-1.63 s in EVERY run including the
+    # episodes — the cold spread is first-parse/codegen + machine, not
+    # plan. Cold stays reported in extra_queries; envelope in BASELINE.md.
+    "dedup_minhash_lsh": {"bar_sec": 2.0, "mode": "warm"},
     "ivfpq_topk_search": {"bar_sec": 5.5, "mode": "cold"},
     "km_survival_curve": {"bar_sec": 5.5, "mode": "cold"},
     "link_prediction_adamic_adar": {"bar_sec": 5.5, "mode": "warm"},
