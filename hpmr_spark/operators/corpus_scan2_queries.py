@@ -168,8 +168,13 @@ def token_pruning_census(spark, sf_dir):
             ).alias("idf_nano"),
         )
     )
+    # merge-pinned (the r7 rule): BOTH sides are corpus-scale aggregates
+    # (idf has one row per vocabulary TYPE — millions at real scale), and
+    # Catalyst's post-agg size estimate broadcast the 59M-row toks side
+    # at the 1M-doc probe (driver OOM). Testdata's 31-word vocab made the
+    # unpinned join look harmless at sf0.01.
     return (
-        toks.join(idf, "w")
+        toks.join(idf.hint("merge"), "w")
         .groupBy("lang")
         .agg(
             F.sum("tf").cast("long").alias("n_tokens"),

@@ -1541,7 +1541,174 @@ def round12_probe(spark, n: int, ops: str = ""):
             eg._t = orig
 
 
+def round13_probe(spark, n: int, ops: str = ""):
+    """Round-13 probes (VERDICT r10 item 5): the wave-7/8 families at
+    1M-10M synthetic rows — multi_pattern_contamination_scan (mp),
+    token_pruning_census (tp), knapsack_source_selection (ks),
+    freshness_decay_weights (fresh), linear_probe_displacement_census
+    (lp). All run the EXACT committed query pipelines via _t / loader
+    monkeypatches, so the measured wall is the real operator. The lp
+    probe scales the table size to the next power of two ≥ 2× the key
+    count (the module's own sf1 routing guidance) so the α < 1 contract
+    holds at every probed n."""
+    import time
+
+    do = set(ops.split(",")) if ops else {"mp", "tp", "ks", "fresh", "lp"}
+
+    langs = F.array(*[F.lit(x) for x in ("en", "de", "fr", "es", "pt")])
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.element_at(langs, ((F.xxhash64("id") % 5 + 5) % 5 + 1).cast("int"))
+        .alias("lang"),
+        F.concat(
+            F.lit("src"), ((F.xxhash64(F.col("id") + 3) % 8 + 8) % 8)
+        ).alias("source"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.sequence(F.lit(1), F.lit(60)),
+                lambda i: F.concat(
+                    F.lit("w"),
+                    (
+                        (F.xxhash64(F.col("id") * 1000 + i) % 4096 + 4096)
+                        % 4096
+                    ),
+                ),
+            ),
+        ).alias("text"),
+    )
+
+    if "mp" in do:
+        import hpmr_spark.operators.corpus_scan2_queries as cs
+
+        orig = cs._t
+        cs._t = lambda s, d, name: docs
+        try:
+            t0 = time.time()
+            rows = cs.multi_pattern_contamination_scan(
+                spark, "synthetic"
+            ).collect()
+            print(
+                f"round13 mp n={n} wall={time.time() - t0:.1f}s "
+                f"rows={len(rows)} "
+                f"hits={sum(r['docs_hit'] for r in rows)}",
+                flush=True,
+            )
+        finally:
+            cs._t = orig
+
+    if "tp" in do:
+        import hpmr_spark.operators.corpus_scan2_queries as cs
+
+        orig = cs._t
+        cs._t = lambda s, d, name: docs
+        try:
+            t0 = time.time()
+            rows = cs.token_pruning_census(spark, "synthetic").collect()
+            print(
+                f"round13 tp n={n} wall={time.time() - t0:.1f}s "
+                f"rows={len(rows)} "
+                f"prune_ppm={[r['prune_ppm'] for r in rows]}",
+                flush=True,
+            )
+        finally:
+            cs._t = orig
+
+    if "ks" in do:
+        import hpmr_spark.operators.budget_knapsack_queries as bk
+
+        orig = bk._t
+        bk._t = lambda s, d, name: docs
+        try:
+            t0 = time.time()
+            rows = bk.knapsack_source_selection(spark, "synthetic").collect()
+            print(
+                f"round13 ks n={n} wall={time.time() - t0:.1f}s "
+                f"rows={len(rows)} "
+                f"best={max(r['best_value'] for r in rows)}",
+                flush=True,
+            )
+        finally:
+            bk._t = orig
+
+    if "fresh" in do:
+        import hpmr_spark.operators.freshness_queries as fq
+
+        types = F.array(
+            *[F.lit(x) for x in ("view", "click", "purchase", "scroll", "exit")]
+        )
+        ev = spark.range(n).select(
+            F.col("id").alias("event_id"),
+            ((F.xxhash64("id") % 100000 + 100000) % 100000).alias("user_id"),
+            F.element_at(
+                types, ((F.xxhash64(F.col("id") + 11) % 5 + 5) % 5 + 1).cast("int")
+            ).alias("event_type"),
+            F.timestamp_micros(
+                F.lit(1700000000000000)
+                + (
+                    (F.xxhash64(F.col("id") + 7) % 2592000000000
+                     + 2592000000000) % 2592000000000
+                )
+            ).alias("ts"),
+        )
+        orig = fq.load_events
+        fq.load_events = lambda s, d: ev
+        try:
+            t0 = time.time()
+            rows = fq.freshness_decay_weights(spark, "synthetic").collect()
+            print(
+                f"round13 fresh n={n} wall={time.time() - t0:.1f}s "
+                f"rows={len(rows)} "
+                f"ppm={[r['freshness_ppm'] for r in rows]}",
+                flush=True,
+            )
+        finally:
+            fq.load_events = orig
+
+    if "lp" in do:
+        import hpmr_spark.operators.hashtable_sim_queries as ht
+
+        cust = spark.range(n).select(F.col("id").alias("c_custkey"))
+        n_keys = n // ht._LP_KMOD
+        m = 1
+        while m < 2 * n_keys:
+            m *= 2
+        import hpmr_spark.operators.dedup_queries as dq
+
+        orig_t, orig_m, orig_nr = ht._t, ht._LP_M, dq._parquet_num_rows
+        ht._t = lambda s, d, name: cust
+        ht._LP_M = m
+        dq._parquet_num_rows = lambda p: n
+        try:
+            t0 = time.time()
+            rows = ht.linear_probe_displacement_census(
+                spark, "synthetic"
+            ).collect()
+            r = rows[0]
+            print(
+                f"round13 lp n={n} M={m} wall={time.time() - t0:.1f}s "
+                f"keys={r['n_keys']} disp={r['total_displacement']} "
+                f"maxo={r['max_cluster_overflow']}",
+                flush=True,
+            )
+        finally:
+            ht._t, ht._LP_M = orig_t, orig_m
+            dq._parquet_num_rows = orig_nr
+
+
 def main():
+    if len(sys.argv) > 1 and sys.argv[1] == "round13":
+        from hpmr_spark.engine import get_spark
+
+        spark = get_spark("scale-probe-round13")
+        round13_probe(
+            spark,
+            int(sys.argv[2]) if len(sys.argv) > 2 else 1_000_000,
+            ops=sys.argv[3] if len(sys.argv) > 3 else "",
+        )
+        spark.stop()
+        return
+
     if len(sys.argv) > 1 and sys.argv[1] == "round12":
         from hpmr_spark.engine import get_spark
 
