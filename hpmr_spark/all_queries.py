@@ -170,6 +170,7 @@ _MODULES = [
     "hpmr_spark.operators.matching_queries",
     "hpmr_spark.operators.corpus_scan2_queries",
     "hpmr_spark.operators.hashtable_sim_queries",
+    "hpmr_spark.operators.hashtable_sim2_queries",
     "hpmr_spark.operators.budget_knapsack_queries",
     "hpmr_spark.operators.freshness_queries",
 ]
@@ -500,6 +501,8 @@ _CHECK_FIRST = [
     # driver-green from r10), bloom_semi_prune (sketch laws keep
     # sketch_bounded_checks + kmv_merge_property green from r10).
     # (a) round-13 new operators — appended as built this round
+    "robin_hood_displacement_fold",
+    "cuckoo_feasibility_census",
     # (b) output-changed this round
     "roc_convex_hull",
     # (c) §2 canary (get_n_keys — r01-only row)
