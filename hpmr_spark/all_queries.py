@@ -171,6 +171,7 @@ _MODULES = [
     "hpmr_spark.operators.corpus_scan2_queries",
     "hpmr_spark.operators.hashtable_sim_queries",
     "hpmr_spark.operators.hashtable_sim2_queries",
+    "hpmr_spark.operators.label_noise_queries",
     "hpmr_spark.operators.budget_knapsack_queries",
     "hpmr_spark.operators.freshness_queries",
 ]
@@ -503,6 +504,9 @@ _CHECK_FIRST = [
     # (a) round-13 new operators — appended as built this round
     "robin_hood_displacement_fold",
     "cuckoo_feasibility_census",
+    "confident_learning_noise_census",
+    "dataset_cartography_map",
+    "forgetting_events_census",
     # (b) output-changed this round
     "roc_convex_hull",
     # (c) §2 canary (get_n_keys — r01-only row)

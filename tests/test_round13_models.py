@@ -235,3 +235,141 @@ def test_cuckoo_classification_planted():
         3,
         2,
     )
+
+
+# ---------------------------------------- wave B: training dynamics
+
+
+def _read_emb(spark):
+    return [
+        (r["vec_id"], r["label"])
+        for r in spark.read.parquet(f"{SF}/embeddings.parquet")
+        .select("vec_id", "label")
+        .collect()
+    ]
+
+
+def test_confident_learning_model(spark):
+    """Full from-scratch CL replica (Northcutt 2021): thresholds =
+    integer mean of self-class scores, gated argmax, confident joint."""
+    from hpmr_spark.operators.label_noise_queries import (
+        _CL_NCLS,
+        confident_learning_noise_census,
+    )
+
+    ex = _read_emb(spark)
+    lat = {}
+    p = {}
+    for vid, y in ex:
+        t = y if _py_hash60(f"clt:{vid}") % 5 < 4 else (y + 1) % _CL_NCLS
+        lat[vid] = t
+        for c in range(_CL_NCLS):
+            p[(vid, c)] = _py_hash60(f"cl:{vid}:{c}") % 400000 + (
+                600000 if c == t else 0
+            )
+    # thresholds: mean of p_j over examples labeled j (integer floor)
+    thr = {}
+    for j in range(_CL_NCLS):
+        vals = [p[(vid, j)] for vid, y in ex if y == j]
+        thr[j] = sum(vals) // len(vals)
+    joint = Counter()
+    for vid, y in ex:
+        gated = [
+            (p[(vid, c)], -c) for c in range(_CL_NCLS) if p[(vid, c)] >= thr[c]
+        ]
+        if not gated:
+            continue  # skipped per the paper
+        _, negc = max(gated)
+        joint[(y, -negc)] += 1
+    got = {
+        (r["y_noisy"], r["y_pred"]): r["n"]
+        for r in confident_learning_noise_census(spark, SF).collect()
+    }
+    assert len(got) == _CL_NCLS * _CL_NCLS
+    for i in range(_CL_NCLS):
+        for j in range(_CL_NCLS):
+            assert got[(i, j)] == joint.get((i, j), 0)
+    # planted ~20% systematic noise is recovered in the off-diagonal
+    off = sum(v for (i, j), v in joint.items() if i != j)
+    tot = sum(joint.values())
+    assert 0.10 < off / tot < 0.30
+
+
+def test_cartography_and_forgetting_model(spark):
+    from hpmr_spark.operators.label_noise_queries import (
+        _DC_EPOCHS,
+        _DC_VAR_CUT,
+        dataset_cartography_map,
+        forgetting_events_census,
+    )
+
+    ex = _read_emb(spark)
+    rows = {}
+    fg = Counter()
+    fg_detail = defaultdict(Counter)
+    for vid, y in ex:
+        d = _py_hash60(f"dcd:{vid}") % 3
+        ps = []
+        for e in range(_DC_EPOCHS):
+            q = _py_hash60(f"dc:{vid}:{e}")
+            if d == 0:
+                ps.append(650000 + q % 300000)
+            elif d == 2:
+                ps.append(q % 300000)
+            else:
+                ps.append(q % 1000000)
+        s1, s2 = sum(ps), sum(x * x for x in ps)
+        conf = s1 // _DC_EPOCHS
+        var = _DC_EPOCHS * s2 - s1 * s1
+        bits = [1 if x > 500000 else 0 for x in ps]
+        nf = sum(
+            1
+            for i in range(_DC_EPOCHS - 1)
+            if bits[i] == 1 and bits[i + 1] == 0
+        )
+        if var < _DC_VAR_CUT and conf >= 550000:
+            region = "easy"
+        elif var < _DC_VAR_CUT and conf < 450000:
+            region = "hard"
+        else:
+            region = "ambiguous"
+        rows[vid] = (y, conf, var, sum(bits), region)
+        n_ok = sum(bits)
+        fg_detail[y]["n"] += 1
+        if n_ok == 0:
+            fg_detail[y]["never"] += 1
+        elif nf == 0:
+            fg_detail[y]["unforgettable"] += 1
+        if nf > 0:
+            fg_detail[y]["forgotten"] += 1
+        fg_detail[y]["events"] += nf
+        fg_detail[y]["mx"] = max(fg_detail[y]["mx"], nf)
+    got = {
+        r["vec_id"]: (
+            r["label"],
+            r["conf_ppm"],
+            r["var_scaled"],
+            r["n_correct"],
+            r["region"],
+        )
+        for r in dataset_cartography_map(spark, SF).collect()
+    }
+    assert got == rows
+    # data-map sanity: easy region's mean confidence beats hard's
+    easy = [c for (_, c, _, _, rg) in rows.values() if rg == "easy"]
+    hard = [c for (_, c, _, _, rg) in rows.values() if rg == "hard"]
+    assert easy and hard
+    assert sum(easy) / len(easy) > sum(hard) / len(hard) + 300000
+    gotf = {
+        r["label"]: r for r in forgetting_events_census(spark, SF).collect()
+    }
+    for y, d in fg_detail.items():
+        r = gotf[y]
+        assert r["n_examples"] == d["n"]
+        assert r["n_never_learned"] == d["never"]
+        assert r["n_unforgettable"] == d["unforgettable"]
+        assert r["n_forgotten"] == d["forgotten"]
+        assert r["total_forget_events"] == d["events"]
+        assert r["max_forgets"] == d["mx"]
+        # partition: never + unforgettable + forgotten = examples
+        assert d["never"] + d["unforgettable"] + d["forgotten"] == d["n"]
