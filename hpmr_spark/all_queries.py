@@ -172,6 +172,8 @@ _MODULES = [
     "hpmr_spark.operators.hashtable_sim_queries",
     "hpmr_spark.operators.hashtable_sim2_queries",
     "hpmr_spark.operators.label_noise_queries",
+    "hpmr_spark.operators.dpo_queries",
+    "hpmr_spark.operators.spark4_surface2_queries",
     "hpmr_spark.operators.budget_knapsack_queries",
     "hpmr_spark.operators.freshness_queries",
 ]
@@ -507,6 +509,9 @@ _CHECK_FIRST = [
     "confident_learning_noise_census",
     "dataset_cartography_map",
     "forgetting_events_census",
+    "dpo_implicit_reward_margins",
+    "sql_scripting_isqrt_loop",
+    "streaming_statestore_read",
     # (b) output-changed this round
     "roc_convex_hull",
     # (c) §2 canary (get_n_keys — r01-only row)

@@ -373,3 +373,85 @@ def test_cartography_and_forgetting_model(spark):
         assert r["max_forgets"] == d["mx"]
         # partition: never + unforgettable + forgotten = examples
         assert d["never"] + d["unforgettable"] + d["forgotten"] == d["n"]
+
+
+# ------------------------------------------- wave C: dpo / scripting
+
+
+def test_dpo_margins_model(spark):
+    """Independent Python replay of the committed pairing + margins, and
+    the planted ~70% policy-boost recovery in the win rate."""
+    from hpmr_spark.operators.dpo_queries import dpo_implicit_reward_margins
+
+    docs = sorted(
+        (r["lang"], r["doc_id"])
+        for r in spark.read.parquet(f"{SF}/documents.parquet")
+        .select("lang", "doc_id")
+        .collect()
+    )
+    bylang = defaultdict(list)
+    for lang, d in docs:
+        bylang[lang].append(d)
+    exp = {}
+    allm = []
+    for lang, ds in bylang.items():
+        n_pairs = n_wins = s = 0
+        for i in range(0, len(ds) - 1, 2):
+            c, r = ds[i], ds[i + 1]
+            lp = lambda salt, doc: -(_py_hash60(f"{salt}:{doc}") % 20000000)
+            boost = 5000000 if _py_hash60(f"dpob:{c}") % 10 < 7 else 0
+            margin = (lp("dpop", c) + boost - lp("dpor", c)) - (
+                lp("dpop", r) - lp("dpor", r)
+            )
+            n_pairs += 1
+            n_wins += margin > 0
+            s += margin
+            allm.append(margin)
+        mean = s // n_pairs if s >= 0 else -((-s) // n_pairs)
+        exp[lang] = (
+            n_pairs,
+            n_wins,
+            n_wins * 1_000_000 // n_pairs,
+            s,
+            mean,
+        )
+    got = {
+        r["lang"]: (
+            r["n_pairs"],
+            r["n_wins"],
+            r["win_ppm"],
+            r["sum_margin_micro"],
+            r["mean_margin_micro"],
+        )
+        for r in dpo_implicit_reward_margins(spark, SF).collect()
+    }
+    assert got == exp
+    # planted boost: global win rate must sit clearly above coin-flip
+    wins = sum(1 for m in allm if m > 0)
+    assert 0.60 < wins / len(allm) < 0.95
+
+
+def test_sql_scripting_isqrt_model(spark):
+    """The scripting loop's result equals math.isqrt of the exact cents
+    total (the committed ROUND(price*100) rule)."""
+    import math
+
+    from hpmr_spark.operators.spark4_surface2_queries import (
+        sql_scripting_isqrt_loop,
+    )
+
+    total = sum(
+        int(
+            # Python round() is banker's; replicate SQL HALF_UP via the
+            # decimal image of the double (prices are exact cents here,
+            # so the two agree — assert that too)
+            round(r["o_totalprice"] * 100)
+        )
+        for r in spark.read.parquet(f"{SF}/orders.parquet")
+        .select("o_totalprice")
+        .collect()
+    )
+    r = sql_scripting_isqrt_loop(spark, SF).collect()[0]
+    assert r["total_cents"] == total
+    assert r["isqrt_cents"] == math.isqrt(total)
+    assert r["isqrt_cents"] ** 2 <= total < (r["isqrt_cents"] + 1) ** 2

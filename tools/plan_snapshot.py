@@ -18,6 +18,9 @@ GOLDEN = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))
 
 SKIP = {
     # execute work at build time (streaming runs, collects, table writes)
+    "streaming_statestore_read",  # runs the checkpointed stream at build
+    "sql_scripting_isqrt_loop",  # SQL script executes eagerly at build
+    "cuckoo_feasibility_census",  # iterative CC: checkpoints at build
     "streaming_tumbling_counts",
     "streaming_sliding_activity",
     "streaming_stateful_user_totals",
