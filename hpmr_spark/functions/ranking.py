@@ -137,6 +137,63 @@ def _order_exprs(order_cols, descending: bool) -> list[Column]:
 _AGGS = {"sum": F.sum, "max": F.max, "min": F.min}
 
 
+def _prefix_offsets(totals: DataFrame, key: str, specs) -> DataFrame:
+    """Exclusive per-bucket prefix combine over the tiny per-bucket totals
+    frame (≤ num_buckets rows BY CONSTRUCTION at any scale), computed
+    IN-ROW: collect the totals into ONE struct array, compute every
+    bucket's exclusive prefix with array higher-order functions, and
+    explode back to one row per bucket.
+
+    This replaces the r11-and-earlier broadcast non-equi self-join
+    (a ⋈ b ON b.bkt < a.bkt, then re-aggregate): that shape consumed the
+    totals subtree TWICE, so every `global_*` call re-embedded its whole
+    upstream (scan → bucket tag → window) one extra time in the logical
+    plan — chained calls grew the tree ~3× per call (observed: the
+    median_absolute_deviation formatted plan carried 57 scan nodes /
+    104 exchanges, 21 jobs per run; guide §3.3 "very wide plans: planning
+    time itself becomes the bottleneck"). Runtime ReuseExchange hid most
+    of the re-execution but not the driver planning, per-copy codegen, or
+    the extra broadcast-job barrier. The in-row form consumes totals
+    once and plans one broadcast instead of two.
+
+    `specs` = iterable of (src_field, kind, out_name); kind ∈ sum/max/min.
+    Semantics preserved exactly: bucket 0 (no strictly-smaller bucket)
+    yields NULL (the left-join miss of the old shape); sums/max/min over
+    the ≤16 prefix values are order-insensitive for every committed value
+    class (exact integers / integral doubles — the repo-wide discipline
+    the old unordered grouped aggregate already relied on)."""
+    fields = totals.columns  # key first (groupBy key), then totals columns
+    one = totals.agg(F.collect_list(F.struct(*fields)).alias("_ts"))
+    dts = dict(totals.dtypes)
+    items = []
+    for src, kind, out in specs:
+        vals = f"transform(filter(_ts, _u -> _u.{key} < _t.{key}), _u -> _u.{src})"
+        dt = dts[src]
+        if kind == "sum":
+            ndt = "BIGINT" if dt in ("int", "bigint", "smallint", "tinyint") else dt
+            zero = f"CAST(0 AS {ndt})"
+            # cast the fold step back to the accumulator type: decimal
+            # addition widens precision per-op and the HOF aggregate
+            # requires step type == accumulator type (values are bounded by
+            # the same committed-arithmetic discipline F.sum relied on)
+            expr = (
+                f"IF(size({vals}) = 0, CAST(NULL AS {ndt}),"
+                f" aggregate({vals}, {zero}, (_a, _x) -> CAST(_a + _x AS {ndt})))"
+            )
+        elif kind == "max":
+            expr = f"array_max({vals})"
+        else:
+            expr = f"array_min({vals})"
+        items.append(f"'{out}', {expr}")
+    arr = (
+        "transform(_ts, _t -> named_struct("
+        + f"'{key}', _t.{key}, "
+        + ", ".join(items)
+        + "))"
+    )
+    return one.select(F.explode(F.expr(arr)).alias("_o")).select("_o.*")
+
+
 def global_order_multi(
     df: DataFrame,
     order_cols,
@@ -208,31 +265,21 @@ def global_order_multi(
     # so this groupBy inserts NO new exchange.
     totals = local.groupBy(_BKT).agg(*total_aggs)
 
-    # Exclusive-prefix combine over the tiny totals frame. The a-side keeps
-    # every totals column AS GROUPING KEYS (dropped right after): if it
-    # selected only the bucket id, pruning would reduce the a-subtree to a
-    # distinct-only aggregate — a different canonical plan than the b-side
-    # — and re-derive the whole input through yet another exchange. With
-    # identical projections both sides reuse one exchange subtree.
-    tcols = [c for c in totals.columns if c != _BKT]
-    a = totals.select(
-        F.col(_BKT).alias("_a_bkt"), *[F.col(c).alias(f"_a{c}") for c in tcols]
-    )
-    b = totals.select(
-        F.col(_BKT).alias("_b_bkt"), *[F.col(c).alias(f"_b{c}") for c in tcols]
-    )
-    prefix_aggs = [F.sum("_b_t_rn").alias("_o_rn")]
-    for i, (_val, kind, _strict, _out) in enumerate(specs):
-        prefix_aggs.append(_AGGS[kind](f"_b_t_{i}").alias(f"_o_{i}"))
-    # keep the anti-prune columns referenced on the b-side as well, or its
-    # pruned totals subtree diverges and re-materializes the window shuffle
-    for j in range(len(anti_prune)):
-        prefix_aggs.append(F.max_by(f"_b_tx_{j}", "_b_t_rn").alias(f"_ox_{j}"))
-    offs = (
-        a.join(F.broadcast(b), F.col("_b_bkt") < F.col("_a_bkt"), "left")
-        .groupBy("_a_bkt", *[f"_a{c}" for c in tcols])
-        .agg(*prefix_aggs)
-        .select(F.col("_a_bkt").alias(_BKT), "_o_rn", *[f"_o_{i}" for i in range(len(specs))])
+    # Exclusive-prefix combine over the tiny totals frame, in-row (see
+    # _prefix_offsets): totals is consumed ONCE, so the upstream window
+    # subtree is not re-embedded a third time, and one broadcast job
+    # replaces the old a/b non-equi-join pair. The anti-prune `_tx_j`
+    # aggregates stay in `totals` (they keep the totals subtree's column
+    # set identical to the probe branch so the window exchange is reused),
+    # and the collected struct references all of them.
+    offs = _prefix_offsets(
+        totals,
+        _BKT,
+        [("_t_rn", "sum", "_o_rn")]
+        + [
+            (f"_t_{i}", kind, f"_o_{i}")
+            for i, (_val, kind, _strict, _out) in enumerate(specs)
+        ],
     )
 
     joined = local.join(F.broadcast(offs), _BKT)
@@ -322,13 +369,9 @@ def global_row_numbers(
         p = p.withColumn(f"_lrn_{i}", F.row_number().over(w))
     for i, (_oc, out, _desc) in enumerate(specs):
         totals = tagged.groupBy(f"_bkt_{i}").agg(F.count(F.lit(1)).alias("_t"))
-        a = totals.select(F.col(f"_bkt_{i}").alias("_a_bkt"))
-        b = totals.select(F.col(f"_bkt_{i}").alias("_b_bkt"), "_t")
-        offs = (
-            a.join(F.broadcast(b), F.col("_b_bkt") < F.col("_a_bkt"), "left")
-            .groupBy(F.col("_a_bkt").alias(f"_bkt_{i}"))
-            .agg(F.sum("_t").alias(f"_off_{i}"))
-        )
+        # in-row exclusive prefix (see _prefix_offsets): totals consumed
+        # once, one broadcast instead of the old a/b non-equi-join pair
+        offs = _prefix_offsets(totals, f"_bkt_{i}", [("_t", "sum", f"_off_{i}")])
         p = (
             p.join(F.broadcast(offs), f"_bkt_{i}")
             .withColumn(
