@@ -176,7 +176,26 @@ def _final_sql(div: str) -> str:
     return " UNION ALL ".join(selects)
 
 
-def _full_query(div: str, events_us: str, big: str) -> str:
+def _final_sql_inline(div: str) -> str:
+    """Spark-side single-branch twin of _final_sql (r11, guide §2.4 /
+    the r6 funnel lesson): the 4-way UNION ALL re-inlines the whole
+    journey→pivot→DP CTE chain once per branch (Spark CTEs inline), which
+    cost 4 extra planning passes and job barriers for one 1-row frame.
+    inline() of a 4-struct array emits the SAME four rows from ONE dp pass.
+    The ORACLE keeps the UNION ALL text (DuckDB side untouched)."""
+    structs = ", ".join(
+        f"named_struct('channel', '{c}',"
+        f" 'conv_full_ppm', CAST(f_conv_{_STEPS} AS BIGINT),"
+        f" 'conv_removed_ppm', CAST(r_{c}_conv_{_STEPS} AS BIGINT),"
+        f" 'removal_effect_ppm', CAST(CASE WHEN f_conv_{_STEPS} > 0 THEN"
+        f" (f_conv_{_STEPS} - r_{c}_conv_{_STEPS}) * 1000000"
+        f" {div} f_conv_{_STEPS} ELSE 0 END AS BIGINT))"
+        for c in _CHANNELS
+    )
+    return f"SELECT inline(array({structs})) FROM dp{_STEPS}"
+
+
+def _full_query(div: str, events_us: str, big: str, inline_final: bool = False) -> str:
     dp_ctes = []
     prev = "probs"
     for t, cols in enumerate(_dp_sql(div), start=1):
@@ -190,7 +209,7 @@ def _full_query(div: str, events_us: str, big: str) -> str:
         + ", "
         + ", ".join(dp_ctes)
         + " "
-        + _final_sql(div)
+        + (_final_sql_inline(div) if inline_final else _final_sql(div))
         + " ORDER BY channel"
     )
 
@@ -206,7 +225,9 @@ def attribution_removal_effect(spark, sf_dir):
     (see module docstring). One user-keyed events shuffle; the DP runs on
     a single pivoted probability row."""
     load_events(spark, sf_dir).createOrReplaceTempView("events")
-    return spark.sql(_full_query("div", "unix_micros(ts)", "DECIMAL(38,0)"))
+    return spark.sql(
+        _full_query("div", "unix_micros(ts)", "DECIMAL(38,0)", inline_final=True)
+    )
 
 
 _DECAY_CAP = 20  # only the most recent 20 touches earn credit (2^20 ppm-safe)

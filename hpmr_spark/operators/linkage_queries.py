@@ -181,6 +181,17 @@ def token_bucket_replay(spark, sf_dir):
     ev = load_events(spark, sf_dir).select(
         "user_id", "event_id", F.unix_micros(F.col("ts")).alias("ts_us")
     )
+    # r11 (guide §2/§4): AQE coalesces the pre-fold shuffle by BYTES, and
+    # the keyed event frame is a few MB — every per-user pandas group then
+    # ran in 1-2 tasks, serializing ~1k Arrow/pandas group constructions on
+    # one core (profiled: 3 tasks, 3.2 s task time). The stage's cost is
+    # Python-boundary work per GROUP, invisible to AQE's byte heuristic,
+    # so pin the fold's parallelism explicitly: an explicit-width hash
+    # repartition on the grouping key is exempt from AQE coalescing, and
+    # the groupBy reuses it (no second exchange). Width scales with the
+    # session's core count; per-user results are partition-invariant.
+    par = ev.sparkSession.sparkContext.defaultParallelism
+    ev = ev.repartition(par, "user_id")
 
     def fold(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(["ts_us", "event_id"])

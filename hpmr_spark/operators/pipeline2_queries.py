@@ -70,25 +70,34 @@ def ngram_novelty_by_bucket(spark, sf_dir):
         lambda i: F.array_join(F.slice(toks, i, 5), " "),
     )
     g = d.select("doc_id", F.explode(grams).alias("gram")).distinct()
+    # r11 shuffle diet (guide §2.3/§2.4): the old shape joined the
+    # fact-scale g frame back to the per-gram first-occurrence aggregate
+    # (g ⋈ fo on gram) only to COUNT matches per doc. Both bucket totals
+    # derive without that join: a (doc, gram) row is novel iff the gram's
+    # MIN(doc_id) equals its doc_id, and each gram contributes exactly one
+    # novel row — in its min doc — so per-bucket novel = fo rows grouped
+    # by first_doc's bucket, and per-bucket grams = g rows grouped by
+    # doc_id's bucket. The corpus-scale join disappears; what remains is
+    # two keyed aggregates and one bounded bucket-level join. Buckets with
+    # zero novel grams keep a row via the left join + COALESCE 0 (the old
+    # inner join kept every g row, so bucket membership is unchanged).
     fo = g.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
-    per_doc = (
-        g.join(fo, "gram")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_grams"),
-            F.sum(
-                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
-            ).alias("n_novel"),
-        )
-    )
-    return per_doc.groupBy(
+    grams_b = g.groupBy(
         F.expr("doc_id div 100").cast("long").alias("bucket")
-    ).agg(
-        F.sum("n_grams").cast("long").alias("grams"),
-        F.sum("n_novel").cast("long").alias("novel"),
-        F.expr("sum(n_novel) * 1000000 div sum(n_grams)").cast("long").alias(
-            "novelty_ppm"
-        ),
+    ).agg(F.count(F.lit(1)).cast("long").alias("grams"))
+    novel_b = fo.groupBy(
+        F.expr("first_doc div 100").cast("long").alias("bucket")
+    ).agg(F.count(F.lit(1)).cast("long").alias("novel"))
+    return (
+        grams_b.join(novel_b, "bucket", "left")
+        .select(
+            "bucket",
+            "grams",
+            F.coalesce(F.col("novel"), F.lit(0)).cast("long").alias("novel"),
+            F.expr(
+                "coalesce(novel, 0) * 1000000 div grams"
+            ).cast("long").alias("novelty_ppm"),
+        )
     )
 
 
