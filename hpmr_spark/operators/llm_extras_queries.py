@@ -276,6 +276,15 @@ def _bpe_train_rules(ws, n_merges: int):
         lhs, rhs = best["pr"].split(" ")
         rules.append((step, lhs, rhs, int(best["cnt"])))
         t = t.select("n", F.expr(_bpe_fold_expr(lhs, rhs)).alias("tk"))
+        # r11 iterative-lineage cut (the CLAUDE.md set_batch/beam rule —
+        # each step's pair-count job consumed the previous step's frame,
+        # so step i re-analyzed and re-applied i stacked folds; measured
+        # ~0.6 s/step stacked vs ~0.3 s/step checkpointed at sf0.1).
+        # Eager localCheckpoint materializes the step-i tokenization once;
+        # the trainer loop is the canonical place for a lineage cut (at
+        # corpus scale the vocab frame is the trainer's bounded-per-key
+        # working set and re-deriving k folds per step is O(k²) work).
+        t = t.localCheckpoint(eager=True)
     return rules
 
 
