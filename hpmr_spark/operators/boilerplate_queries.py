@@ -6,11 +6,11 @@ a 5-token non-overlapping SEGMENT (documented analog; the pipeline shape
 — unit split → corpus-frequency count → per-doc filter → reassembly — is
 exactly the production one).
 
-Scale shape: one explode to (doc_id, g, segment-fingerprint), one
-fingerprint-keyed count (the only corpus-scale shuffle), one semi-style
-flag join back, one per-doc re-aggregation. Fingerprints are 60-bit md5
-(hash60 — the committed cross-engine hash), so the shuffle carries
-(doc_id, BIGINT) pairs, never segment text.
+Scale shape (r11): ONE documents scan, one explode to
+(doc_id, g, segment, fingerprint), one fingerprint-keyed min/max window
+(the cross-doc flag — no countDistinct Expand, no self-join), one
+per-doc re-aggregation. Fingerprints are 60-bit md5 (hash60 — the
+committed cross-engine hash).
 
 Disciplines (CLAUDE.md): docs with <5 tokens produce ZERO segments via
 an explicit size guard (sequence(1, n div 5) DESCENDS when n<5 — the
@@ -25,6 +25,7 @@ Reference parity: beyond the reference kv kernel
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from hpmr_spark.catalog import _t, register
@@ -86,37 +87,63 @@ def dedup_boilerplate_segments(spark, sf_dir):
     reports segment/boilerplate counts, surviving token count (trailing
     <5-token remainder always kept), and the hash60 fingerprint of its
     order-preserved cleaned text — the oracle checks the RECONSTRUCTION,
-    not just the counts."""
+    not just the counts.
+
+    r11 optimization (guide §2.3/§3): ONE documents scan. `explode_outer`
+    keeps zero-segment docs as a NULL-segment row so `size(toks)` rides
+    along and the old join back to the doc frame disappears, and the
+    cross-doc flag is a min/max window over the fingerprint: a segment
+    appears in ≥ _DF_MIN = 2 distinct docs iff min(doc_id) ≠ max(doc_id)
+    over its h partition — replacing the countDistinct aggregate (distinct
+    Expand) plus the fingerprint self-join. Values identical by
+    construction; the oracle text is untouched."""
     d = _t(spark, sf_dir, "documents").select(
         "doc_id", F.split(F.col("text"), " ").alias("toks")
     )
     # explicit guard: n div 5 = 0 segments for short docs (sequence DESCENDS
     # when start > stop — CASE to empty array, the committed idiom)
-    seg = d.select(
-        "doc_id",
-        F.expr(
-            f"CASE WHEN size(toks) >= {_SEG} THEN"
-            f" transform(sequence(CAST(0 AS BIGINT), size(toks) div {_SEG} - 1),"
-            f" g -> struct(g AS g,"
-            f" array_join(slice(toks, CAST(g * {_SEG} + 1 AS INT), {_SEG}), ' ') AS s))"
-            f" ELSE array() END"
-        ).alias("segs"),
-    ).select("doc_id", F.explode("segs").alias("e")).select(
-        "doc_id", F.col("e.g").alias("g"), F.col("e.s").alias("s")
+    seg = (
+        d.select(
+            "doc_id",
+            F.size("toks").cast("long").alias("n_tok"),
+            F.expr(
+                f"CASE WHEN size(toks) >= {_SEG} THEN"
+                f" transform(sequence(CAST(0 AS BIGINT), size(toks) div {_SEG} - 1),"
+                f" g -> struct(g AS g,"
+                f" array_join(slice(toks, CAST(g * {_SEG} + 1 AS INT), {_SEG}), ' ') AS s))"
+                f" ELSE array() END"
+            ).alias("segs"),
+        )
+        .select("doc_id", "n_tok", F.explode_outer("segs").alias("e"))
+        .select("doc_id", "n_tok", F.col("e.g").alias("g"), F.col("e.s").alias("s"))
     )
+    # sentinel rows (zero-segment docs, s NULL) get a UNIQUE NEGATIVE h so
+    # they spread across window partitions instead of collapsing into one
+    # NULL-h partition (a skew bomb at corpus scale); real h is a 60-bit
+    # non-negative hash60, so the ranges cannot collide — and the sentinel
+    # boiler value is NULL regardless (g IS NULL gates the flag)
     fp = seg.withColumn(
-        "h", F.conv(F.substring(F.md5("s"), 1, 15), 16, 10).cast("long")
+        "h",
+        F.coalesce(
+            F.conv(F.substring(F.md5("s"), 1, 15), 16, 10).cast("long"),
+            -F.col("doc_id") - F.lit(1),
+        ),
     )
-    df = fp.groupBy("h").agg(F.countDistinct("doc_id").alias("ndocs"))
-    flagged = fp.join(df, "h").select(
-        "doc_id",
-        "g",
-        "s",
-        F.when(F.col("ndocs") >= _DF_MIN, 1).otherwise(0).alias("boiler"),
+    wh = Window.partitionBy("h")
+    # boiler ⇔ h seen in ≥ _DF_MIN (=2) distinct docs ⇔ min ≠ max doc_id
+    # over the h partition; NULL (excluded from the sum) on the
+    # zero-segment sentinel rows (g IS NULL)
+    flagged = fp.withColumn(
+        "boiler",
+        F.when(
+            F.col("g").isNotNull(),
+            (F.min("doc_id").over(wh) != F.max("doc_id").over(wh)).cast("int"),
+        ),
     )
     per_doc = flagged.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("long").alias("n_seg"),
-        F.sum("boiler").cast("long").alias("n_boiler"),
+        F.count("g").cast("long").alias("n_seg"),
+        F.coalesce(F.sum("boiler"), F.lit(0)).cast("long").alias("n_boiler"),
+        F.max("n_tok").alias("n_tok"),
         F.array_join(
             F.transform(
                 F.sort_array(
@@ -132,37 +159,21 @@ def dedup_boilerplate_segments(spark, sf_dir):
             " ",
         ).alias("kept_text"),
     )
-    return (
-        d.join(per_doc, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.coalesce(F.col("n_seg"), F.lit(0)).cast("long").alias("n_seg"),
-            F.coalesce(F.col("n_boiler"), F.lit(0)).cast("long").alias("n_boiler"),
-            (
-                F.size("toks") - F.coalesce(F.col("n_seg"), F.lit(0)) * _SEG
-            )
-            .cast("long")
-            .alias("trailing_tokens"),
-            (
-                (
-                    F.coalesce(F.col("n_seg"), F.lit(0))
-                    - F.coalesce(F.col("n_boiler"), F.lit(0))
-                )
-                * _SEG
-                + F.size("toks")
-                - F.coalesce(F.col("n_seg"), F.lit(0)) * _SEG
-            )
-            .cast("long")
-            .alias("tokens_kept"),
-            F.conv(
-                F.substring(
-                    F.md5(F.coalesce(F.col("kept_text"), F.lit(""))), 1, 15
-                ),
-                16,
-                10,
-            )
-            .cast("long")
-            .alias("cleaned_fp"),
+    return per_doc.select(
+        "doc_id",
+        "n_seg",
+        "n_boiler",
+        (F.col("n_tok") - F.col("n_seg") * _SEG)
+        .cast("long")
+        .alias("trailing_tokens"),
+        (
+            (F.col("n_seg") - F.col("n_boiler")) * _SEG
+            + F.col("n_tok")
+            - F.col("n_seg") * _SEG
         )
-        .orderBy("doc_id")
-    )
+        .cast("long")
+        .alias("tokens_kept"),
+        F.conv(F.substring(F.md5(F.col("kept_text")), 1, 15), 16, 10)
+        .cast("long")
+        .alias("cleaned_fp"),
+    ).orderBy("doc_id")
