@@ -42,6 +42,17 @@ def session_builder(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # Let AQE choose the output partitioning of plans that materialize
+        # a persisted frame (default false pins every .persist() at the raw
+        # shuffle-partition count — the InMemoryRelation then feeds each
+        # consumer 64 tiny partitions locally and AQE cannot coalesce below
+        # it; observed as the 4x MAD-persist regression, OPTIMIZATION_r11.md).
+        # Scale-adaptive by definition: AQE sizes by bytes. Results are
+        # partition-count invariant repo-wide (selfcheck_r12_invariance).
+        .config(
+            "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+            os.environ.get("SPARK_GRAFT_CACHE_AQE", "true"),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))

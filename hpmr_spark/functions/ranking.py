@@ -343,6 +343,11 @@ def global_row_numbers(
         aggs.append(F.max(first).cast("double").alias(f"_mx_{i}"))
     bounds = df.agg(*aggs)
     p = df.crossJoin(F.broadcast(bounds))
+    # Build every ordering's bucket column in ONE select (each chained
+    # withColumn re-resolves the growing child's schema driver-side — the
+    # r6 py4j/plan-inlining lesson applied to analysis passes; same
+    # logical plan after collapse).
+    bkt_cols = []
     for i, (oc, _out, desc) in enumerate(specs):
         k = _as_col(oc[0]).cast("double")
         mn, mx = F.col(f"_mn_{i}"), F.col(f"_mx_{i}")
@@ -354,19 +359,24 @@ def global_row_numbers(
         # instead of propagating NULL and being dropped by the offsets
         # equi-join (ADVICE r4).
         null_bkt = F.lit(num_buckets - 1) if desc else F.lit(0)
-        p = p.withColumn(
-            f"_bkt_{i}",
-            F.when(k.isNull(), null_bkt).otherwise(
+        bkt_cols.append(
+            F.when(k.isNull(), null_bkt)
+            .otherwise(
                 F.when(span <= 0, F.lit(0)).otherwise(
                     F.least(F.lit(num_buckets - 1), F.greatest(F.lit(0), raw))
                 )
-            ),
+            )
+            .alias(f"_bkt_{i}")
         )
-    p = p.drop(*[c for i in range(len(specs)) for c in (f"_mn_{i}", f"_mx_{i}")])
+    keep = [F.col(c) for c in df.columns]
+    p = p.select(*keep, *bkt_cols)
     tagged = p  # bucket-tagged, pre-window: totals derive from here
+    # All per-ordering local row_numbers in ONE select, same reason.
+    rn_cols = []
     for i, (oc, _out, desc) in enumerate(specs):
         w = Window.partitionBy(f"_bkt_{i}").orderBy(*_order_exprs(oc, desc))
-        p = p.withColumn(f"_lrn_{i}", F.row_number().over(w))
+        rn_cols.append(F.row_number().over(w).alias(f"_lrn_{i}"))
+    p = p.select(*[F.col(c) for c in p.columns], *rn_cols)
     for i, (_oc, out, _desc) in enumerate(specs):
         totals = tagged.groupBy(f"_bkt_{i}").agg(F.count(F.lit(1)).alias("_t"))
         # in-row exclusive prefix (see _prefix_offsets): totals consumed

@@ -284,12 +284,32 @@ def median_absolute_deviation(spark, sf_dir):
     — the total, both rank selections, and the DEVIATION histogram
     (dv = |cents − median| regrouped with its counts) — derives from that
     one frame, so identical subtrees collapse under ReuseExchange and the
-    fact table is never re-scanned for the second pass."""
+    fact table is never re-scanned for the second pass.
+
+    r11 optimization: the histogram feeds FIVE downstream subtrees (total,
+    both rank selections — each a machinery call consuming it twice — and
+    the deviation regroup), so its lineage was re-planned/re-executed per
+    consumer subtree at every broadcast-job barrier. persist(MEMORY_AND_DISK)
+    materializes the orders scan+agg ONCE; with
+    canChangeCachedPlanOutputPartitioning=true (engine.py, this round) AQE
+    coalesces the cached layout so the old 4x tiny-partition persist
+    regression no longer applies. Locally neutral (probed A/B/C all
+    ~3-4 s warm within contention noise — /tmp probes, OPTIMIZATION_r11.md);
+    at 100 TB it removes ~3 redundant row-scale scan+agg re-executions
+    (plan_snapshot SKIP — persisted frame)."""
+    from pyspark import StorageLevel
+
     from hpmr_spark.functions.ranking import global_running
 
     o = _t(spark, sf_dir, "orders")
     c = o.select(F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"))
-    d = c.groupBy("cents").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    d = c.groupBy("cents").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+        # plan-uniqueness dummy (persisted below — cache-aliasing rule:
+        # other queries build cents histograms over the same scan)
+        F.max(F.lit(0)).alias("_uq_mad"),
+    ).drop("_uq_mad")
+    d = d.persist(StorageLevel.MEMORY_AND_DISK)
     t = d.agg(F.sum("cnt").cast("long").alias("n"))
 
     def rank_select(hist, col):

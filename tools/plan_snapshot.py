@@ -164,6 +164,8 @@ SKIP = {
     "pystream_source_tumbling",  # runs the Python stream at build
     "energy_distance_twosample",  # persisted calendar-day rollup (5 consumers)
     "rmst_survival_time",  # persisted KM output frame (builds on a SKIPped query)
+    "median_absolute_deviation",  # r11: size-dispatched localCheckpoint/persist
+    # on the cents histogram (5 downstream consumers)
 }
 
 SF_DIR = "/root/testdata/sf0.001"
