@@ -105,15 +105,40 @@ _NB_ORACLE = f"""
 @register("naive_bayes_lang_eval", _NB_ORACLE)
 def naive_bayes_lang_eval(spark, sf_dir):
     """Multinomial NB language classifier self-eval — see module
-    docstring. Output: (true_lang, pred_lang, n_docs) confusion cells."""
+    docstring. Output: (true_lang, pred_lang, n_docs) confusion cells.
+
+    r11 optimization (guide §2.3/§2.4): the corpus-scale token explode
+    used to feed FOUR independent aggregates (cwl, nl, vv — the last a
+    distinct-Expand — and dwc), i.e. four full explode passes in one
+    plan. Now the per-doc postings frame dwc (doc, lang, word, k) is
+    built ONCE and persisted (the r12 postings-frame discipline:
+    plan-unique dummy, plan_snapshot SKIP), and everything else derives
+    from it by exact integer re-aggregation: cwl = Σk by (w, lang)
+    (two-level aggregation, partial-agg friendly), nl = Σk by lang,
+    v = |distinct w of cwl| — identical values (exact counts), one
+    corpus explode+shuffle instead of four. The fan's (w, lang) join is
+    merge-pinned: cwl is a corpus-derived aggregate (the r13
+    token_pruning lesson — Catalyst's post-agg estimate must not pick
+    broadcast for it at corpus scale)."""
+    from pyspark import StorageLevel
+
     docs = _t(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", "lang", F.explode(F.split("text", " ")).alias("w")
     )
-    cwl = toks.groupBy("w", "lang").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    # Pre-aggregate per-document word counts BEFORE the |langs| fan-out
+    # (ADVICE r6): the fan and its (w, lang) shuffle-join run on the
+    # (doc, word, count) frame — distinct words per doc, not raw token
+    # occurrences. k·term is exact integer arithmetic, values unchanged.
+    dwc = toks.groupBy("doc_id", "lang", "w").agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        # plan-uniqueness dummy (persisted below — cache-aliasing rule)
+        F.max(F.lit(0)).alias("_uq_nb"),
+    ).drop("_uq_nb").persist(StorageLevel.MEMORY_AND_DISK)
+    cwl = dwc.groupBy("w", "lang").agg(F.sum("k").cast("long").alias("c"))
     langs = docs.select("lang").distinct()
-    nl = toks.groupBy("lang").agg(F.count(F.lit(1)).cast("long").alias("ntok"))
-    vv = toks.agg(F.countDistinct("w").cast("long").alias("v"))
+    nl = dwc.groupBy("lang").agg(F.sum("k").cast("long").alias("ntok"))
+    vv = cwl.agg(F.countDistinct("w").cast("long").alias("v"))
     pri = (
         docs.groupBy("lang")
         .agg(F.count(F.lit(1)).cast("long").alias("n_l"))
@@ -124,14 +149,7 @@ def naive_bayes_lang_eval(spark, sf_dir):
     )
     cwl2 = cwl.select(
         F.col("w").alias("cw"), F.col("lang").alias("clang"), "c"
-    )
-    # Pre-aggregate per-document word counts BEFORE the |langs| fan-out
-    # (ADVICE r6): the fan and its (w, lang) shuffle-join run on the
-    # (doc, word, count) frame — distinct words per doc, not raw token
-    # occurrences. k·term is exact integer arithmetic, values unchanged.
-    dwc = toks.groupBy("doc_id", "w").agg(
-        F.count(F.lit(1)).cast("long").alias("k")
-    )
+    ).hint("merge")
     fan = (
         dwc.crossJoin(F.broadcast(langs.select(F.col("lang").alias("slang"))))
         .join(

@@ -247,7 +247,12 @@ def heaps_law_fit(spark, sf_dir):
     )
     tok = off.select("off", F.posexplode("toks").alias("i0", "w"))
     g = tok.select((F.col("off") + F.col("i0") + 1).alias("gpos"), "w")
-    n = off.agg(F.max(F.col("off") + F.col("cnt")).cast("long").alias("n_tok"))
+    # r11: n_tok = max(off + cnt) ≡ sum(cnt) exactly (off is the strict
+    # prefix sum of cnt in doc_id order, so the last doc's off + cnt is
+    # the total) — deriving it from `dc` drops a full re-derivation of
+    # the prefix machinery (window + totals + broadcast) whose only
+    # consumer was this 1-row aggregate (guide §2.4).
+    n = dc.agg(F.sum("cnt").cast("long").alias("n_tok"))
     fo = g.groupBy("w").agg(F.min("gpos").cast("long").alias("fp"))
     vocab = fo.agg(F.count(F.lit(1)).cast("long").alias("vocab"))
     grid = (
@@ -338,21 +343,30 @@ def bcubed_dedup_eval(spark, sf_dir):
     clustering against exact-duplicate truth — see module docstring.
     Output: one row (n_docs, n_pred_clusters, n_truth_clusters,
     b3_precision_nano, b3_recall_nano)."""
+    from pyspark import StorageLevel
+
     docs = _t(spark, sf_dir, "documents")
     lab = docs.select(
         hash60(F.array_join(F.slice(F.split("text", " "), 1, 24), " ")).alias("pred"),
         hash60(F.col("text")).alias("truth"),
     )
+    # r11: the cells frame (TWO committed md5 evaluations per doc) used to
+    # be re-derived by five consumer subtrees (pc, tc, both term-join
+    # sides, the final agg) — persist it so the doc scan + hashing run
+    # once (guide §2.4; plan_snapshot SKIP). The cluster-rollup joins are
+    # merge-pinned: pc/tc are corpus-derived aggregates (the r7/r13
+    # broadcast-OOM discipline).
     cells = lab.groupBy("pred", "truth").agg(
-        F.count(F.lit(1)).cast("long").alias("cpt")
-    )
+        F.count(F.lit(1)).cast("long").alias("cpt"),
+        F.max(F.lit(0)).alias("_uq_bc"),  # plan-uniqueness dummy
+    ).drop("_uq_bc").persist(StorageLevel.MEMORY_AND_DISK)
     pc = cells.groupBy("pred").agg(F.sum("cpt").cast("long").alias("cp"))
     tc = cells.groupBy("truth").agg(F.sum("cpt").cast("long").alias("ct"))
     npc = pc.agg(F.count(F.lit(1)).cast("long").alias("n_pred_clusters"))
     ntc = tc.agg(F.count(F.lit(1)).cast("long").alias("n_truth_clusters"))
     terms = (
-        cells.join(pc, "pred")
-        .join(tc, "truth")
+        cells.join(pc.hint("merge"), "pred")
+        .join(tc.hint("merge"), "truth")
         .select(
             "cpt",
             F.expr(

@@ -166,6 +166,8 @@ SKIP = {
     "rmst_survival_time",  # persisted KM output frame (builds on a SKIPped query)
     "median_absolute_deviation",  # r11: size-dispatched localCheckpoint/persist
     # on the cents histogram (5 downstream consumers)
+    "naive_bayes_lang_eval",  # r11: persisted per-doc postings frame (dwc)
+    "bcubed_dedup_eval",  # r11: persisted (pred, truth) cells frame
 }
 
 SF_DIR = "/root/testdata/sf0.001"
