@@ -6,11 +6,15 @@ a 5-token non-overlapping SEGMENT (documented analog; the pipeline shape
 — unit split → corpus-frequency count → per-doc filter → reassembly — is
 exactly the production one).
 
-Scale shape (r11): ONE documents scan, one explode to
-(doc_id, g, segment, fingerprint), one fingerprint-keyed min/max window
-(the cross-doc flag — no countDistinct Expand, no self-join), one
-per-doc re-aggregation. Fingerprints are 60-bit md5 (hash60 — the
-committed cross-engine hash).
+Scale shape (r12): decide-on-small-rows, attach-to-big-rows (guide §8).
+The cross-doc flag is a partial-aggregatable `groupBy(h).agg(min/max
+doc_id)` — the shuffle carries ~1 row per distinct fingerprint — joined
+back onto the segment frame with the minhash size dispatch: broadcast
+below the declared footer doc count, merge-pinned above it (AQE can
+skew-split a SortMergeJoin side; it can NOT split a window partition,
+which made the r11 `Window.partitionBy(h)` shape a hot-key straggler
+bomb — boilerplate fingerprints are by definition the hottest keys).
+Fingerprints are 60-bit md5 (hash60 — the committed cross-engine hash).
 
 Disciplines (CLAUDE.md): docs with <5 tokens produce ZERO segments via
 an explicit size guard (sequence(1, n div 5) DESCENDS when n<5 — the
@@ -25,11 +29,12 @@ Reference parity: beyond the reference kv kernel
 
 from __future__ import annotations
 
-from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from hpmr_spark.catalog import _t, register
+from hpmr_spark.dedup.minhash import BROADCAST_MAX_DOCS
 from hpmr_spark.functions.hashing import sql_hash60
+from hpmr_spark.operators.dedup_queries import _parquet_num_rows
 
 _SEG = 5  # tokens per segment
 _DF_MIN = 2  # segment is boilerplate if it appears in >= 2 distinct docs
@@ -89,14 +94,23 @@ def dedup_boilerplate_segments(spark, sf_dir):
     order-preserved cleaned text — the oracle checks the RECONSTRUCTION,
     not just the counts.
 
-    r11 optimization (guide §2.3/§3): ONE documents scan. `explode_outer`
-    keeps zero-segment docs as a NULL-segment row so `size(toks)` rides
-    along and the old join back to the doc frame disappears, and the
-    cross-doc flag is a min/max window over the fingerprint: a segment
-    appears in ≥ _DF_MIN = 2 distinct docs iff min(doc_id) ≠ max(doc_id)
-    over its h partition — replacing the countDistinct aggregate (distinct
-    Expand) plus the fingerprint self-join. Values identical by
-    construction; the oracle text is untouched."""
+    r11 optimization (guide §2.3/§3): `explode_outer` keeps zero-segment
+    docs as a NULL-segment row so `size(toks)` rides along and the old
+    join back to the doc frame disappears; no countDistinct Expand — a
+    segment appears in ≥ _DF_MIN = 2 distinct docs iff
+    min(doc_id) ≠ max(doc_id) over its fingerprint.
+
+    r12 de-skew (guide §2.5/§8, VERDICT r11 item 1): the r11 shape
+    computed that flag with `Window.partitionBy(h)`, which forces EVERY
+    copy of the hottest fingerprint — carrying its full segment text —
+    into one task, and AQE skew handling cannot split a window
+    partition. Now the flag is a partial-aggregatable
+    `groupBy(h).agg(min/max doc_id)` (the shuffle carries ~1 row per
+    distinct h) joined back on h: broadcast when the footer declares
+    ≤ BROADCAST_MAX_DOCS docs, merge-pinned above it / when unknown
+    (AQE CAN skew-split an SMJ side). Costs one extra segment-frame
+    derivation (decide on small rows, attach to big rows — guide §8);
+    values identical by construction; the oracle text is untouched."""
     d = _t(spark, sf_dir, "documents").select(
         "doc_id", F.split(F.col("text"), " ").alias("toks")
     )
@@ -129,16 +143,25 @@ def dedup_boilerplate_segments(spark, sf_dir):
             -F.col("doc_id") - F.lit(1),
         ),
     )
-    wh = Window.partitionBy("h")
     # boiler ⇔ h seen in ≥ _DF_MIN (=2) distinct docs ⇔ min ≠ max doc_id
-    # over the h partition; NULL (excluded from the sum) on the
-    # zero-segment sentinel rows (g IS NULL)
-    flagged = fp.withColumn(
-        "boiler",
-        F.when(
-            F.col("g").isNotNull(),
-            (F.min("doc_id").over(wh) != F.max("doc_id").over(wh)).cast("int"),
-        ),
+    # over the fingerprint. Decided on a ~1-row-per-distinct-h frame
+    # (partial aggregation collapses hot keys map-side) and attached by
+    # a size-dispatched join; NULL (excluded from the sum) on the
+    # zero-segment sentinel rows (g IS NULL).
+    # Two segment-frame derivations (decide small, attach big — guide §8;
+    # an eager localCheckpoint and a lazy persist of fp were BOTH probed
+    # slower: materializing the text-carrying segment frame costs more
+    # than re-deriving it). The flag side prunes to (doc_id, h).
+    flags = fp.groupBy("h").agg(
+        (F.min("doc_id") != F.max("doc_id")).cast("int").alias("_xdoc")
+    )
+    n_docs = _parquet_num_rows(f"{sf_dir}/documents.parquet")
+    if n_docs is not None and n_docs <= BROADCAST_MAX_DOCS:
+        joined = fp.join(F.broadcast(flags), "h")
+    else:
+        joined = fp.join(flags.hint("merge"), "h")
+    flagged = joined.withColumn(
+        "boiler", F.when(F.col("g").isNotNull(), F.col("_xdoc"))
     )
     per_doc = flagged.groupBy("doc_id").agg(
         F.count("g").cast("long").alias("n_seg"),
