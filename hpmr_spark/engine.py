@@ -48,7 +48,12 @@ def session_builder(
         # consumer 64 tiny partitions locally and AQE cannot coalesce below
         # it; observed as the 4x MAD-persist regression, OPTIMIZATION_r11.md).
         # Scale-adaptive by definition: AQE sizes by bytes. Results are
-        # partition-count invariant repo-wide (selfcheck_r12_invariance).
+        # partition-count invariant repo-wide under THIS conf
+        # (selfcheck_r14_invariance.json — the r12-named sweep predates the
+        # conf). COUPLING: setting SPARK_GRAFT_CACHE_AQE=false re-creates
+        # the documented 4x regression on every persisted multi-consumer
+        # frame (MAD's histogram persist and the r11 postings persists were
+        # sized assuming this conf is on).
         .config(
             "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
             os.environ.get("SPARK_GRAFT_CACHE_AQE", "true"),

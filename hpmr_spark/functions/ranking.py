@@ -170,6 +170,15 @@ def _prefix_offsets(totals: DataFrame, key: str, specs) -> DataFrame:
         vals = f"transform(filter(_ts, _u -> _u.{key} < _t.{key}), _u -> _u.{src})"
         dt = dts[src]
         if kind == "sum":
+            # skip NULL running values like F.sum did in the old join shape
+            # (a NULL element would otherwise poison the whole fold; with
+            # the filter, an all-NULL prefix collapses to size()=0 -> NULL,
+            # exactly F.sum's empty-after-NULL-skip result). array_max /
+            # array_min below already skip NULL elements like F.max/F.min.
+            vals = (
+                f"transform(filter(_ts, _u -> _u.{key} < _t.{key}"
+                f" AND _u.{src} IS NOT NULL), _u -> _u.{src})"
+            )
             ndt = "BIGINT" if dt in ("int", "bigint", "smallint", "tinyint") else dt
             zero = f"CAST(0 AS {ndt})"
             # cast the fold step back to the accumulator type: decimal

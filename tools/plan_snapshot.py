@@ -164,8 +164,9 @@ SKIP = {
     "pystream_source_tumbling",  # runs the Python stream at build
     "energy_distance_twosample",  # persisted calendar-day rollup (5 consumers)
     "rmst_survival_time",  # persisted KM output frame (builds on a SKIPped query)
-    "median_absolute_deviation",  # r11: size-dispatched localCheckpoint/persist
-    # on the cents histogram (5 downstream consumers)
+    "median_absolute_deviation",  # r11: persisted cents histogram
+    # (unconditional MEMORY_AND_DISK; 5 downstream consumers — a size
+    # dispatch was probed and rejected, OPTIMIZATION_r11.md)
     "naive_bayes_lang_eval",  # r11: persisted per-doc postings frame (dwc)
     "bcubed_dedup_eval",  # r11: persisted (pred, truth) cells frame
 }
