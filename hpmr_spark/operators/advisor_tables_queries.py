@@ -28,6 +28,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from hpmr_spark.catalog import register
+from hpmr_spark.functions.littables import values_df
 from hpmr_spark.sources.tables import load_events
 
 # ---------------------------------------------------------------------------
@@ -80,7 +81,7 @@ def lsh_s_curve_advisor(spark, sf_dir):
     rows = [
         (b, r, int(float(j) * 10), p) for b, r, j, p in _lsh_rows()
     ]
-    df = spark.createDataFrame(
+    df = values_df(spark, 
         [(b, r, jd) for b, r, jd, _p in rows],
         "bands long, rows_ long, j_deci long",
     )
@@ -153,7 +154,7 @@ def power_analysis_table(spark, sf_dir):
         .alias("np"),
         F.count(F.lit(1)).cast("long").alias("n"),
     )
-    grid = spark.createDataFrame(
+    grid = values_df(spark, 
         [(m,) for m in _PA_MDE_PPM], "mde_ppm long"
     )
     calc = grid.crossJoin(F.broadcast(base)).select(

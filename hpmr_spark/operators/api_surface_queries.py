@@ -9,6 +9,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from hpmr_spark.catalog import _t, register
+from hpmr_spark.functions.littables import values_df
 
 
 @register(
@@ -47,7 +48,7 @@ def observe_metrics_audit(spark, sf_dir):
     )
     row = agg.collect()[0]  # action materializes both the agg and the metrics
     got = obs.get
-    return spark.createDataFrame(
+    return values_df(spark, 
         [
             (
                 int(row.n_rows),

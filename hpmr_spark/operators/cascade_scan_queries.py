@@ -31,6 +31,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from hpmr_spark.catalog import _t, register
+from hpmr_spark.functions.littables import values_df
 from hpmr_spark.functions.hashing import sql_hash60, spark_sql_hash60
 from hpmr_spark.operators.mleval_queries import _SCORED_SQL, _scored
 
@@ -98,7 +99,7 @@ def cascade_routing_frontier(spark, sf_dir):
         F.expr(_ca_s2(spark_sql_hash60)).alias("s2"),
         F.expr("abs(score_ppm - 500000)").alias("margin"),
     )
-    g = spark.createDataFrame([(t,) for t in _CA_TAUS], "tau long")
+    g = values_df(spark, [(t,) for t in _CA_TAUS], "tau long")
     routed = both.crossJoin(F.broadcast(g)).select(
         "tau",
         "y",

@@ -17,6 +17,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from hpmr_spark.catalog import _t, register
+from hpmr_spark.functions.littables import values_df
 from hpmr_spark.functions.hashing import hash60, sql_hash60
 
 _QUERY_TERMS = ["join", "filter"]
@@ -70,7 +71,7 @@ def crossmodal_text_to_vec_topk(spark, sf_dir):
     broadcast, and ranking shape is production CLIP retrieval. Oracle
     recomputes encoder, quantization, and ranking relationally."""
     dims = spark.range(_DIMS).select(F.col("id").cast("long").alias("j"))
-    terms = spark.createDataFrame([(t,) for t in _QUERY_TERMS], "tok string")
+    terms = values_df(spark, [(t,) for t in _QUERY_TERMS], "tok string")
     enc = (
         terms.crossJoin(dims)
         .select(

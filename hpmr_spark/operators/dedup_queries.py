@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from hpmr_spark.catalog import register, _t
+from hpmr_spark.functions.littables import values_df
 from hpmr_spark.dedup.exact import dedup_exact
 from hpmr_spark.dedup.minhash import minhash_dedup_pairs
 from hpmr_spark.dedup.ngram import ngram_jaccard_pairs
@@ -632,8 +633,8 @@ def dedup_threshold_sweep(spark, sf_dir):
             "(banded MinHash + exact verify) instead."
         )
     pairs = ngram_jaccard_pairs(docs, threshold_pct=70)
-    th = spark.createDataFrame(
-        [(t,) for t in _SWEEP_THRESHOLDS], "t int"
+    th = values_df(
+        spark, [(t,) for t in _SWEEP_THRESHOLDS], "t int"
     )
     hit = pairs.join(
         F.broadcast(th),

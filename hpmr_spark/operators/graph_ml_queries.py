@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from hpmr_spark.catalog import register, _t
+from hpmr_spark.functions.littables import values_df
 
 
 # ---------------------------------------------------------------------------
@@ -266,7 +267,7 @@ def graph_bfs_3hop(spark, sf_dir):
     # iterative graph algorithms — pagerank does the same)
     sym = sym.persist()
     spark_ = und.sparkSession
-    dist = spark_.createDataFrame([(0, 0)], "node long, dist int")
+    dist = values_df(spark_, [(0, 0)], "node long, dist int")
     for _ in range(3):
         # nation-graph edges are dimension-sized → broadcast kills the join
         # shuffle; at vertex counts past broadcast range this becomes the

@@ -14,6 +14,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from hpmr_spark.catalog import register, _t
+from hpmr_spark.functions.littables import values_df
 from hpmr_spark.functions.hashing import hash60, sql_hash60
 
 N_NEG = 4
@@ -202,8 +203,8 @@ def bpe_train_8_merges(spark, sf_dir):
     w = _bpe_vocab(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
     rules = _bpe_train_rules(w, N_MERGES)
     w.unpersist()
-    return spark.createDataFrame(
-        rules, "step long, lhs string, rhs string, cnt long"
+    return values_df(
+        spark, rules, "step long, lhs string, rhs string, cnt long"
     )
 
 

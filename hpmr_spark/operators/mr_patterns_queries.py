@@ -26,6 +26,7 @@ import pandas as pd
 from pyspark.sql import functions as F
 
 from hpmr_spark.catalog import _t, register
+from hpmr_spark.functions.littables import values_df
 from hpmr_spark.sources.tables import load_events
 
 # ---------------------------------------------------------------------------
@@ -196,7 +197,7 @@ def pca_power_iteration_int(spark, sf_dir):
             i: (w[i] * 1000000 // mx) if w[i] >= 0 else -((-w[i]) * 1000000 // mx)
             for i in dims
         }
-    out = spark.createDataFrame(
+    out = values_df(spark, 
         [(int(i), int(v[i])) for i in dims], "dim long, v_ppm long"
     )
     return out

@@ -18,6 +18,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from hpmr_spark.catalog import register, _t
+from hpmr_spark.functions.littables import values_df
 
 # Money discipline: exact integer cents (see catalog.py).
 def _cents(col):
@@ -227,8 +228,8 @@ def setops_union_intersect_except(spark, sf_dir):
     n_union = o.union(c).distinct().count()
     n_intersect = o.intersect(c).count()
     n_except = c.exceptAll(o.distinct()).distinct().count()
-    return spark.createDataFrame(
-        [(n_union, n_intersect, n_except)], "n_union long, n_intersect long, n_except long"
+    return values_df(
+        spark, [(n_union, n_intersect, n_except)], "n_union long, n_intersect long, n_except long"
     )
 
 

@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from hpmr_spark.catalog import register, _t
+from hpmr_spark.functions.littables import values_df
 
 
 # ---------------------------------------------------------------------------
@@ -97,7 +98,7 @@ def inline_dim_join(spark, sf_dir):
     Weighting is exact: per-row integer cents × ppm with truncating
     division (all positive), then BIGINT sum."""
     o = _t(spark, sf_dir, "orders")
-    w = spark.createDataFrame(
+    w = values_df(spark, 
         [
             ("1-URGENT", 1500000),
             ("2-HIGH", 1250000),

@@ -32,6 +32,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from hpmr_spark.catalog import _t, register
+from hpmr_spark.functions.littables import values_df
 from hpmr_spark.functions.hashing import sql_hash60, spark_sql_hash60
 from hpmr_spark.sources.tables import load_events
 
@@ -351,7 +352,7 @@ def parallelism_memory_plan(spark, sf_dir):
     corpus = d.agg(
         F.sum(F.size(F.split("text", " "))).cast("long").alias("ct")
     )
-    grid = spark.createDataFrame(
+    grid = values_df(spark, 
         [
             (n, tp, z)
             for n in _PM_SIZES

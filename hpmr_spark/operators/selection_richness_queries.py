@@ -40,6 +40,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from hpmr_spark.catalog import _t, register
+from hpmr_spark.functions.littables import values_df
 from hpmr_spark.operators.dedup_queries import (
     _DUCK_D2,
     _SEMC_K,
@@ -138,8 +139,8 @@ def kcenter_greedy_coreset(spark, sf_dir):
         )
         sel.append((step, int(nxt["vec_id"]), int(nxt["mind2"])))
         sel_vecs.append([int(x) for x in nxt["v"]])
-    return spark.createDataFrame(
-        sel, "step long, vec_id long, maxmin_d2 long"
+    return values_df(
+        spark, sel, "step long, vec_id long, maxmin_d2 long"
     )
 
 

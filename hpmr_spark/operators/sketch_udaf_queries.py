@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from hpmr_spark.catalog import register, _t
+from hpmr_spark.functions.littables import values_df
 from hpmr_spark.functions.hashing import hash60, sql_hash60
 
 
@@ -122,7 +123,7 @@ def sketch_countmin_status(spark, sf_dir):
         )
         for r in exact.collect()
     ]
-    out = spark.createDataFrame(rows, "o_orderstatus string, exact_n bigint, est bigint")
+    out = values_df(spark, rows, "o_orderstatus string, exact_n bigint, est bigint")
     bound = int(eps * total) + 1
     return out.select(
         "o_orderstatus",

@@ -144,6 +144,10 @@ def dpp_join_pruned_counts(spark, sf_dir):
         ev.coalesce(1).write.mode("overwrite").partitionBy("event_type").parquet(
             out
         )
+    # NOTE r12: deliberately NOT values_df/LocalRelation — with a plan-time
+    # literal dim Catalyst prunes the partitioned scan STATICALLY and the
+    # committed dynamic-partition-pruning demonstration (test_sources2)
+    # disappears; the RDD-backed frame is what keeps DPP observable.
     dim = spark.createDataFrame(
         [
             ("purchase", "conversion"),

@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from hpmr_spark.catalog import _t, register
+from hpmr_spark.functions.littables import values_df
 
 _MAX_LEN = 10  # eligible word length cap — bounds the DP unroll
 _MAX_PIECE = 4  # max subword piece length
@@ -139,7 +140,10 @@ def unigram_viterbi_segment(spark, sf_dir):
         )
         .distinct()
     )
-    grid = spark.createDataFrame(_PAIRS, "j int, i int")
+    # LocalRelation literal (r12): createDataFrame of the python list built
+    # a PythonRDD whose broadcast-build job launched 32 python workers
+    # (~60 s task-time cold for 27 rows — tools/tasktime_rank.py finding)
+    grid = values_df(spark, _PAIRS, "j int, i int")
     pieces = (
         words.crossJoin(F.broadcast(grid))
         .where(F.col("i") <= F.length("w"))

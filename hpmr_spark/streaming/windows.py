@@ -100,6 +100,16 @@ STREAM_SHUFFLE_PARTITIONS = int(
     _os.environ.get("SPARK_GRAFT_STREAM_PARTITIONS", "8")
 )
 
+#: State-store provider for the memory-sink AvailableNow runs (VERDICT r11
+#: item 5). Empty = Spark's default (HDFSBackedStateStoreProvider). The r12
+#: probe measured RocksDB SLOWER on this family (per-batch provider init +
+#: commit dominates at memory-sink sizes — see OPTIMIZATION_r12.md), so the
+#: default stays empty; a production deployment with large/spilling state
+#: sets the class name here. Checkpoint-coupled queries
+#: (ivm_checkpoint_resume, statestore reader) never read this knob — a
+#: resumed checkpoint must match its writer's provider AND file format.
+STREAM_STATESTORE_PROVIDER = _os.environ.get("SPARK_GRAFT_STREAM_STATESTORE", "")
+
 
 def _run_to_table(stream_df: DataFrame, label: str, output_mode: str) -> DataFrame:
     """Run an AvailableNow stream into a memory sink and return its table.
@@ -112,10 +122,14 @@ def _run_to_table(stream_df: DataFrame, label: str, output_mode: str) -> DataFra
     spark = stream_df.sparkSession
     name = f"mem_{label}_{next(_ctr)}"
     orig = spark.conf.get("spark.sql.shuffle.partitions")
+    _pk = "spark.sql.streaming.stateStore.providerClass"
+    orig_provider = spark.conf.get(_pk, "")
     try:
         spark.conf.set(
             "spark.sql.shuffle.partitions", str(STREAM_SHUFFLE_PARTITIONS)
         )
+        if STREAM_STATESTORE_PROVIDER:
+            spark.conf.set(_pk, STREAM_STATESTORE_PROVIDER)
         q = (
             stream_df.writeStream.format("memory")
             .queryName(name)
@@ -126,6 +140,11 @@ def _run_to_table(stream_df: DataFrame, label: str, output_mode: str) -> DataFra
         q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", orig)
+        if STREAM_STATESTORE_PROVIDER:
+            if orig_provider:
+                spark.conf.set(_pk, orig_provider)
+            else:
+                spark.conf.unset(_pk)
     return spark.table(name)
 
 
