@@ -101,13 +101,15 @@ STREAM_SHUFFLE_PARTITIONS = int(
 )
 
 #: State-store provider for the memory-sink AvailableNow runs (VERDICT r11
-#: item 5). Empty = Spark's default (HDFSBackedStateStoreProvider). The r12
-#: probe measured RocksDB SLOWER on this family (per-batch provider init +
-#: commit dominates at memory-sink sizes — see OPTIMIZATION_r12.md), so the
-#: default stays empty; a production deployment with large/spilling state
-#: sets the class name here. Checkpoint-coupled queries
-#: (ivm_checkpoint_resume, statestore reader) never read this knob — a
-#: resumed checkpoint must match its writer's provider AND file format.
+#: item 5). Empty = Spark's default (HDFSBackedStateStoreProvider).
+#: Measured r12 (tools/rocksdb_probe.py, interleaved warm reps): RocksDB is
+#: SLOWER on this family — tumbling 1.7-1.8 vs 1.5-1.7 s, sliding 1.2-2.3
+#: vs 1.0-1.2, session 2.4-2.5 vs 2.2-2.4 — per-batch RocksDB instance
+#: open/commit overhead dominates at memory-sink state sizes; RocksDB pays
+#: off when state outgrows executor memory, so a production deployment
+#: with large/spilling state sets the class name here. Checkpoint-coupled
+#: queries (ivm_checkpoint_resume, statestore reader) never read this
+#: knob — a resumed checkpoint must match its writer's provider AND format.
 STREAM_STATESTORE_PROVIDER = _os.environ.get("SPARK_GRAFT_STREAM_STATESTORE", "")
 
 
