@@ -359,7 +359,7 @@ def ccnet_ppl_buckets(spark, sf_dir):
     dt = toks.groupBy("doc_id", "lang", "w").agg(
         F.count(F.lit(1)).cast("long").alias("cnt"),
         F.max(F.lit(90201)).alias("_u_ccnet"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    ).persist(StorageLevel.DISK_ONLY)
     c = dt.groupBy("w").agg(F.sum("cnt").cast("long").alias("n_w"))
     t = c.agg(F.sum("n_w").cast("long").alias("tot"))
     cost = c.crossJoin(F.broadcast(t)).select(

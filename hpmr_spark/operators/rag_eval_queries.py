@@ -22,6 +22,7 @@ doc length. No windows except a per-query bounded top-k rank.
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
@@ -85,7 +86,7 @@ def token_f1_paired_docs(spark, sf_dir):
             F.count(F.lit(1)).alias("c"),
             F.max(F.lit(0)).alias("_uq_tf1"),
         )
-        .persist()
+        .persist(StorageLevel.DISK_ONLY)
     )
     lens = toks.groupBy("doc_id").agg(F.sum("c").cast("long").alias("len"))
     p = toks.where(F.expr(_PAIR_PRED)).select(
@@ -197,7 +198,7 @@ def context_recall_topk(spark, sf_dir):
         .where(F.col("w") != "")
         .groupBy("doc_id", "lang", "source", "w")
         .agg(F.max(F.lit(0)).alias("_uq_cr"))
-        .persist()
+        .persist(StorageLevel.DISK_ONLY)
     )
     q = d.where(F.col("doc_id") % _CR_QMOD == 0).select(
         F.col("doc_id").alias("qid"),

@@ -21,6 +21,7 @@ SimRank pairs bounded per order (≤7 lines); no global windows.
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
@@ -118,7 +119,7 @@ def wand_upper_bound_prune(spark, sf_dir):
             F.count(F.lit(1)).cast("long").alias("tf"),
             F.max(F.lit(0)).alias("_uq_wand"),
         )
-        .persist()
+        .persist(StorageLevel.DISK_ONLY)
     )
     nd = d.agg(F.count(F.lit(1)).cast("long").alias("nd"))
     idf = (
@@ -137,7 +138,7 @@ def wand_upper_bound_prune(spark, sf_dir):
     # scoring join
     scored = toks.join(idf, "w").select(
         "doc_id", "w", (F.col("tf") * F.col("idf_nano")).alias("s_nano")
-    ).persist()
+    ).persist(StorageLevel.DISK_ONLY)
     ub = scored.groupBy("w").agg(F.max("s_nano").cast("long").alias("ub_nano"))
     qterm = (
         toks.where(F.col("doc_id") % _WAND_QMOD == 0)
