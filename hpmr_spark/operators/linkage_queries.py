@@ -173,51 +173,45 @@ def token_bucket_replay(spark, sf_dir):
     history: how many events each user's limiter would have allowed vs
     denied, plus the final bucket level. The fold is genuinely sequential
     per user (min-clamping kills any closed form — unlike EWMA's dyadic
-    algebra), so the engine runs it as an Arrow-batched grouped-pandas
-    fold — keyed parallelism across users, O(1) state per user, the
-    documented escape hatch for irreducibly stateful scans — while the
-    oracle walks the IDENTICAL integer recurrence as a recursive CTE.
-    First event: full bucket, always allowed."""
+    algebra) and runs as the repo's in-row array fold: sort_array over
+    collect_list((ts_us, event_id)) then one aggregate() HOF walking the
+    IDENTICAL integer recurrence the oracle's recursive CTE walks.
+    First event: full bucket, always allowed.
+
+    r12 (guide §4.1): this replaces the r4-era grouped-pandas fold. The
+    per-row arithmetic is trivial integer work; the measured cost was
+    the Python boundary itself — ~32 ms PER GROUP of Arrow round-trip +
+    pandas construction, 32 s of task-time for ~1k users at sf0.1
+    (tools/tasktime_rank.py). The in-row fold is pure codegen
+    (task-time ~1 s), needs no explicit repartition (the r11
+    AQE-coalescing workaround existed only to spread pandas groups),
+    and holds the same O(events-per-user) worker memory applyInPandas
+    already held (a group arrived as ONE pandas frame)."""
     ev = load_events(spark, sf_dir).select(
         "user_id", "event_id", F.unix_micros(F.col("ts")).alias("ts_us")
     )
-    # r11 (guide §2/§4): AQE coalesces the pre-fold shuffle by BYTES, and
-    # the keyed event frame is a few MB — every per-user pandas group then
-    # ran in 1-2 tasks, serializing ~1k Arrow/pandas group constructions on
-    # one core (profiled: 3 tasks, 3.2 s task time). The stage's cost is
-    # Python-boundary work per GROUP, invisible to AQE's byte heuristic,
-    # so pin the fold's parallelism explicitly: an explicit-width hash
-    # repartition on the grouping key is exempt from AQE coalescing, and
-    # the groupBy reuses it (no second exchange). Width scales with the
-    # session's core count; per-user results are partition-invariant.
-    par = ev.sparkSession.sparkContext.defaultParallelism
-    ev = ev.repartition(par, "user_id")
-
-    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["ts_us", "event_id"])
-        tokens = _TB_CAP
-        allowed = denied = 0
-        prev = None
-        for ts in pdf["ts_us"].values:
-            ts = int(ts)
-            if prev is not None:
-                tokens = min(_TB_CAP, tokens + (ts - prev) // _TB_DIV)
-            if tokens >= _TB_COST:
-                allowed += 1
-                tokens -= _TB_COST
-            else:
-                denied += 1
-            prev = ts
-        return pd.DataFrame(
-            {
-                "user_id": [int(pdf["user_id"].iloc[0])],
-                "n_allowed": [allowed],
-                "n_denied": [denied],
-                "end_tokens_micro": [tokens],
-            }
-        )
-
-    return ev.groupBy("user_id").applyInPandas(
-        fold,
-        "user_id long, n_allowed long, n_denied long, end_tokens_micro long",
+    arr = ev.groupBy("user_id").agg(
+        F.sort_array(F.collect_list(F.struct("ts_us", "event_id"))).alias("_evs")
+    )
+    fold = (
+        "aggregate(_evs, "
+        f"named_struct('tokens', CAST({_TB_CAP} AS BIGINT), "
+        "'allowed', CAST(0 AS BIGINT), 'denied', CAST(0 AS BIGINT), "
+        "'prev', CAST(NULL AS BIGINT)), "
+        "(_a, _e) -> "
+        f"named_struct('tokens', "
+        f" CASE WHEN IF(_a.prev IS NULL, _a.tokens, LEAST(CAST({_TB_CAP} AS BIGINT), _a.tokens + (_e.ts_us - _a.prev) div {_TB_DIV})) >= {_TB_COST}"
+        f" THEN IF(_a.prev IS NULL, _a.tokens, LEAST(CAST({_TB_CAP} AS BIGINT), _a.tokens + (_e.ts_us - _a.prev) div {_TB_DIV})) - {_TB_COST}"
+        f" ELSE IF(_a.prev IS NULL, _a.tokens, LEAST(CAST({_TB_CAP} AS BIGINT), _a.tokens + (_e.ts_us - _a.prev) div {_TB_DIV})) END, "
+        f"'allowed', _a.allowed + IF(IF(_a.prev IS NULL, _a.tokens, LEAST(CAST({_TB_CAP} AS BIGINT), _a.tokens + (_e.ts_us - _a.prev) div {_TB_DIV})) >= {_TB_COST}, 1, 0), "
+        f"'denied', _a.denied + IF(IF(_a.prev IS NULL, _a.tokens, LEAST(CAST({_TB_CAP} AS BIGINT), _a.tokens + (_e.ts_us - _a.prev) div {_TB_DIV})) >= {_TB_COST}, 0, 1), "
+        "'prev', _e.ts_us))"
+    )
+    # fold evaluated ONCE (CollapseProject does not inline a non-cheap
+    # producer referenced three times)
+    return arr.select("user_id", F.expr(fold).alias("_st")).select(
+        "user_id",
+        F.col("_st.allowed").alias("n_allowed"),
+        F.col("_st.denied").alias("n_denied"),
+        F.col("_st.tokens").alias("end_tokens_micro"),
     )

@@ -157,6 +157,38 @@ def test_token_bucket_conservation(spark):
         assert 0 <= r["end_tokens_micro"] <= 5_000_000
 
 
+def test_token_bucket_inrow_fold_vs_python_replay(spark):
+    """r12: the fold moved from grouped-pandas to an in-row aggregate()
+    HOF — pin the registered query against a direct Python replay of the
+    committed integer recurrence (sort by (ts_us, event_id), floor
+    refill, min-clamp), including tie ordering."""
+    from hpmr_spark.sources.tables import load_events
+
+    ev = load_events(spark, SF).selectExpr(
+        "user_id", "event_id", "unix_micros(CAST(ts AS TIMESTAMP)) AS ts_us"
+    )
+    by_user = {}
+    for r in ev.collect():
+        by_user.setdefault(r["user_id"], []).append((r["ts_us"], r["event_id"]))
+    expected = {}
+    for uid, evs in by_user.items():
+        tokens, allowed, denied, prev = 5_000_000, 0, 0, None
+        for ts, _eid in sorted(evs):
+            if prev is not None:
+                tokens = min(5_000_000, tokens + (ts - prev) // 600)
+            if tokens >= 1_000_000:
+                allowed, tokens = allowed + 1, tokens - 1_000_000
+            else:
+                denied += 1
+            prev = ts
+        expected[uid] = (allowed, denied, tokens)
+    got = {
+        r["user_id"]: (r["n_allowed"], r["n_denied"], r["end_tokens_micro"])
+        for r in _q("token_bucket_replay")(spark, SF).collect()
+    }
+    assert got == expected
+
+
 def test_morton_interleave_model(spark):
     """The Z-order key must equal the pure-Python bit interleave for every
     (x, y) in the 8-bit domain sample."""
